@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and yields rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("q01 aggregates are consistent") {
+    val rows = queries.Relational.q01PricingSummary(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val n = r.getAs[Long]("count_order")
+      val avg = r.getAs[Double]("avg_qty")
+      assert(math.abs(sumQty / n - avg) < 1e-4)
+    }
+  }
+
+  test("q07 top-k never exceeds k per group") {
+    val df = queries.Relational.q07WindowTopK(spark, sf)
+    val maxPerCust = df.groupBy("o_custkey").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(maxPerCust <= 3)
+  }
+
+  test("q16 topk is ordered descending") {
+    val prices = queries.Relational.q16TopK(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+}
