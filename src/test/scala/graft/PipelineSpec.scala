@@ -1,0 +1,132 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Differential tests in the reference's own style: the piped-command result
+  * must equal a native-Spark computation of the same thing
+  * (reference MaReTest.scala pattern 1), swept over tree depths. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docTexts = {
+    import graft.sources.Tables
+    Tables.documents(spark, sf).select($"text").as[String]
+  }
+
+  test("piped GC count equals native Spark count, depth 2..4") {
+    val native = docTexts
+      .select(sum(length(regexp_replace($"text", "[^gc]", ""))))
+      .head().getLong(0)
+    for (depth <- 2 to 4) {
+      val piped = Pipeline(docTexts.repartition(5))
+        .mapPartitionsThrough(
+          TextFile("/in.txt"), TextFile("/out.txt"),
+          "tr -cd 'gc' < in.txt | wc -c > out.txt")
+        .treeReduce(
+          TextFile("/in.txt"), TextFile("/out.txt"),
+          "awk '{s+=$1} END {print s}' in.txt > out.txt",
+          depth = depth)
+      val result = piped.ds.collect().map(_.trim.toLong).sum
+      assert(result == native, s"depth=$depth")
+      assert(piped.getNumPartitions == 1)
+    }
+  }
+
+  test("type-changing pipe: text -> gzip binary -> text round trip") {
+    val names = (0 until 5).map(i => s"doc_$i.txt")
+    val pairs = names.zipWithIndex.map { case (n, i) => (n, s"content of file $i\nline two\n") }
+    val ds = spark.createDataset(pairs).repartition(2)
+    val zipped = Pipeline(ds)
+      .mapPartitionsThrough(
+        WholeTextFiles("/in"), BinaryFiles("/out"),
+        "for f in in/*; do gzip -c \"$f\" > \"out/$(basename $f).gz\"; done")
+    val unzipped = zipped
+      .mapPartitionsThrough(
+        BinaryFiles("/in"), WholeTextFiles("/out"),
+        "for f in in/*.gz; do gunzip -c \"$f\" > \"out/$(basename $f .gz)\"; done")
+    val result = unzipped.ds.collect().toMap
+    assert(result == pairs.toMap)
+  }
+
+  test("repartitionBy co-locates records by key") {
+    val ds = spark.range(100).map(i => (i % 4, i)).toDF("k", "v").as[(Long, Long)]
+    val p = Pipeline(ds).repartitionBy(col("k"), 4)
+    val perPartKeys = p.ds.mapPartitions(it => Iterator(it.map(_._1).toSet))
+      .collect().filter(_.nonEmpty)
+    // each key lives in exactly one partition (sets pairwise disjoint)
+    val total = perPartKeys.map(_.size).sum
+    assert(total == perPartKeys.flatten.toSet.size,
+      s"keys split across partitions: ${perPartKeys.mkString(",")}")
+  }
+
+  test("collectToLocal runs one local command over the streamed whole dataset") {
+    val outPath = Files.createTempDirectory("graft_test_").resolve("sum.txt").toString
+    val ds = spark.createDataset(1 to 100).map(_.toString)
+    Pipeline(ds).collectToLocal(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "awk '{s+=$1} END {print s}' in.txt > out.txt",
+      outPath)
+    val content = new String(Files.readAllBytes(new File(outPath).toPath)).trim
+    assert(content == "5050")
+  }
+
+  test("failing command surfaces as an exception (task failure semantics)") {
+    val ds = spark.createDataset(Seq("x")).repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Pipeline(ds).mapPartitionsThrough(
+        TextFile("/in.txt"), TextFile("/out.txt"), "exit 7").ds.collect()
+    }
+    assert(ex.getMessage.contains("exit status 7") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exit status 7")))
+  }
+
+  // --- MountPoint round-trip semantics (property-based) ---
+
+  private def roundTrip(records: List[String], delim: String): List[String] = {
+    val mp = TextFile("/x", delim)
+    val f = File.createTempFile("graft_rt_", ".txt")
+    try {
+      mp.writePartition(records.iterator, f)
+      mp.readPartition(f).toList
+    } finally { f.delete(); () }
+  }
+
+  test("TextFile round-trip preserves records (seeded random sweep)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val recs = List.fill(rnd.nextInt(20)) {
+        val len = rnd.nextInt(50)
+        new String(Array.fill(len)((32 + rnd.nextInt(95)).toChar))
+          .replace("\n", " ")
+      }
+      assert(roundTrip(recs, "\n") == recs)
+    }
+  }
+
+  test("TextFile round-trip with multi-char delimiter (SDF-style)") {
+    val delim = "\n$$$$\n"
+    val recs = List("mol1\natoms here", "", "mol2\nmore\nlines", "$$$", "end$")
+    assert(roundTrip(recs, delim) == recs)
+  }
+
+  test("TextFile read drops only the trailing empty record") {
+    val recs = List("a", "", "b", "")
+    assert(roundTrip(recs, "\n") == recs)
+  }
+
+  test("empty partition round-trips to empty") {
+    assert(roundTrip(Nil, "\n") == Nil)
+  }
+
+  test("delimiter appears as prefix of content handled correctly") {
+    // delimiter "ab"; record contains 'a' runs that almost match
+    assert(roundTrip(List("xaych", "aa", "xya"), "ab") == List("xaych", "aa", "xya"))
+  }
+}
