@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, SimHash, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Four families: exact (hash groupBy), MinHash+LSH
+  * banding, SimHash Hamming-banding, exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on a 128-bit fingerprint — the minimum
+  *    possible data movement (fingerprints, not documents, after the first
+  *    projection);
+  *  - MinHash/LSH turns the O(n²) all-pairs problem into `explode(bands)` +
+  *    an equi-join on band keys: only documents agreeing on a band collide,
+  *    so the join is sparse and shuffle keys are uniformly-distributed hashes
+  *    (no skew);
+  *  - SimHash is one codegen'd projection to a 64-bit value; banding on
+  *    16-bit quarters finds all pairs within Hamming distance 3 exactly
+  *    (pigeonhole: d<=3 differing bits leave >=1 of 4 bands identical);
+  *  - candidate pairs are re-verified with the exact measure before emission
+  *    (LSH only generates candidates — precision comes from verification).
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(normalized text); keep min doc_id per group.
+    * Output is every group (fingerprint, keeper, n_copies) — the survivor
+    * list and the duplicate count in one result. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TF.fingerprintMd5($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fp")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fp""".stripMargin
+
+  /** MinHash+LSH near-dup pairs: 3-word shingles → 16-component signature →
+    * 4 bands × 4 rows → equi-self-join on band key → verify exact Jaccard ≥ t.
+    * Not ANSI-expressible (xxhash64 signatures) → rows-only driver check;
+    * correctness is covered by DedupSpec's containment test vs exact Jaccard. */
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 0.8
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", TF.wordShingles($"text", 3).as("shingles"))
+      .withColumn("sig", Similarity.minhashSignature($"shingles", 16))
+    val banded = docs
+      .select($"doc_id", $"shingles",
+        explode(Similarity.minhashBands($"sig", 4, 4)).as("band"))
+      .select($"doc_id", $"shingles", $"band.band".as("band_id"), $"band.key".as("band_key"))
+    val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"shingles".as("sh_a"))
+    val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"shingles".as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", Similarity.jaccard($"sh_a", $"sh_b").as("jac"))
+      .distinct()
+      .filter($"jac" >= t)
+      .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within each `source` group (the
+    * blocking key bounds the pair explosion; fully SQL-expressible so this one
+    * IS oracle-checked). 3-word shingles, distinct-set Jaccard ≥ 0.5. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        array_distinct(TF.wordShingles($"text", 3)).as("sh"))
+    val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, "source")
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("jac", Similarity.jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.5)
+      .select($"source", $"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .orderBy($"source", $"doc_a", $"doc_b")
+  }
+
+  // Jaccard = |∩|/|∪| of integer set sizes → identical doubles in both
+  // engines; round(…,4) is then reproducible. list_distinct before compare.
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT source, doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+      |  FROM (SELECT source, doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents))
+      |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5
+      |ORDER BY source, doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd
+    * Catalyst expression), banded into 4×16-bit keys; pairs sharing a band are
+    * verified by full Hamming distance ≤ 3. Exact for d<=3 by pigeonhole.
+    * Rows-only driver check (bit-level hashing isn't ANSI SQL). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", SimHash.simhash64(TF.wordTokens($"text")).as("sh"))
+    val banded = docs.select($"doc_id", $"sh",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright($"sh", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"sh", $"bk.band".as("band"), $"bk.key".as("key"))
+    val a = banded.select($"band", $"key", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = banded.select($"band", $"key", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        SimHash.hammingDistance($"sh_a", $"sh_b").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** High-similarity embedding pairs: banded sign-LSH (4 bands × 4
+    * deterministic hyperplanes; candidates = any band agrees) then exact
+    * cosine ≥ threshold on candidates. The test embeddings are near-random
+    * (max pairwise cosine ≈ 0.51), so the threshold is 0.4 — "top of the
+    * distribution" rather than true near-dups, exercising the same plan
+    * shape. Rows-only check (LSH recall is probabilistic by design);
+    * LlmOpsSpec verifies precision (every emitted pair really clears the
+    * threshold, brute-force checked). */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = 0.4
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+      .select($"vec_id", $"v",
+        explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
+      .select($"vec_id", $"v", $"bk.band".as("band"), $"bk.key".as("key"))
+    val a = vecs.select($"band", $"key", $"vec_id".as("id_a"), $"v".as("v_a"))
+    val b = vecs.select($"band", $"key", $"vec_id".as("id_b"), $"v".as("v_b"))
+    a.join(b, Seq("band", "key"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(Similarity.cosine($"v_a", $"v_b"), 4).as("cosine"))
+      .distinct()
+      .filter($"cosine" >= threshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_pairs" -> (dedupMinhashPairs _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths, matching the brief:
+  *  - brute-force cosine top-k: the correctness baseline. The query set is
+  *    broadcast (it's small by construction); candidates never shuffle — each
+  *    partition scores its local vectors against all queries map-side, and
+  *    only k rows per (query, partition) survive into the final top-k, so the
+  *    shuffle is O(queries × k × partitions), not O(n).
+  *  - sign-LSH bucketed: the 100 TB path. Deterministic hyperplanes put each
+  *    vector in 1 of 2^8 buckets; queries probe only their own bucket —
+  *    turning ANN into an equi-join on bucket id. Recall is tunable via
+  *    planes/probes; precision is exact (real cosine on candidates).
+  */
+object SimilaritySearch {
+
+  private val K = 5
+  private val NQueries = 10
+
+  /** Brute-force exact top-k neighbors for the first `NQueries` vectors. */
+  def simBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val queries = vecs.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"v".as("q"))
+    val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", Similarity.cosine($"q", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** DuckDB oracle: same exact top-k via list_cosine_similarity on
+    * double-cast lists (both engines then accumulate in double, in the same
+    * element order → identical values). */
+  val simBruteforceTopkSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.emb, c.emb) AS cos
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN: probe only the query's bucket. Rows-only driver check
+    * (bucket membership isn't ANSI SQL); SimilaritySpec verifies that every
+    * returned neighbor's cosine is exact and that recall vs brute force is
+    * sane on the test data. */
+  def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+      .select($"vec_id", $"v",
+        explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
+      .select($"vec_id", $"v", $"bk.band".as("band"), $"bk.key".as("key"))
+    val queries = vecs.filter($"vec_id" < NQueries)
+      .select($"band", $"key", $"vec_id".as("query_id"), $"v".as("q"))
+    val candidates = vecs.join(broadcast(queries), Seq("band", "key"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"q", $"v")
+      .distinct() // a pair may collide in several bands — score once
+      .withColumn("cos", Similarity.cosine($"q", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    candidates.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Pairwise label-centroid similarity: per-label mean embedding, then all
+    * centroid pairs' cosine — a "cluster compactness" style diagnostic.
+    * Mean = sum/count with fixed rounding → oracle-checkable. */
+  def simLabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byDim = Tables.embeddings(spark, dir)
+      .select($"label", posexplode(Similarity.toDoubleArray($"embedding")))
+      .toDF("label", "dim", "x")
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"x"), 8).as("m"))
+    byDim.groupBy($"label")
+      .agg(round(sqrt(sum($"m" * $"m")), 6).as("centroid_norm"),
+        count(lit(1)).as("n_dims"))
+      .orderBy($"label")
+  }
+
+  // avg then aggressive rounding (1e-8 grid) before the norm keeps both
+  // engines' floating error (~1e-13 on 64-dim sums of ~100 values) far from
+  // the rounding boundary; the final norm is then bitwise identical.
+  val simLabelCentroidsSql: String =
+    """WITH byd AS (
+      |  SELECT label, d.i AS dim, round(avg(emb[d.i]), 8) AS m
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |       LATERAL (SELECT unnest(range(1, 65)) AS i) d
+      |  GROUP BY label, d.i)
+      |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+      |  count(*) AS n_dims
+      |FROM byd
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "sim_lsh_topk" -> (simLshTopk _),
+    "sim_label_centroids" -> (simLabelCentroids _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> simBruteforceTopkSql,
+    "sim_label_centroids" -> simLabelCentroidsSql)
+}

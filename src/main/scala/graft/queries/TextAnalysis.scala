@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: token statistics, quality
+  * scoring, language ID, fingerprinting. All pure Catalyst projections
+  * (TextFunctions) — at 100 TB these are embarrassingly parallel scans with
+  * no shuffle except the final small aggregations. */
+object TextAnalysis {
+
+  /** Per-document token/char statistics. All counts are integers; ratios are
+    * int/int doubles → bitwise reproducible in the oracle. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        TF.tokenCount($"text").as("n_tokens"),
+        TF.bpeTokenCount($"text").as("n_bpe_tokens"),
+        round(TF.alphaRatio($"text"), 6).as("alpha_ratio"),
+        round(TF.digitRatio($"text"), 6).as("digit_ratio"),
+        round(TF.whitespaceRatio($"text"), 6).as("ws_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+      |  END AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1), 6) AS alpha_ratio,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1), 6) AS digit_ratio,
+      |  round(CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1), 6) AS ws_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality-score buckets: integer-ratio arithmetic → deterministic bucket
+    * edges; aggregated per source. The score itself is engine policy, so the
+    * oracle reproduces the full formula. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("q", TF.qualityScore($"text"))
+      .withColumn("bucket",
+        when($"q" >= 0.7, "high").when($"q" >= 0.4, "mid").otherwise("low"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg(length($"text")), 4).as("avg_chars"))
+      .orderBy($"source", $"bucket")
+  }
+
+  // The full quality formula transliterated; every term is a ratio of integer
+  // counts so both engines compute identical doubles (no accumulation).
+  val textQualitySql: String =
+    """WITH scored AS (
+      |  SELECT source, text,
+      |    greatest(least(
+      |      0.25 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
+      |                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
+      |      + 0.25 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+      |                / greatest(length(text), 1))
+      |      + 0.2 * least(4 * (CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |                    t -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], t))) AS DOUBLE)
+      |               / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+      |                               ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END, 1)), 1.0)
+      |      + 0.3 * (CASE WHEN (CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS DOUBLE) + 1)
+      |                         / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+      |                                         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END, 1)
+      |                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1))
+      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |             / greatest(length(text), 1)),
+      |    1.0), 0.0) AS q
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN q >= 0.7 THEN 'high' WHEN q >= 0.4 THEN 'mid' ELSE 'low' END AS bucket,
+      |  count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
+      |FROM scored
+      |GROUP BY 1, 2
+      |ORDER BY source, bucket""".stripMargin
+
+  /** Language-ID heuristic vs the labeled `lang` column: distribution of
+    * (actual, predicted) pairs. Rows-only driver check (the stopword argmax
+    * is awkward in ANSI SQL); TextAnalysisSpec pins exact expectations. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang", TF.languageId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  /** Per-document md5 fingerprint of normalized text (the exact-dedup key,
+    * exposed as its own operator). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TF.fingerprintMd5($"text").as("fp"),
+        TF.tokenCount($"text").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+      |  END AS n_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql)
+}

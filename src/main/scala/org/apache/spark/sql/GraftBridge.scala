@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the `private[sql]` Column ⇄ Expression conversion that
+  * Spark 4 moved behind `org.apache.spark.sql.classic.ExpressionUtils`.
+  * Custom Catalyst expressions (e.g. graft.functions.SimHash64) need this to
+  * surface as user-facing `Column`s. Kept to exactly two forwarders. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

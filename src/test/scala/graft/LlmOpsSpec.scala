@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Similarity, SimHash, SimHash64Util, TextFunctions => TF}
+import graft.queries.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.sources.Tables
+
+/** Specs for the LLM-data-pipeline operators: dedup families, similarity
+  * search, text analysis, multimodal plumbing. LSH-based ops are verified for
+  * PRECISION against brute-force exact computation (recall is probabilistic by
+  * design and pinned only loosely). */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash LSH pairs are a subset of exact high-Jaccard pairs") {
+    val lsh = Dedup.dedupMinhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force exact jaccard over all pairs (500 docs -> 125k pairs, ok)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(TF.wordShingles($"text", 3)).as("sh"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    val exact = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("jac", Similarity.jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted false positives: ${lsh -- exact}")
+    // on this data LSH with 4x4 banding should find most true pairs
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash banding finds exactly the Hamming<=3 pairs (pigeonhole)") {
+    val banded = Dedup.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hashes = Tables.documents(spark, sf)
+      .select($"doc_id", SimHash.simhash64(TF.wordTokens($"text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes
+      if ida < idb && SimHash64Util.hamming(ha, hb) <= 3
+    } yield (ida, idb)).toSet
+    assert(banded == brute,
+      s"banding mismatch: missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("embedding LSH pairs all clear the cosine threshold (precision)") {
+    val pairs = Dedup.dedupEmbeddingCosine(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.4)
+    }
+  }
+
+  test("LSH ANN neighbors are true neighbors with exact cosine (precision)") {
+    val lsh = SimilaritySearch.simLshTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val brute = SimilaritySearch.simBruteforceTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    // every LSH-returned cosine must equal the exact cosine for that pair
+    // (when that pair is in the brute-force top-k) — LSH changes WHICH pairs
+    // are found, never their scores
+    lsh.foreach { case (q, n, c) =>
+      brute.get(q).flatMap(_.get(n)).foreach { exact =>
+        assert(math.abs(exact - c) < 1e-9, s"score mismatch for ($q,$n)")
+      }
+    }
+  }
+
+  test("simhash is deterministic and sensitive to token changes") {
+    val df = Seq(
+      ("a", Seq("the", "quick", "brown", "fox")),
+      ("b", Seq("the", "quick", "brown", "fox")),
+      ("c", Seq("a", "completely", "different", "sentence", "entirely"))
+    ).toDF("id", "toks")
+      .select($"id", SimHash.simhash64($"toks").as("sh"))
+      .as[(String, Long)].collect().toMap
+    assert(df("a") == df("b"))
+    assert(SimHash64Util.hamming(df("a"), df("c")) > 10)
+  }
+
+  test("language ID prefers the profile language on constructed text") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with that"),
+      ("es", "el perro que corre por la calle no se detiene para nada"),
+      ("de", "der hund und die katze sind mit dem ball auf der wiese"),
+      ("fr", "le chien et les chats sont dans une maison pour la nuit"))
+    val got = samples.toDF("expected", "text")
+      .select($"expected", TF.languageId($"text").as("got"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("language ID returns und for no-profile text") {
+    val pred = Seq("zzz qqq xxx www").toDF("text")
+      .select(TF.languageId($"text")).as[String].head()
+    assert(pred == "und")
+  }
+
+  test("quality score is bounded and ranks junk below prose") {
+    val rows = Seq(
+      ("prose", "the quick brown fox jumps over the lazy dog and it was " * 5),
+      ("junk", "8$)@#9 77&& 00 11 22 !!! ### 989873 @@@ %%% ^^^ 123 456 789 000 111"))
+      .toDF("id", "text")
+      .select($"id", TF.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(rows.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows("prose") > rows("junk"))
+  }
+
+  test("multimodal stub decode is deterministic and schema-stable") {
+    val out1 = Multimodal.multimodalDecode(spark, sf).collect()
+    val out2 = Multimodal.multimodalDecode(spark, sf).collect()
+    assert(out1.sameElements(out2))
+    assert(Multimodal.multimodalDecode(spark, sf).columns.toSeq ==
+      Seq("format", "n_docs", "total_bytes", "max_width", "max_height"))
+  }
+
+  test("text fingerprint is invariant to case and whitespace") {
+    val fps = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
+      .toDF("text").select(TF.fingerprintMd5($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+}
