@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time transforms shared by batch and Structured Streaming paths.
+  *
+  * The reference has no streaming at all (batch RDD only —
+  * `/root/reference/src/main/scala/se/uu/it/mare/MaRe.scala`); this module is
+  * part of the declared engine surface (SURVEY.md §2.B "Streaming"). Each
+  * transform takes a DataFrame that may come from `spark.read` (batch) or
+  * `spark.readStream`/MemoryStream (streaming) — the same Catalyst
+  * expressions plan in both modes, which is the Structured Streaming design
+  * point. StreamingSpec drives them through MemoryStream with watermarks;
+  * the batch-mode equivalents are oracle-checked in EventsQueries.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped, state evicted); keys are
+  * (window, event_type) or (user, session) — high-cardinality enough to
+  * spread across executors without salting.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation (counts + value sum). */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding event-time window aggregation. */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session (Spark's native session_window — dynamic, state-merging). */
+  def sessionStats(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Same transform with a watermark, for streaming use: state for windows
+    * older than the watermark is finalized + evicted; events later than the
+    * watermark are dropped. */
+  def tumblingCountsWatermarked(events: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts", watermark), windowLen)
+
+  def sessionStatsWatermarked(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    sessionStats(events.withWatermark("ts", watermark), gap)
+}

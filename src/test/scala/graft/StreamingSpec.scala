@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics driven through MemoryStream: watermarked
+  * tumbling windows, late-data drop, session windows, and custom state via
+  * flatMapGroupsWithState. Uses format("memory") + processAllAvailable for
+  * synchronous batch-by-batch control. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window aggregates and drops late data") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingCountsWatermarked(events, "1 hour", "30 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      // two events in hour 10, one in hour 11
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark: max event 13:00 -> watermark 12:30 -> hours 10,11 close
+      input.addData((ts("2024-01-01 13:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumbling_out").as[(String, String, Long, Double)]
+        .collect().toSet
+      assert(closed.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(closed.contains(("2024-01-01 11:00:00", "view", 1L, 3.0)))
+      // late event for hour 10, far behind watermark: must be DROPPED
+      input.addData((ts("2024-01-01 10:20:00"), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), "click", 5.0)) // close everything else
+      q.processAllAvailable()
+      val all = spark.table("tumbling_out").as[(String, String, Long, Double)]
+        .collect().toSet
+      // hour-10 row unchanged: the late event did not resurrect or alter it
+      assert(all.count(_._1 == "2024-01-01 10:00:00") == 1)
+      assert(all.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val sessions = EventStreams.sessionStatsWatermarked(events, "30 minutes", "1 hour")
+      .select($"user_id", $"n_events")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L), // session A
+        (ts("2024-01-01 10:10:00"), 1L), // merges into A (gap 10m)
+        (ts("2024-01-01 11:30:00"), 1L), // session B (gap 80m)
+        (ts("2024-01-01 10:00:00"), 2L)) // user 2 session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), 99L)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("session_out").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      assert(out(1L) == List(1, 2)) // sessions of 2 and 1 events
+      assert(out(2L) == List(1))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState maintains custom per-key running state") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val sum = state.getOption.getOrElse(0L) + rows.map(_._2.toLong).sum
+          state.update(sum)
+          Iterator((key, sum))
+      }
+    val q = counts.toDF("key", "running").writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("state_out").start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 10))
+      q.processAllAvailable()
+      input.addData(("a", 4), ("b", 5))
+      q.processAllAvailable()
+      val rows = spark.table("state_out").as[(String, Long)].collect().toSet
+      // batch 1: a->3, b->10; batch 2 resumes state: a->7, b->15
+      assert(rows == Set(("a", 3L), ("b", 10L), ("a", 7L), ("b", 15L)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling aggregations agree on the same data") {
+    implicit val sql = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.5),
+      (ts("2024-01-01 10:55:00"), "click", 2.5),
+      (ts("2024-01-01 11:30:00"), "view", 1.0),
+      (ts("2024-01-01 12:01:00"), "view", 4.0))
+    val batch = EventStreams.tumblingCounts(
+      data.toDF("ts", "event_type", "value"), "1 hour")
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.tumblingCountsWatermarked(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("agree_out").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 00:00:00"), "click", 0.0)) // flush watermark
+      q.processAllAvailable()
+      val streamed = spark.table("agree_out").as[(String, String, Long, Double)]
+        .collect().toSet
+      assert(batch.subsetOf(streamed))
+    } finally q.stop()
+  }
+}
