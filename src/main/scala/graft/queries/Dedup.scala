@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Similarity, SimHash, TextFunctions => TF}
+import graft.functions.{Similarity, SimHash, VectorFunctions, TextFunctions => TF}
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` table — the core of a
@@ -51,19 +51,37 @@ object Dedup {
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = 0.8
+    // one pass builds sorted 64-bit shingle-hash sets; signatures, banding,
+    // and verification all work on longs — shingle strings never leave the
+    // first projection
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", TF.wordShingles($"text", 3).as("shingles"))
-      .withColumn("sig", Similarity.minhashSignature($"shingles", 16))
-    val banded = docs
-      .select($"doc_id", $"shingles",
-        explode(Similarity.minhashBands($"sig", 4, 4)).as("band"))
-      .select($"doc_id", $"shingles", $"band.band".as("band_id"), $"band.key".as("band_key"))
-    val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"shingles".as("sh_a"))
-    val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"shingles".as("sh_b"))
-    a.join(b, Seq("band_id", "band_key"))
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    // signatures via 16 map-side-combined min-aggregations over the exploded
+    // hash index (codegen'd hash agg) instead of 16 interpreted higher-order
+    // transforms per document
+    val mins = (0 until 16).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
+    val sig = docs.select($"doc_id", explode($"sh").as("h"))
+      .groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+    val banded = sig.select($"doc_id", explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    // candidate ids only through the band join — hash arrays rejoin AFTER the
+    // candidate set has collapsed, then one codegen'd merge-intersection each
+    val a = banded.select($"band", $"key", $"doc_id".as("doc_a"))
+    val b = banded.select($"band", $"key", $"doc_id".as("doc_b"))
+    val cand = a.join(b, Seq("band", "key"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", Similarity.jaccard($"sh_a", $"sh_b").as("jac"))
-      .distinct()
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
       .filter($"jac" >= t)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -74,14 +92,26 @@ object Dedup {
     * IS oracle-checked). 3-word shingles, distinct-set Jaccard ≥ 0.5. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Source-blocked self-join over SORTED 64-bit shingle hashes with a
+    // codegen'd O(n+m) merge intersection per pair. Shingle strings never
+    // cross the join — only compact long arrays. (An inverted-index/prefix-
+    // filter join is the alternative at extreme block sizes, but this corpus
+    // has a tiny vocabulary — shingles repeat across most documents, which
+    // explodes the inverted index; the blocked merge-join is both the fastest
+    // here and predictable: O(block² · (n+m)) with no skew.)
+    // Collision note: 64-bit hashes over ~100-element sets — P(any collision)
+    // ≈ 1e-15, far below the oracle's float-rounding tolerance.
     val docs = Tables.documents(spark, dir)
       .select($"source", $"doc_id",
-        array_distinct(TF.wordShingles($"text", 3)).as("sh"))
-    val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+        VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .select($"source", $"doc_id", $"sh", size($"sh").as("sz"))
+    val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
+    val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
     a.join(b, "source")
       .filter($"doc_a" < $"doc_b")
-      .withColumn("jac", Similarity.jaccard($"sh_a", $"sh_b"))
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
       .filter($"jac" >= 0.5)
       .select($"source", $"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"source", $"doc_a", $"doc_b")
@@ -143,15 +173,23 @@ object Dedup {
     val threshold = 0.4
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val banded = vecs
       .select($"vec_id", $"v",
         explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
-      .select($"vec_id", $"v", $"bk.band".as("band"), $"bk.key".as("key"))
-    val a = vecs.select($"band", $"key", $"vec_id".as("id_a"), $"v".as("v_a"))
-    val b = vecs.select($"band", $"key", $"vec_id".as("id_b"), $"v".as("v_b"))
-    a.join(b, Seq("band", "key"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    // ids-only candidate join + distinct, THEN one codegen'd cosine per
+    // surviving pair (VectorFunctions.cosineSim — the interpreted
+    // zip_with/aggregate HOF was the sf0.1 bottleneck)
+    val a = banded.select($"band", $"key", $"vec_id".as("id_a"))
+    val b = banded.select($"band", $"key", $"vec_id".as("id_b"))
+    val cand = a.join(b, Seq("band", "key"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", round(Similarity.cosine($"v_a", $"v_b"), 4).as("cosine"))
-      .distinct()
+      .select($"id_a", $"id_b").distinct()
+    cand
+      .join(vecs.select($"vec_id".as("id_a"), $"v".as("v_a")), "id_a")
+      .join(vecs.select($"vec_id".as("id_b"), $"v".as("v_b")), "id_b")
+      .select($"id_a", $"id_b",
+        round(VectorFunctions.cosineSim($"v_a", $"v_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
       .orderBy($"id_a", $"id_b")
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Similarity
+import graft.functions.{Similarity, VectorFunctions}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -33,7 +33,7 @@ object SimilaritySearch {
     val queries = vecs.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"v".as("q"))
     val scored = vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("cos", Similarity.cosine($"q", $"v"))
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
@@ -71,13 +71,20 @@ object SimilaritySearch {
       .select($"vec_id", $"v",
         explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
       .select($"vec_id", $"v", $"bk.band".as("band"), $"bk.key".as("key"))
-    val queries = vecs.filter($"vec_id" < NQueries)
-      .select($"band", $"key", $"vec_id".as("query_id"), $"v".as("q"))
-    val candidates = vecs.join(broadcast(queries), Seq("band", "key"))
+    val queryBands = vecs.filter($"vec_id" < NQueries)
+      .select($"band", $"key", $"vec_id".as("query_id"))
+    // ids-only probe join, dedup multi-band collisions, THEN fetch vectors
+    // and score once per candidate with the codegen'd kernel
+    val candIds = vecs.select($"band", $"key", $"vec_id")
+      .join(broadcast(queryBands), Seq("band", "key"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", $"q", $"v")
-      .distinct() // a pair may collide in several bands — score once
-      .withColumn("cos", Similarity.cosine($"q", $"v"))
+      .select($"query_id", $"vec_id").distinct()
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val candidates = candIds
+      .join(base.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
+      .join(base, "vec_id")
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     candidates.withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
