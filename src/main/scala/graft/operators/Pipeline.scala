@@ -95,6 +95,19 @@ final class Pipeline[T](val ds: Dataset[T]) extends Serializable {
   def repartitionBy(key: Column, numPartitions: Int): Pipeline[T] =
     new Pipeline(ds.repartition(numPartitions, key))
 
+  /** Full parity with the reference's custom-`Partitioner` overload
+    * (MaRe.scala:161-166): key every record with a Scala function, shuffle by
+    * an arbitrary `org.apache.spark.Partitioner`, drop the key. This drops to
+    * the RDD layer (Catalyst cannot see a black-box partitioner) — prefer the
+    * Column-based [[repartitionBy]] wherever the key is expressible. */
+  def repartitionByRaw(keyBy: T => Any, partitioner: org.apache.spark.Partitioner)(
+      implicit enc: Encoder[T]): Pipeline[T] = {
+    // PairRDDFunctions needs ClassTags; the Encoder carries T's
+    implicit val ctT: scala.reflect.ClassTag[T] = enc.clsTag
+    val repartitioned = ds.rdd.keyBy(keyBy).partitionBy(partitioner).map(_._2)
+    new Pipeline(spark.createDataset(repartitioned))
+  }
+
   def repartition(numPartitions: Int): Pipeline[T] =
     new Pipeline(ds.repartition(numPartitions))
 

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for joins whose key distribution is heavy-tailed.
+  *
+  * At 100 TB a single hot key (a viral user_id, an empty-string default, …)
+  * turns one shuffle partition into the whole job's critical path. AQE's
+  * skew-join split handles sort-merge joins it can observe; `saltedJoin` is
+  * the explicit variant for when the skew is known up front or AQE is
+  * unavailable (e.g. the hot side feeds a custom operator).
+  */
+object Skew {
+
+  /** Equi-join `large ⋈ small` on `key`, salted `saltFactor` ways:
+    * each large row gets a deterministic salt in [0, saltFactor); the small
+    * side is replicated once per salt value. The hot key's rows then spread
+    * across `saltFactor` shuffle partitions instead of one.
+    *
+    * The salt must be uniform but NOT depend on the key (that would undo the
+    * spread): rows are salted by hash of the whole row. Result equals the
+    * unsalted join (verified in ScaleSpec). */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1)
+    val saltedLarge = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col).toSeq: _*), lit(saltFactor)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Top-N heavy-hitter keys of a column with their frequencies — the
+    * diagnostic used to decide whether salting / AQE skew handling is needed. */
+  def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =
+    df.groupBy(key).count()
+      .orderBy(col("count").desc)
+      .limit(topN)
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Second tranche of the relational surface (SURVEY.md §2.B): explicit
+  * GROUPING SETS, approximate distinct (HLL), exact percentiles, array and
+  * map scalar functions. */
+object Relational2 {
+
+  /** Explicit GROUPING SETS through the SQL front end. */
+  def q19GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q19")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_q19
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q19Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** HLL approximate distinct count next to the exact one. The HLL estimate
+    * is engine-specific (Spark's HLL++ vs DuckDB's), so the driver check is
+    * rows-only; RelationalSpec pins the [exact*(1±5%)] error bound. */
+  def q20ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Exact-distinct and HLL aggregates are computed in SEPARATE aggregations
+    // and joined: mixing them in one agg() makes Catalyst expand the child
+    // per distinct group and drop the HLL buffers into a non-codegen
+    // object-aggregate path (measured 121s vs ~2s at sf0.1).
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_orders"))
+    val approx = li.groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+    exact.join(approx, "l_returnflag").orderBy($"l_returnflag")
+  }
+
+  /** Exact percentiles (Catalyst `percentile`; continuous interpolation —
+    * same definition as DuckDB's quantile_cont). */
+  def q21Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Array scalar functions over the embeddings vector column. Floats cast
+    * to double on both sides -> identical values. */
+  def q22ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 20 === 0)
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        round(element_at($"embedding", 1).cast("double"), 8).as("first_elem"),
+        round(array_max($"embedding").cast("double"), 8).as("max_elem"),
+        round(array_min($"embedding").cast("double"), 8).as("min_elem"),
+        round(element_at(slice(sort_array($"embedding", asc = false), 1, 3), 3)
+          .cast("double"), 8).as("third_largest"),
+        size(filter($"embedding", x => x > 0)).as("n_positive"))
+      .orderBy($"vec_id")
+  }
+
+  val q22Sql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  round(CAST(embedding[1] AS DOUBLE), 8) AS first_elem,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 8) AS max_elem,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 8) AS min_elem,
+      |  round(CAST(list_reverse_sort(embedding)[3] AS DOUBLE), 8) AS third_largest,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_positive
+      |FROM embeddings
+      |WHERE vec_id % 20 = 0
+      |ORDER BY vec_id""".stripMargin
+
+  /** Map scalar functions: build a map, look up, enumerate keys. */
+  def q23MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = map(
+      lit("click"), lit(1), lit("view"), lit(1),
+      lit("purchase"), lit(10), lit("signup"), lit(5), lit("error"), lit(0))
+    Tables.events(spark, dir)
+      .select($"event_type", coalesce(element_at(weights, $"event_type"), lit(0)).as("w"))
+      .groupBy($"event_type", $"w")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_keys", size(map_keys(weights)))
+      .orderBy($"event_type")
+  }
+
+  val q23Sql: String =
+    """SELECT event_type,
+      |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1
+      |       WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5 ELSE 0 END AS w,
+      |  count(*) AS n, 5 AS n_keys
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_grouping_sets" -> (q19GroupingSets _),
+    "q20_approx_distinct" -> (q20ApproxDistinct _),
+    "q21_percentiles" -> (q21Percentiles _),
+    "q22_array_funcs" -> (q22ArrayFuncs _),
+    "q23_map_funcs" -> (q23MapFuncs _))
+
+  val oracles: Map[String, String] = Map(
+    "q19_grouping_sets" -> q19Sql,
+    "q21_percentiles" -> q21Sql,
+    "q22_array_funcs" -> q22Sql,
+    "q23_map_funcs" -> q23Sql)
+}

@@ -9,6 +9,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf: String = "/root/testdata/sf0.001"
@@ -56,5 +58,14 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("o_totalprice"))
     assert(prices.length == 10)
     assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("q20 approx distinct is within the configured 2% relative error x3") {
+    queries.Relational2.q20ApproxDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"approx $approx vs exact $exact")
+    }
   }
 }

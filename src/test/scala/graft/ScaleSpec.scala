@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pipeline, Skew}
+import graft.sources.Tables
+
+/** Scale-technique specs: bucketed co-located joins (no shuffle), salted
+  * skew joins (same result as plain), raw-Partitioner parity, and source
+  * round-trips (csv/json/text). These verify the 100 TB playbook pieces on
+  * small data by asserting on PLANS (exchange counts) and result equality. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a temp path set at session build (static conf)
+    val oa = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val ob = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    oa.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("bt_a")
+    ob.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("bt_b")
+    try {
+      val joined = spark.table("bt_a").join(spark.table("bt_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == oa.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+
+  test("salted join equals plain join (inner and left)") {
+    val orders = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    for (jt <- Seq("inner", "left")) {
+      val plain = orders.join(cust, Seq("o_custkey"), jt)
+        .select($"o_orderkey", $"c_mktsegment").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+      val salted = Skew.saltedJoin(orders, cust, "o_custkey", 8, jt)
+        .select($"o_orderkey", $"c_mktsegment").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+      assert(salted == plain, s"join type $jt")
+    }
+  }
+
+  test("skew profile surfaces the heaviest keys first") {
+    val prof = Skew.keySkewProfile(
+      Tables.lineitem(spark, sf), col("l_returnflag"), 3).collect()
+    assert(prof.length == 3)
+    assert(prof.map(_.getLong(1)).sliding(2).forall(w => w.head >= w.last))
+  }
+
+  test("raw Partitioner escape hatch places records per custom partitioner") {
+    val ds = spark.createDataset(1 to 100)
+    val p = Pipeline(ds).repartitionByRaw(
+      v => if (v % 2 == 0) "even" else "odd", new HashPartitioner(2))
+    assert(p.getNumPartitions == 2)
+    val parts = p.ds.mapPartitions(it => Iterator(it.toSet)).collect()
+      .filter(_.nonEmpty)
+    // every partition is all-even or all-odd
+    parts.foreach { s =>
+      assert(s.forall(_ % 2 == 0) || s.forall(_ % 2 == 1))
+    }
+    assert(parts.flatten.toSet == (1 to 100).toSet)
+  }
+
+  test("csv, json, and text sources round-trip the documents table") {
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val dir = Files.createTempDirectory("graft_src_").toString
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    base.select($"text").write.mode("overwrite").text(s"$dir/text")
+
+    val csv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    assert(csv.count() == base.count())
+    assert(csv.agg(sum($"n_chars")).head().getLong(0) ==
+      base.agg(sum($"n_chars")).head().getLong(0))
+
+    val json = spark.read.json(s"$dir/json")
+    assert(json.count() == base.count())
+    assert(json.select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      .sameElements(base.select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)))
+
+    val text = spark.read.text(s"$dir/text")
+    assert(text.count() == base.count())
+  }
+
+  test("custom record delimiter reads multi-line records (SDF-style)") {
+    val dir = Files.createTempDirectory("graft_sdf_").toString
+    val records = Seq("mol1\nATOM 1\nATOM 2", "mol2\nATOM 3", "mol3")
+    Files.write(java.nio.file.Paths.get(s"$dir/mols.sdf"),
+      records.mkString("\n$$$$\n").getBytes)
+    val ds = Pipeline.textFile(spark, s"$dir/mols.sdf", "\n$$$$\n").ds
+    assert(ds.collect().toSeq == records)
+  }
+}
