@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers graft's custom Catalyst expressions in a session's function
+  * registry so they are callable from SQL (`spark.sql("SELECT simhash64(...)")`)
+  * as well as the Column API — the engine's SQL surface for its native
+  * extensions. */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "intersect_size_sorted",
+      exprs => IntersectSizeSorted(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "shingle_hash_set", {
+        case Seq(text) => ShingleHashSet(text, 3)
+        case Seq(text, k) =>
+          val kv = k.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_hash_set: k must be an integer literal, got $other")
+          }
+          ShingleHashSet(text, kv)
+        case exprs => throw new IllegalArgumentException(
+          s"shingle_hash_set expects 1 or 2 args, got ${exprs.length}")
+      }, "scala_udf")
+  }
+}

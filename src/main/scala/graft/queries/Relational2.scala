@@ -123,7 +123,38 @@ object Relational2 {
       |GROUP BY 1, 2
       |ORDER BY event_type""".stripMargin
 
+  /** Full outer join: customers ⋈ orders with both-side nulls surfaced. */
+  def q24OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_custkey" % 3 === 0)
+      .select($"c_custkey", $"c_mktsegment")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_custkey" % 2 === 0)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    cust.join(ord, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        coalesce($"c_mktsegment", lit("NO_CUSTOMER")).as("segment"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_keys"), sum($"n_orders").as("total_orders"))
+      .orderBy($"segment")
+  }
+
+  val q24Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0),
+      |     ord AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+      |             WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+      |SELECT coalesce(c_mktsegment, 'NO_CUSTOMER') AS segment,
+      |  count(*) AS n_keys,
+      |  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders
+      |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_outer_join" -> (q24OuterJoin _),
     "q19_grouping_sets" -> (q19GroupingSets _),
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_percentiles" -> (q21Percentiles _),
@@ -131,6 +162,7 @@ object Relational2 {
     "q23_map_funcs" -> (q23MapFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "q24_outer_join" -> q24Sql,
     "q19_grouping_sets" -> q19Sql,
     "q21_percentiles" -> q21Sql,
     "q22_array_funcs" -> q22Sql,

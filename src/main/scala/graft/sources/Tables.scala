@@ -37,10 +37,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Register all tables as temp views so `spark.sql(...)` works too. */
+  /** Register all tables as temp views so `spark.sql(...)` works too.
+    * `events` goes through its normalizing loader (nanos → micros) — the raw
+    * reader throws PARQUET_TYPE_ILLEGAL on its TIMESTAMP(NANOS) column. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val names = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    val plain = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    plain.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
   }
 }

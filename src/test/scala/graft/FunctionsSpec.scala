@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, TypedAggregators}
+import graft.operators.{Pipeline, TextFile}
+
+/** SQL registration of custom expressions, typed Aggregator UDAFs, scalar
+  * UDF surface, and pipe edge cases. */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b','c')) AS sh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS cs,
+        |  intersect_size_sorted(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS isz,
+        |  size(shingle_hash_set('a b c d', 3)) AS nsh""".stripMargin).head()
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[Double]("cs") == 1.0)
+    assert(row.getAs[Int]("isz") == 2)
+    assert(row.getAs[Int]("nsh") == 2) // "a b c", "b c d"
+    // SQL result equals the Column-API result
+    val viaColumn = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.SimHash.simhash64($"t")).head().getLong(0)
+    assert(row.getAs[Long]("sh") == viaColumn)
+  }
+
+  test("typed MeanVariance aggregator merges associatively across partitions") {
+    val values = (1 to 1000).map(_.toDouble)
+    val ds = spark.createDataset(values).repartition(7)
+    val (mean, variance) = ds.select(
+      new TypedAggregators.MeanVariance().toColumn).head()
+    val expectedMean = values.sum / values.size
+    val expectedVar = values.map(v => (v - expectedMean) * (v - expectedMean)).sum / values.size
+    assert(math.abs(mean - expectedMean) < 1e-9)
+    assert(math.abs(variance - expectedVar) < 1e-6)
+  }
+
+  test("typed TopK aggregator keeps bounded state per group") {
+    val ds = spark.createDataset((1 to 100).map(i => (i % 4, i.toDouble)))
+    val top = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TypedAggregators.TopK(3).toColumn)
+      .collect().toMap
+    assert(top(0) == Seq(100.0, 96.0, 92.0))
+    assert(top(3) == Seq(99.0, 95.0, 91.0))
+  }
+
+  test("scalar udf surface works (discouraged but supported)") {
+    val slugify = udf((s: String) => s.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+    val got = Seq("Hello World!", "Spark/Graft").toDF("s")
+      .select(slugify($"s")).as[String].collect().toSeq
+    assert(got == Seq("hello-world-", "spark-graft"))
+  }
+
+  test("piping an empty dataset yields an empty result without failures") {
+    // AQE plans zero tasks for an empty input: no commands run at all
+    val empty = spark.emptyDataset[String].repartition(3)
+    val out = Pipeline(empty).mapPartitionsThrough(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "wc -l < in.txt > out.txt").ds.collect()
+    assert(out.isEmpty)
+  }
+
+  test("empty PARTITIONS still run the command over an empty mount") {
+    // 2 rows spread over hash partitioning leave some of the 4 partitions
+    // empty; each empty partition's command sees an empty in.txt
+    val sparse = spark.createDataset(Seq("x", "y")).repartition(4)
+    val out = Pipeline(sparse).mapPartitionsThrough(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "wc -l < in.txt > out.txt").ds.collect()
+    assert(out.map(_.trim.toInt).sum == 2)
+    assert(out.length == 4) // one count per partition, empty ones included
+  }
+
+  test("treeReduce on a single-partition dataset is the pre-combine only") {
+    val ds = spark.createDataset(Seq("1", "2", "3")).coalesce(1)
+    val out = Pipeline(ds).treeReduce(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "awk '{s+=$1} END {print s}' in.txt > out.txt").ds.collect()
+    assert(out.toSeq == Seq("6"))
+  }
+}

@@ -102,6 +102,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events parquet matches batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    // file-stream sources monitor a directory; stage the single parquet file
+    val dir = Files.createTempDirectory("graft_stream_src_")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalize(
+      spark.readStream.schema(schema).parquet(dir.toString))
+    val q = EventStreams.tumblingCounts(stream, "1 hour")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("file_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = EventStreams.tumblingCounts(
+        normalize(spark.read.schema(schema).parquet(dir.toString)), "1 hour")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggregations agree on the same data") {
     implicit val sql = spark.sqlContext
     val data = Seq(
