@@ -77,15 +77,12 @@ object TextFunctions {
 
   /** n-gram-heuristic language ID: argmax over per-language stopword-hit
     * counts; ties break to the lexicographically larger code (deterministic).
-    * Emits the predicted code, or "und" when no profile matches at all. */
-  def languageId(c: Column): Column = {
-    val toks = wordTokens(c)
-    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
-      struct(vocabHits(toks, words).as("hits"), lit(code).as("code"))
-    }: _*)
-    val best = array_max(scored)
-    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("code"))
-  }
+    * Emits the predicted code, or "und" when no profile matches at all.
+    * Backed by the codegen'd [[LanguageId]] expression (one compiled pass
+    * instead of one interpreted `filter` HOF per language). */
+  def languageId(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      LanguageId(org.apache.spark.sql.GraftBridge.expression(c)))
 
   /** Heuristic quality score in [0,1]: rewards mid-length docs, alphabetic
     * text, real word lengths, stopword presence; penalizes digits/punct soup.
