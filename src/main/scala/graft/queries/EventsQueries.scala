@@ -110,15 +110,41 @@ object EventsQueries {
       |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** The same as-of join through the NATIVE operator (custom LogicalPlan +
+    * Strategy + merge-join SparkPlan, graft.plans.AsOf) — one clustered
+    * shuffle + sort per side, single merge pass. Same DuckDB oracle as the
+    * union-window formulation above. */
+  def eventsAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // re-read per side: the operator requires disjoint attribute ids
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val signups = Tables.events(spark, dir)
+      .filter($"event_type" === "signup")
+      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"))
+      .withColumnRenamed("s_user_id", "user_id_r")
+    graft.plans.AsOf.join(
+        purchases,
+        signups.withColumnRenamed("user_id_r", "user_id"),
+        "user_id", "ts", "s_ts")
+      .select($"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        date_format($"s_ts", "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_sessions" -> (eventsSessions _),
-    "events_asof_join" -> (eventsAsofJoin _))
+    "events_asof_join" -> (eventsAsofJoin _),
+    "events_asof_native" -> (eventsAsofNative _))
 
   val oracles: Map[String, String] = Map(
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_sessions" -> eventsSessionsSql,
-    "events_asof_join" -> eventsAsofJoinSql)
+    "events_asof_join" -> eventsAsofJoinSql,
+    "events_asof_native" -> eventsAsofJoinSql)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOf
+import graft.queries.EventsQueries
+
+/** Differential + unit specs for the native as-of join operator
+  * (custom LogicalPlan/Strategy/SparkPlan). */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of equals the union-window formulation on real data") {
+    val native = EventsQueries.eventsAsofNative(spark, sf)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    val window = EventsQueries.eventsAsofJoin(spark, sf)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("as-of picks the latest at-or-before right row, null when none") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:00:20")),
+      (3L, 20L, ts("2024-01-01 10:00:10")),
+      (4L, 30L, ts("2024-01-01 10:00:10"))
+    ).toDF("id", "k", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),
+      (10L, ts("2024-01-01 10:00:05"), 2.0), // same instant as trade 1 -> wins (<=)
+      (10L, ts("2024-01-01 10:00:15"), 3.0),
+      (20L, ts("2024-01-01 10:00:30"), 9.0) // after trade 3 -> no match
+    ).toDF("k", "qt", "price")
+    val out = AsOf.join(trades, quotes, "k", "t", "qt")
+      .select($"id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(2.0))
+    assert(out(2L).contains(3.0))
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty) // key with no right rows at all
+  }
+
+  test("as-of survives repartitioned, unsorted inputs (requirements planned)") {
+    val left = spark.range(0, 1000)
+      .select($"id", ($"id" % 7).as("k"), ($"id" * 13 % 997).as("t"))
+      .repartition(8)
+    val right = spark.range(0, 300)
+      .select(($"id" % 7).as("k"), ($"id" * 29 % 997).as("rt"), $"id".as("payload"))
+      .repartition(5)
+    val got = AsOf.join(left, right, "k", "t", "rt")
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    // oracle: brute force on the driver
+    val rightRows = right.as[(Long, Long, Long)].collect()
+    val leftRows = left.as[(Long, Long, Long)].collect()
+    leftRows.foreach { case (id, k, t) =>
+      val expect = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) == expect, s"row $id k=$k t=$t")
+    }
+  }
+
+  test("as-of rejects sides sharing attribute ids") {
+    val df = Seq((1L, 2L)).toDF("k", "t")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.join(df, df, "k", "t", "t")
+    }
+    assert(ex.getMessage.contains("share attributes"))
+  }
+}
