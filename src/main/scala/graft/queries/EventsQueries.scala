@@ -134,7 +134,45 @@ object EventsQueries {
       .orderBy($"event_id")
   }
 
+  /** Large-large interval join, bucketed: for each purchase, count the same
+    * user's clicks in the preceding hour. Neither side is broadcastable at
+    * scale and a raw non-equi join explodes, so the range is decomposed into
+    * an EQUI-join on (user, hour-bucket) — each purchase probes its own and
+    * the previous bucket (2 rows), each click sits in exactly 1 bucket — and
+    * the exact range predicate filters within the joined buckets. Shuffle
+    * keys are (user, hour): high-cardinality, no skew, SMJ-able. */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        ($"ts".cast("long") / 3600).cast("long").as("b"))
+      .select($"event_id", $"user_id", $"ts",
+        explode(array($"b" - 1, $"b")).as("bucket"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        ($"ts".cast("long") / 3600).cast("long").as("c_bucket"))
+    purchases
+      .join(clicks,
+        $"user_id" === $"c_user" && $"bucket" === $"c_bucket" &&
+          $"c_ts" > $"ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"ts",
+        "left_outer")
+      .groupBy($"event_id")
+      .agg(count($"c_ts").as("n_clicks_1h"))
+      .orderBy($"event_id")
+  }
+
+  val eventsIntervalJoinSql: String =
+    """SELECT p.event_id, count(c.ts) AS n_clicks_1h
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_join" -> (eventsIntervalJoin _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_sessions" -> (eventsSessions _),
@@ -142,6 +180,7 @@ object EventsQueries {
     "events_asof_native" -> (eventsAsofNative _))
 
   val oracles: Map[String, String] = Map(
+    "events_interval_join" -> eventsIntervalJoinSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_sessions" -> eventsSessionsSql,

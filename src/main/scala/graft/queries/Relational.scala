@@ -32,17 +32,29 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg → sort. */
+  /** TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg → sort.
+    *
+    * Money sums go through exact DECIMAL arithmetic (cast the 2-decimal
+    * inputs, multiply — scales add exactly — sum, THEN cast the exact result
+    * to double). Float accumulation + rounding breaks down once |sum|·grid
+    * approaches the double ulp (at sf0.1, sum_charge ≈ 2.8e9 has ulp 4.8e-7
+    * against a 1e-6 grid); exact decimal sums are equal in both engines at
+    * every scale factor, and the final decimal→double conversion is the same
+    * nearest-double on both sides. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val disc = $"l_discount".cast("decimal(4,2)")
+    val tax = $"l_tax".cast("decimal(4,2)")
     Tables.lineitem(spark, dir)
       .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 0).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 6).as("sum_charge"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast("decimal(3,2)") - disc) *
+          (lit(1).cast("decimal(3,2)") + tax)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty", round($"sum_qty" / $"count_order", 6))
       .withColumn("avg_price", round($"sum_base_price" / $"count_order", 6))
@@ -52,12 +64,15 @@ object Relational {
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 0) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+      |           (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order,
       |  round(round(sum(l_quantity), 0) / count(*), 6) AS avg_qty,
-      |  round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       |GROUP BY l_returnflag, l_linestatus
@@ -83,19 +98,21 @@ object Relational {
   def q03JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      .select($"l_orderkey", ($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))).as("rev"))
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
     val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(round(sum($"rev"), 4).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy($"c_mktsegment")
   }
 
   val q03Sql: String =
     """SELECT c_mktsegment,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -252,14 +269,16 @@ object Relational {
     import spark.implicits._
     Tables.orders(spark, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"),
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("total"),
         grouping_id($"o_orderstatus", $"o_orderpriority").as("gid"))
       .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
   }
 
   val q11Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
       |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -399,7 +418,8 @@ object Relational {
     Tables.orders(spark, dir)
       .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
       .groupBy($"band")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("total"))
       .orderBy($"band")
   }
 
@@ -407,7 +427,8 @@ object Relational {
     """WITH bands(band, lo, hi) AS (VALUES
       |  ('b0', 0.0, 50000.0), ('b1', 50000.0, 150000.0),
       |  ('b2', 150000.0, 300000.0), ('b3', 300000.0, 1000000000.0))
-      |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |SELECT band, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band
       |ORDER BY band""".stripMargin

@@ -14,7 +14,8 @@ object Relational2 {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_q19")
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders_q19
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
@@ -22,7 +23,8 @@ object Relational2 {
 
   val q19Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
