@@ -22,19 +22,55 @@ object Multimodal {
       format: String)
 
   object StubDecoder {
-    /** STUB: deterministic fake decode. A real implementation would parse
-      * image headers / run a decoder over `bytes`; here metadata is derived
-      * from a stable byte hash so the pipeline is testable without codecs. */
-    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      val h = graft.functions.SimHash64Util.fnv1a64(bytes)
-      val width = 64 + math.floorMod(h, 1024L).toInt
-      val height = 64 + math.floorMod(h >>> 10, 1024L).toInt
-      val format = (math.floorMod(h >>> 20, 3L).toInt: @unchecked) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case 2 => "webp"
+    /** Header-level decode is REAL: PNG IHDR and JPEG SOF markers are plain
+      * byte layouts (no codec library needed), so actual image payloads get
+      * their true dimensions. Full pixel decode / feature extraction would
+      * need codecs absent from this container — payloads that are neither
+      * PNG nor JPEG fall back to a clearly-marked deterministic STUB deriving
+      * metadata from a stable byte hash. */
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+      parsePng(bytes).orElse(parseJpeg(bytes)) match {
+        case Some((w, h, fmt)) => MediaMeta(docId, bytes.length, w, h, fmt)
+        case None => // STUB fallback for non-image payloads
+          val h = graft.functions.SimHash64Util.fnv1a64(bytes)
+          val width = 64 + math.floorMod(h, 1024L).toInt
+          val height = 64 + math.floorMod(h >>> 10, 1024L).toInt
+          val format = (math.floorMod(h >>> 20, 3L).toInt: @unchecked) match {
+            case 0 => "png"
+            case 1 => "jpeg"
+            case 2 => "webp"
+          }
+          MediaMeta(docId, bytes.length, width, height, format)
       }
-      MediaMeta(docId, bytes.length, width, height, format)
+
+    private def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk holds width/height at
+      * fixed offsets 16/20 (big-endian). */
+    def parsePng(b: Array[Byte]): Option[(Int, Int, String)] =
+      if (b.length >= 24 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        Some((u32(b, 16), u32(b, 20), "png"))
+      else None
+
+    /** JPEG: scan marker segments from SOI for a start-of-frame (SOF0-15,
+      * excluding DHT/DAC/RST) carrying height/width. */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int, String)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xFF) {
+        val marker = b(i + 1) & 0xff
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) return Some((u16(b, i + 7), u16(b, i + 5), "jpeg"))
+        i += 2 + u16(b, i + 2) // skip the segment (length includes itself)
+      }
+      None
     }
   }
 

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pipeline, TextFile}
+import graft.queries.Multimodal.StubDecoder
+
+/** End-to-end pipelines in the reference's differential style
+  * (VirtualScreeningTest: the PARALLEL containerized pipeline must produce
+  * exactly what ONE serial run over the whole input produces), plus real
+  * image-header decode checks for the multimodal path. */
+class E2EPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** "Virtual screening" shape: multi-line "molecules" with a $$$$-delimited
+    * record format → per-record scoring tool (awk stands in for the docking
+    * container) → global top-k. Parallel (8 partitions, tree-reduced top-k)
+    * vs serial (1 partition) must agree exactly. */
+  test("parallel screening pipeline equals the serial run (top-30)") {
+    val rnd = new scala.util.Random(7)
+    val mols = (1 to 400).map { i =>
+      val atoms = (1 to (3 + rnd.nextInt(5)))
+        .map(j => s"ATOM $j ${rnd.nextInt(1000)}").mkString("\n")
+      s"MOL_$i\n$atoms"
+    }
+    val dir = Files.createTempDirectory("graft_e2e_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/input.sdf"),
+      mols.mkString("\n$$$$\n").getBytes)
+    val delim = "\n$$$$\n"
+    // scoring "tool": name + summed atom weights, one line per molecule
+    val scoreCmd =
+      """awk 'BEGIN{RS="\n\\$\\$\\$\\$\n"} {
+        |  split($0, lines, "\n"); s=0;
+        |  for (i=2; i<=length(lines); i++) { split(lines[i], f, " "); s+=f[3] }
+        |  print lines[1] " " s
+        |}' in.sdf > out.txt""".stripMargin.replace("\n", " ")
+    // top-30 "sdsorter": numeric sort desc on score, tie-break on name, keep 30
+    val topCmd = "sort -k2,2nr -k1,1 in.txt | head -30 > out.txt"
+
+    def run(partitions: Int, depth: Int): Seq[String] =
+      Pipeline.textFile(spark, s"$dir/input.sdf", delim)
+        .repartition(partitions)
+        .mapPartitionsThrough(TextFile("/in.sdf", delim), TextFile("/out.txt"), scoreCmd)
+        .treeReduce(TextFile("/in.txt"), TextFile("/out.txt"), topCmd, depth = depth)
+        .ds.collect().toSeq
+
+    val serial = run(1, 2)
+    val parallel = run(8, 3)
+    assert(serial.length == 30)
+    assert(parallel == serial)
+  }
+
+  /** Genomics-pipeline shape (HaplotypeCallTest): route records to partitions
+    * by key (chromosome ≙ doc source), process each partition, results equal
+    * the serial per-key computation. */
+  test("keyed repartition pipeline equals per-key serial computation") {
+    import graft.sources.Tables
+    val recs = Tables.documents(spark, sf)
+      .selectExpr("concat(source, ' ', length(text)) AS rec").as[String]
+    val parallel = Pipeline(recs)
+      .repartitionBy(split(col("rec"), " ").getItem(0), 8)
+      .mapPartitionsThrough(
+        TextFile("/in.txt"), TextFile("/out.txt"),
+        // per-partition: sum lengths per key (keys are co-located)
+        "awk '{s[$1]+=$2} END {for (k in s) print k, s[k]}' in.txt > out.txt")
+      .ds.collect().map(_.split(" ")).map(a => (a(0), a(1).toLong)).toMap
+    val expected = Tables.documents(spark, sf)
+      .groupBy($"source").agg(sum(length($"text")))
+      .as[(String, Long)].collect().toMap
+    assert(parallel == expected)
+  }
+
+  test("decoder parses real PNG and JPEG headers") {
+    // minimal PNG: signature + IHDR with width=640, height=480
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', // IHDR length + type
+      0, 0, 2, 0x80, // width 640
+      0, 0, 1, 0xE0, // height 480
+      8, 2, 0, 0, 0).map(_.toByte)
+    assert(StubDecoder.parsePng(png).contains((640, 480, "png")))
+    val m = StubDecoder.decode(1L, png)
+    assert((m.width, m.height, m.format) == (640, 480, "png"))
+
+    // minimal JPEG: SOI + APP0 (16 bytes) + SOF0 with height=100, width=200
+    val jpeg = (Array[Int](0xFF, 0xD8) ++
+      Array[Int](0xFF, 0xE0, 0x00, 0x10) ++ Array.fill(14)(0) ++
+      Array[Int](0xFF, 0xC0, 0x00, 0x11, 8, 0x00, 0x64, 0x00, 0xC8, 3) ++
+      Array.fill(10)(0)).map(_.toByte)
+    assert(StubDecoder.parseJpeg(jpeg).contains((200, 100, "jpeg")))
+
+    // non-image bytes fall back to the deterministic stub
+    val junk = "not an image".getBytes
+    val s1 = StubDecoder.decode(2L, junk)
+    val s2 = StubDecoder.decode(2L, junk)
+    assert(s1 == s2)
+    assert(s1.n_bytes == junk.length)
+  }
+}
