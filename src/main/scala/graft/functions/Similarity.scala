@@ -93,7 +93,10 @@ object Similarity {
       val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
       val bits: Seq[Column] = planes.zipWithIndex.map { case (plane, i) =>
         val planeCol = array(plane.map(lit): _*)
-        when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+        // codegen'd kernel — the zip_with/aggregate HOF form is interpreted
+        // and dominates banding cost at 16 planes/row
+        when(VectorFunctions.dotProduct(vec, planeCol) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
     }
