@@ -55,6 +55,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(result == pairs.toMap)
   }
 
+  test("treeReduce over WholeTextFiles merges a directory per round") {
+    val pairs = (1 to 12).map(i => (f"part_$i%02d.txt", s"$i\n"))
+    val ds = spark.createDataset(pairs).repartition(4)
+    // output names must be unique per invocation ($$ = shell pid): files are
+    // keyed by basename (reference MountPoint.scala:119), so a fixed name
+    // would collide when merged partitions write into one directory
+    val merged = Pipeline(ds).treeReduce(
+      WholeTextFiles("/in"), WholeTextFiles("/out"),
+      "cat in/* | sort -n > \"out/merged_$$.txt\"",
+      depth = 3)
+    val result = merged.ds.collect()
+    assert(result.length == 1)
+    val (name, content) = result.head
+    assert(name.startsWith("merged_"))
+    assert(content.trim.split("\n").map(_.toInt).sorted.toSeq == (1 to 12))
+  }
+
   test("repartitionBy co-locates records by key") {
     val ds = spark.range(100).map(i => (i % 4, i)).toDF("k", "v").as[(Long, Long)]
     val p = Pipeline(ds).repartitionBy(col("k"), 4)

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression assertions: the scale properties (pushdown, pruning,
+  * broadcast choice, no cartesian products) are part of the contract, not an
+  * accident of the current optimizer mood. These lock them in. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    // use the formatted explain — toString truncates long filter lists
+    val plan = SparkEntry.queries("q02_filter_project")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThan(l_quantity,45"), plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+    // projection of 4 columns + 3 filter columns; shipdate/tax/etc must NOT be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast; no cartesian product anywhere") {
+    assert(planOf("q03_join_revenue").contains("BroadcastHashJoin"))
+    assert(planOf("q06_broadcast_dims").contains("BroadcastHashJoin"))
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("range join is a broadcast nested loop, not a shuffle explosion") {
+    val plan = planOf("q17_range_join")
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q16_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("windowed top-k gets rank-limit pushdown (WindowGroupLimit)") {
+    assert(planOf("q07_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"))
+  }
+
+  test("native as-of join plans its own exchanges and sorts") {
+    val plan = planOf("events_asof_native")
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+}

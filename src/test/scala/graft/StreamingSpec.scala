@@ -77,6 +77,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming query resumes state from a checkpoint after restart") {
+    implicit val sql = spark.sqlContext
+    // the memory sink refuses checkpoint recovery; foreachBatch supports it
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val input = MemoryStream[(String, Int)]
+    def mkQuery() = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val sum = state.getOption.getOrElse(0L) + rows.map(_._2.toLong).sum
+          state.update(sum)
+          Iterator((key, sum))
+      }
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        batch.collect().foreach(seen.add)
+      }
+    val q1 = mkQuery().start()
+    try {
+      input.addData(("a", 5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: per-key state must carry over
+    val q2 = mkQuery().start()
+    try {
+      input.addData(("a", 2))
+      q2.processAllAvailable()
+      val rows = seen.toArray(Array.empty[(String, Long)]).toSet
+      assert(rows.contains(("a", 7L)), s"state not recovered: $rows")
+    } finally q2.stop()
+  }
+
+  test("foreachBatch sink lands streaming aggregates in parquet") {
+    implicit val sql = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumblingCountsWatermarked(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), "click", 4.0)) // close hour 10
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(written.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState maintains custom per-key running state") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(String, Int)]
