@@ -22,7 +22,8 @@ object LangIdUtil {
     }
 
   def predict(text: UTF8String): UTF8String = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: match Catalyst lower() regardless of JVM default locale
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     var bestHits = 0
     var bestCode = "und"
     var p = 0

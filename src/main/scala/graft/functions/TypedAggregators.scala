@@ -38,8 +38,9 @@ object TypedAggregators {
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   }
 
-  /** Bounded top-k smallest-to-largest collector (associative merge keeps
-    * only k elements per buffer — constant state regardless of group size). */
+  /** Bounded top-k collector: keeps the k LARGEST values, returned in
+    * descending order (associative merge keeps only k elements per buffer —
+    * constant state regardless of group size). */
   class TopK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     override def zero: Seq[Double] = Vector.empty
     override def reduce(b: Seq[Double], x: Double): Seq[Double] =

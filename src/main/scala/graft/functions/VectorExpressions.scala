@@ -32,7 +32,9 @@ object VectorOps {
     * AND gets re-evaluated by pushed-down constraint filters and join
     * branches (measured: the HOF chain dominated dedup at sf0.1). */
   def shingleHashSet(text: UTF8String, k: Int): ArrayData = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: default-locale lowercasing diverges from Catalyst lower()
+    // under e.g. tr_TR (dotless i) and would break oracle parity
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     if (toks.length < k || (toks.length == 1 && toks(0).isEmpty))
       return ArrayData.toArrayData(Array.emptyLongArray)
     val n = toks.length - k + 1

@@ -53,6 +53,21 @@ object SubprocessRunner extends CommandRunner {
       System.err.println(s"[graft] command took $ms ms (exit $exit)")
       if (exit != 0)
         throw new RuntimeException(s"command failed with exit status $exit: $command")
+      // A command may REPLACE an output symlink instead of writing through it
+      // (mv/rename, sed -i): the result then lives in the sandbox while the
+      // host path stays empty. Reconcile by moving such outputs back — this
+      // restores Docker bind-mount semantics, where a rename inside the
+      // container lands in the mounted volume.
+      binds.foreach { case (host, containerPath) =>
+        val link = sandbox.resolve(containerPath.dropWhile(_ == '/'))
+        if (Files.exists(link) && !Files.isSymbolicLink(link)) {
+          if (Files.isDirectory(host.toPath)) () // dir binds keep the symlink
+          else {
+            Files.deleteIfExists(host.toPath)
+            Files.move(link, host.toPath)
+          }
+        }
+      }
     } finally {
       // best-effort sandbox cleanup (symlinks only; bind targets survive)
       try {

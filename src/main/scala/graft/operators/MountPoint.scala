@@ -66,7 +66,8 @@ case class TextFile(
   * encoding (always true for UTF-8 with ASCII delimiters). Drops the single
   * trailing empty record produced by write's trailing delimiter. */
 private[operators] final class DelimitedRecordIterator(
-    file: File, delimiter: String, charset: Charset) extends Iterator[String] {
+    file: File, delimiter: String, charset: Charset)
+    extends Iterator[String] with java.io.Closeable {
 
   private val delim: Array[Byte] = delimiter.getBytes(charset)
   require(delim.nonEmpty, "record delimiter must be non-empty")
@@ -75,6 +76,12 @@ private[operators] final class DelimitedRecordIterator(
   private var nextRec: String = _
   private var eof = false
   private var matched = 0 // prefix of `delim` matched so far
+
+  /** Idempotent; lets partially-consumed iterators (limit/take downstream)
+    * release the file descriptor instead of waiting for GC. */
+  override def close(): Unit = {
+    if (!eof) { eof = true; try in.close() catch { case _: Exception => () } }
+  }
 
   private def advance(): Unit = {
     if (eof) { nextRec = null; return }

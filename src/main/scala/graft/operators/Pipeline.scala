@@ -195,9 +195,15 @@ object Pipeline {
         deleteRecursive(outPath)
         throw e
     } finally deleteRecursive(inPath)
-    Option(TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => deleteRecursive(outPath)))
-    out.readPartition(outPath)
+    val result = out.readPartition(outPath)
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      result match { // partially-consumed streaming readers hold an open fd
+        case c: java.io.Closeable => try c.close() catch { case _: Exception => () }
+        case _ => ()
+      }
+      deleteRecursive(outPath)
+    })
+    result
   }
 
   private[operators] def deleteRecursive(f: File): Unit = {

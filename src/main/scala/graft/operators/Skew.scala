@@ -24,6 +24,12 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    // join types that preserve the (replicated) small side would emit one
+    // row per salt for unmatched small-side keys — reject them
+    val supported = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not support '$joinType': right/full outer joins would " +
+        "duplicate unmatched small-side rows once per salt")
     val saltedLarge = large.withColumn("__salt",
       pmod(hash(large.columns.map(col).toSeq: _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("__salt",

@@ -89,11 +89,15 @@ case class AsOfJoinExec(
       var rHeadKey: Any = null
       var rHeadTime: Any = null
       def advanceRight(): Unit = {
-        if (rIter.hasNext) {
-          rHead = rIter.next()
-          rHeadKey = rk.eval(rHead)
-          rHeadTime = rt.eval(rHead)
-        } else rHead = null
+        rHead = null
+        // skip right rows with null key or time: they can never match (SQL
+        // equality semantics) and would NPE the interpreted orderings
+        while (rHead == null && rIter.hasNext) {
+          val row = rIter.next()
+          val k = rk.eval(row)
+          val t = rt.eval(row)
+          if (k != null && t != null) { rHead = row; rHeadKey = k; rHeadTime = t }
+        }
       }
       advanceRight()
       var lastMatch: InternalRow = null
@@ -102,21 +106,32 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val key = lk.eval(lRow)
         val time = lt.eval(lRow)
-        // consume right rows at-or-before (key, time); remember the latest
-        // row of THIS key seen so far
-        var continue = rHead != null
-        while (continue) {
-          val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef])
-          if (c < 0 || (c == 0 &&
-              timeOrd.compare(rHeadTime.asInstanceOf[AnyRef], time.asInstanceOf[AnyRef]) <= 0)) {
-            if (c == 0) { lastMatch = rHead.copy(); lastMatchKey = rHeadKey }
-            advanceRight()
-            continue = rHead != null
-          } else continue = false
+        if (key == null || time == null) {
+          // null key/time never equals/bounds anything -> no match
+          proj(joined(lRow, nullRight))
+        } else {
+          // consume right rows at-or-before (key, time); remember the latest
+          // row of THIS key seen so far
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef])
+            if (c < 0 || (c == 0 &&
+                timeOrd.compare(rHeadTime.asInstanceOf[AnyRef], time.asInstanceOf[AnyRef]) <= 0)) {
+              if (c == 0) {
+                lastMatch = rHead.copy()
+                // re-eval the key from the COPIED row: rHeadKey may point into
+                // a reused row buffer (e.g. UTF8String) that advanceRight
+                // overwrites
+                lastMatchKey = rk.eval(lastMatch)
+              }
+              advanceRight()
+              continue = rHead != null
+            } else continue = false
+          }
+          val matched = lastMatch != null && lastMatchKey != null &&
+            keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef]) == 0
+          proj(joined(lRow, if (matched) lastMatch else nullRight))
         }
-        val matched = lastMatch != null && lastMatchKey != null &&
-          keyOrd.compare(lastMatchKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef]) == 0
-        proj(joined(lRow, if (matched) lastMatch else nullRight))
       }
     }
   }

@@ -42,10 +42,12 @@ object PipeQueries {
     import spark.implicits._
     val recs = Tables.documents(spark, dir)
       .selectExpr("concat(source, '\t', text) AS rec").as[String]
+    // match only in the text field (after the tab), not in the source key —
+    // awk field test rather than whole-line grep, and POSIX-portable
     val kept = Pipeline(recs)
       .mapPartitionsThrough(
         TextFile("/in.txt"), TextFile("/out.txt"),
-        "grep 'spark' in.txt > out.txt; true")
+        "awk -F'\\t' 'index($2, \"spark\") > 0' in.txt > out.txt; true")
     kept.ds
       .map(_.takeWhile(_ != '\t'))
       .toDF("source")

@@ -66,6 +66,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of handles null keys and times without NPE (no match for nulls)") {
+    val left = Seq(
+      (1L, Some(10L), Some(ts("2024-01-01 10:00:10"))),
+      (2L, None, Some(ts("2024-01-01 10:00:10"))),
+      (3L, Some(10L), None)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(10L), Some(ts("2024-01-01 10:00:00")), 1.0),
+      (None, Some(ts("2024-01-01 10:00:00")), 2.0),
+      (Some(10L), None, 3.0)
+    ).toDF("k", "qt", "price")
+    val out = AsOf.join(left, right, "k", "t", "qt")
+      .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0)) // only the non-null right row matches
+    assert(out(2L).isEmpty) // null left key -> no match
+    assert(out(3L).isEmpty) // null left time -> no match
+  }
+
+  test("as-of with string keys is correct (buffer-reuse safety)") {
+    val left = (1 to 200).map(i => (i.toLong, s"key_${i % 5}", i.toLong * 10))
+      .toDF("id", "k", "t").repartition(4)
+    val right = (1 to 50).map(j => (s"key_${j % 5}", j.toLong * 37 % 2000, j.toLong))
+      .toDF("k", "rt", "payload").repartition(3)
+    val got = AsOf.join(left, right, "k", "t", "rt")
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    val rightRows = (1 to 50).map(j => (s"key_${j % 5}", j.toLong * 37 % 2000, j.toLong))
+    (1 to 200).foreach { i =>
+      val k = s"key_${i % 5}"; val t = i.toLong * 10
+      val expect = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(i.toLong) == expect, s"id=$i k=$k t=$t")
+    }
+  }
+
   test("as-of rejects sides sharing attribute ids") {
     val df = Seq((1L, 2L)).toDF("k", "t")
     val ex = intercept[IllegalArgumentException] {

@@ -94,6 +94,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(content == "5050")
   }
 
+  test("command that replaces its output file (mv) still delivers the partition") {
+    val ds = spark.createDataset(Seq("3", "1", "2")).repartition(1)
+    val out = Pipeline(ds).mapPartitionsThrough(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "sort -n in.txt > tmp.txt && mv tmp.txt out.txt").ds.collect()
+    assert(out.toSeq == Seq("1", "2", "3"))
+  }
+
   test("failing command surfaces as an exception (task failure semantics)") {
     val ds = spark.createDataset(Seq("x")).repartition(1)
     val ex = intercept[org.apache.spark.SparkException] {

@@ -50,6 +50,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join rejects small-side-preserving join types") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, "k", 4, "full_outer")
+    }
+    assert(ex.getMessage.contains("full_outer"))
+  }
+
   test("skew profile surfaces the heaviest keys first") {
     val prof = Skew.keySkewProfile(
       Tables.lineitem(spark, sf), col("l_returnflag"), 3).collect()
