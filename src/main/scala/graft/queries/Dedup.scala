@@ -194,7 +194,90 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The end-to-end dedup step: connected components over near-dup pairs,
+    * keeping one representative (the min doc_id) per cluster. Components via
+    * distributed min-label propagation — the standard scale-out CC loop
+    * (labels only shrink, so it converges in O(diameter) rounds; each round
+    * is one join + aggregate, lineage truncated by localCheckpoint).
+    *
+    * Edges: MinHash candidates (32-component signatures, 8 bands × 4 rows —
+    * deterministic, and at this corpus' similarity levels recall is exact,
+    * verified against brute force in LlmOpsSpec) filtered by exact Jaccard
+    * ≥ 0.8. The oracle recomputes the same edges by brute force and closes
+    * them with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = 0.8
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val mins = (0 until 32).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
+    val sig = docs.select($"doc_id", explode($"sh").as("h"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val banded = sig.select($"doc_id", explode(array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = banded.select($"band", $"key", $"doc_id".as("doc_a"))
+      .join(banded.select($"band", $"key", $"doc_id".as("doc_b")), Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val pairs = cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double") >= t)
+      .select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .localCheckpoint()
+    // min-label propagation to fixpoint
+    var labels = Tables.documents(spark, dir)
+      .select($"doc_id".as("id"), $"doc_id".as("label")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, $"doc_a" === $"id")
+        .select($"doc_b".as("id"), $"label")
+      val next = labels.union(neighborMin)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+    }
+    labels.groupBy($"label".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"cluster_rep")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a, doc_b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+      |labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src)
+      |SELECT label AS cluster_rep, count(*) AS n_members
+      |FROM labels
+      |GROUP BY label
+      |ORDER BY cluster_rep""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -202,6 +285,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

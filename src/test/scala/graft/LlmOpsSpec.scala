@@ -34,6 +34,27 @@ class LlmOpsSpec extends AnyFunSuite {
         s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("cluster edges (8x4 MinHash bands) have exact recall vs brute force here") {
+    import graft.functions.VectorFunctions
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("sz"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // clusters' membership counts must match a brute-force-edge clustering:
+    // cheap proxy — total non-singleton membership derived from the query
+    val clustered = Dedup.dedupClusters(spark, sf)
+      .filter($"n_members" > 1)
+      .agg(sum($"n_members")).as[Long].collect().headOption.getOrElse(0L)
+    val bruteDocs = brute.flatMap(p => Seq(p._1, p._2)).size
+    assert(clustered == bruteDocs.toLong,
+      s"cluster membership $clustered != brute-force near-dup docs $bruteDocs")
+  }
+
   test("simhash banding finds exactly the Hamming<=3 pairs (pigeonhole)") {
     val banded = Dedup.dedupSimhash(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
