@@ -150,6 +150,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(roundTrip(Nil, "\n") == Nil)
   }
 
+  test("non-UTF8 charset round-trips (ISO-8859-1)") {
+    val mp = TextFile("/x", "\n", "ISO-8859-1")
+    val f = File.createTempFile("graft_latin1_", ".txt")
+    try {
+      val recs = List("café", "naïve", "über")
+      mp.writePartition(recs.iterator, f)
+      assert(mp.readPartition(f).toList == recs)
+      // file bytes are single-byte latin-1, not multi-byte UTF-8
+      assert(Files.readAllBytes(f.toPath).length == recs.map(_.length + 1).sum)
+    } finally { f.delete(); () }
+  }
+
   test("delimiter appears as prefix of content handled correctly") {
     // delimiter "ab"; record contains 'a' runs that almost match
     assert(roundTrip(List("xaych", "aa", "xya"), "ab") == List("xaych", "aa", "xya"))

@@ -103,6 +103,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(text.count() == base.count())
   }
 
+  test("parquet round-trips under zstd and snappy compression") {
+    val base = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_extendedprice")
+    val dir = Files.createTempDirectory("graft_codec_").toString
+    for (codec <- Seq("zstd", "snappy", "gzip")) {
+      base.write.mode("overwrite").option("compression", codec)
+        .parquet(s"$dir/$codec")
+      val back = spark.read.parquet(s"$dir/$codec")
+      assert(back.count() == base.count(), codec)
+      assert(back.agg(sum($"l_orderkey")).head().getLong(0) ==
+        base.agg(sum($"l_orderkey")).head().getLong(0), codec)
+    }
+  }
+
   test("custom record delimiter reads multi-line records (SDF-style)") {
     val dir = Files.createTempDirectory("graft_sdf_").toString
     val records = Seq("mol1\nATOM 1\nATOM 2", "mol2\nATOM 3", "mol3")

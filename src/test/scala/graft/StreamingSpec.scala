@@ -193,6 +193,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops duplicate events") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_stream_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:01:00"), 1L), // dup within watermark -> dropped
+        (ts("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 1L)) // still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream_out").select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggregations agree on the same data") {
     implicit val sql = spark.sqlContext
     val data = Seq(
