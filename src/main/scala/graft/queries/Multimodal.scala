@@ -105,7 +105,7 @@ object Multimodal {
       .select($"source", octet_length($"text".cast("binary")).as("n_bytes"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_bytes").as("total_bytes"),
-        max($"n_bytes").as("max_bytes"))
+        max($"n_bytes").cast("long").as("max_bytes"))
       .orderBy($"source")
   }
 

@@ -189,7 +189,7 @@ object Relational {
     Tables.orders(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
-      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk".cast("long").as("rk"))
       .orderBy($"o_custkey", $"rk")
   }
 
@@ -318,13 +318,15 @@ object Relational {
         $"o_orderkey",
         upper(substring($"o_orderpriority", 3, 10)).as("prio_name"),
         concat_ws("#", $"o_orderstatus", $"o_orderpriority").as("status_tag"),
-        year($"o_orderdate").as("yr"),
-        month($"o_orderdate").as("mo"),
-        dayofmonth($"o_orderdate").as("dom"),
-        quarter($"o_orderdate").as("qtr"),
-        datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")).as("days_since"),
+        // ints cast to long: DuckDB returns BIGINT for these functions and a
+        // type-sensitive value hash would see int32 vs int64
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")).cast("long").as("days_since"),
         date_format($"o_orderdate", "yyyy-MM-dd").as("ord_date"),
-        length($"o_orderpriority").as("prio_len"))
+        length($"o_orderpriority").cast("long").as("prio_len"))
       .orderBy($"o_orderkey")
   }
 

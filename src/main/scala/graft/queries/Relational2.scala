@@ -80,13 +80,13 @@ object Relational2 {
       .filter($"vec_id" % 20 === 0)
       .select(
         $"vec_id",
-        size($"embedding").as("dim"),
+        size($"embedding").cast("long").as("dim"),
         round(element_at($"embedding", 1).cast("double"), 8).as("first_elem"),
         round(array_max($"embedding").cast("double"), 8).as("max_elem"),
         round(array_min($"embedding").cast("double"), 8).as("min_elem"),
         round(element_at(slice(sort_array($"embedding", asc = false), 1, 3), 3)
           .cast("double"), 8).as("third_largest"),
-        size(filter($"embedding", x => x > 0)).as("n_positive"))
+        size(filter($"embedding", x => x > 0)).cast("long").as("n_positive"))
       .orderBy($"vec_id")
   }
 

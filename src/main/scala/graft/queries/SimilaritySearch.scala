@@ -37,8 +37,8 @@ object SimilaritySearch {
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-        round($"cos", 4).as("cosine"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -88,8 +88,8 @@ object SimilaritySearch {
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     candidates.withColumn("rank", row_number().over(w))
       .filter($"rank" <= K)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-        round($"cos", 4).as("cosine"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 

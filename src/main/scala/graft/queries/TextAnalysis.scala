@@ -18,9 +18,9 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
-        length($"text").as("n_chars"),
-        TF.tokenCount($"text").as("n_tokens"),
-        TF.bpeTokenCount($"text").as("n_bpe_tokens"),
+        length($"text").cast("long").as("n_chars"),
+        TF.tokenCount($"text").cast("long").as("n_tokens"),
+        TF.bpeTokenCount($"text").cast("long").as("n_bpe_tokens"),
         round(TF.alphaRatio($"text"), 6).as("alpha_ratio"),
         round(TF.digitRatio($"text"), 6).as("digit_ratio"),
         round(TF.whitespaceRatio($"text"), 6).as("ws_ratio"))
@@ -106,7 +106,7 @@ object TextAnalysis {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", TF.fingerprintMd5($"text").as("fp"),
-        TF.tokenCount($"text").as("n_tokens"))
+        TF.tokenCount($"text").cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
 
