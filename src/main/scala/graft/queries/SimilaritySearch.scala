@@ -124,9 +124,60 @@ object SimilaritySearch {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** IVF-style ANN: a coarse codebook partitions vectors into inverted cells
+    * (assignment = nearest centroid, one codegen'd cosine per centroid);
+    * queries probe only their `nprobe` nearest cells. The other classic
+    * scale path next to sign-LSH: cells bound candidate counts regardless of
+    * corpus size, and the cell id is an equi-join key (one shuffle).
+    *
+    * The codebook here is the first `nCells` vectors (deterministic stand-in
+    * for an offline-trained k-means codebook — at 100 TB the codebook is
+    * always trained out-of-band and broadcast, exactly as done here).
+    * Rows-only driver check; LlmOpsSpec pins exact scores + recall vs brute
+    * force. */
+  def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nCells = 16
+    val nprobe = 4
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    // coarse codebook: collected once, tiny (16x64 doubles), inlined as
+    // literals so assignment is pure map-side projection
+    val codebook = vecs.filter($"vec_id" < nCells)
+      .orderBy($"vec_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def cellScores(v: org.apache.spark.sql.Column) = array(
+      codebook.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosineSim(v, array(c.map(lit).toSeq: _*)).as("s"),
+          lit(i).as("cell"))
+      }.toSeq: _*)
+    val assigned = vecs.withColumn("cell",
+      array_max(cellScores($"v")).getField("cell"))
+    val queryProbes = vecs.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"),
+        explode(transform(
+          slice(reverse(array_sort(cellScores($"v"))), 1, nprobe),
+          s => s.getField("cell"))).as("cell"))
+    val candIds = assigned.select($"cell", $"vec_id")
+      .join(broadcast(queryProbes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    val candidates = candIds
+      .join(vecs.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    candidates.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _),
     "sim_label_centroids" -> (simLabelCentroids _))
 
   val oracles: Map[String, String] = Map(

@@ -95,6 +95,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN returns exact scores and sane recall vs brute force") {
+    val ivf = SimilaritySearch.simIvfTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val brute = SimilaritySearch.simBruteforceTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    // scores must be exact wherever IVF found a true top-k neighbor
+    ivf.foreach { case (q, n, c) =>
+      brute.get(q).flatMap(_.get(n)).foreach { exact =>
+        assert(math.abs(exact - c) < 1e-9, s"score mismatch ($q,$n)")
+      }
+    }
+    // multi-probe over 4/16 cells should recover a reasonable share of the
+    // true top-k on near-random vectors
+    val hits = ivf.count { case (q, n, _) => brute.get(q).exists(_.contains(n)) }
+    val total = brute.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.2, s"IVF recall too low: $hits/$total")
+  }
+
   test("simhash is deterministic and sensitive to token changes") {
     val df = Seq(
       ("a", Seq("the", "quick", "brown", "fox")),
