@@ -28,7 +28,10 @@ object Similarity {
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
   /** MinHash signature over a shingle array: element j is
-    * min over shingles of xxhash64(shingle, j). Signature length `n`. */
+    * min over shingles of xxhash64(shingle, j). Signature length `n`.
+    * NOTE: Column-composition form, evaluated interpreted (HOFs). The query
+    * layer uses the aggregation-based formulation instead
+    * (queries/Dedup.minhashVerifiedPairs) — prefer that on hot paths. */
   def minhashSignature(shingles: Column, n: Int): Column =
     array((0 until n).map { j =>
       coalesce(array_min(transform(shingles, s => xxhash64(s, lit(j)))),

@@ -25,6 +25,53 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Documents as sorted 64-bit shingle-hash sets: one codegen'd pass builds
+    * (doc_id[, source], sh, sz); shingle strings never leave this projection.
+    * Shared base of every shingle-level dedup family below. */
+  private def shingledDocs(spark: SparkSession, dir: String,
+      withSource: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cols =
+      (if (withSource) Seq($"source") else Nil) ++
+        Seq($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+    Tables.documents(spark, dir)
+      .select(cols: _*)
+      .withColumn("sz", size($"sh"))
+  }
+
+  /** Near-dup pairs via MinHash banding over `docs` (from [[shingledDocs]]):
+    * signatures are `nBands*rowsPerBand` map-side-combined min-aggregations
+    * over the exploded hash index (codegen'd hash agg — interpreted HOF
+    * transforms were the sf0.1 bottleneck); candidate ids only through the
+    * band join; hash arrays rejoin AFTER the candidate set collapses for one
+    * merge-intersection each. Returns (doc_a, doc_b, jac) with jac >= t. */
+  private def minhashVerifiedPairs(docs: DataFrame, nBands: Int,
+      rowsPerBand: Int, t: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = nBands * rowsPerBand
+    val mins = (0 until n).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
+    val sig = docs.select($"doc_id", explode($"sh").as("h"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val banded = sig.select($"doc_id", explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((rowsPerBand * b until rowsPerBand * (b + 1))
+          .map(j => col(s"h$j")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val cand = banded.select($"band", $"key", $"doc_id".as("doc_a"))
+      .join(banded.select($"band", $"key", $"doc_id".as("doc_b")), Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .filter($"jac" >= t)
+      .select($"doc_a", $"doc_b", $"jac")
+  }
+
   /** Exact dedup: group by md5(normalized text); keep min doc_id per group.
     * Output is every group (fingerprint, keeper, n_copies) — the survivor
     * list and the duplicate count in one result. */
@@ -50,39 +97,7 @@ object Dedup {
     * correctness is covered by DedupSpec's containment test vs exact Jaccard. */
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = 0.8
-    // one pass builds sorted 64-bit shingle-hash sets; signatures, banding,
-    // and verification all work on longs — shingle strings never leave the
-    // first projection
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
-      .select($"doc_id", $"sh", size($"sh").as("sz"))
-    // signatures via 16 map-side-combined min-aggregations over the exploded
-    // hash index (codegen'd hash agg) instead of 16 interpreted higher-order
-    // transforms per document
-    val mins = (0 until 16).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
-    val sig = docs.select($"doc_id", explode($"sh").as("h"))
-      .groupBy($"doc_id")
-      .agg(mins.head, mins.tail: _*)
-    val banded = sig.select($"doc_id", explode(array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*).as("key"))
-    }: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
-    // candidate ids only through the band join — hash arrays rejoin AFTER the
-    // candidate set has collapsed, then one codegen'd merge-intersection each
-    val a = banded.select($"band", $"key", $"doc_id".as("doc_a"))
-    val b = banded.select($"band", $"key", $"doc_id".as("doc_b"))
-    val cand = a.join(b, Seq("band", "key"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
-      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
-      .withColumn("jac",
-        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
-      .filter($"jac" >= t)
+    minhashVerifiedPairs(shingledDocs(spark, dir), nBands = 4, rowsPerBand = 4, t = 0.8)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -101,10 +116,7 @@ object Dedup {
     // here and predictable: O(block² · (n+m)) with no skew.)
     // Collision note: 64-bit hashes over ~100-element sets — P(any collision)
     // ≈ 1e-15, far below the oracle's float-rounding tolerance.
-    val docs = Tables.documents(spark, dir)
-      .select($"source", $"doc_id",
-        VectorFunctions.shingleHashSet($"text", 3).as("sh"))
-      .select($"source", $"doc_id", $"sh", size($"sh").as("sz"))
+    val docs = shingledDocs(spark, dir, withSource = true)
     val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
     val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
     a.join(b, "source")
@@ -207,43 +219,28 @@ object Dedup {
     * them with a recursive CTE. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = 0.8
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
-      .select($"doc_id", $"sh", size($"sh").as("sz"))
-    val mins = (0 until 32).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
-    val sig = docs.select($"doc_id", explode($"sh").as("h"))
-      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-    val banded = sig.select($"doc_id", explode(array((0 until 8).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*).as("key"))
-    }: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
-    val cand = banded.select($"band", $"key", $"doc_id".as("doc_a"))
-      .join(banded.select($"band", $"key", $"doc_id".as("doc_b")), Seq("band", "key"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    val pairs = cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
-      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
-      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double") >= t)
+    val pairs = minhashVerifiedPairs(shingledDocs(spark, dir),
+      nBands = 8, rowsPerBand = 4, t = 0.8)
       .select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .localCheckpoint()
-    // min-label propagation to fixpoint
+    // min-label propagation to fixpoint; labels only decrease, so the
+    // label-sum is a strictly-monotone convergence measure (one agg per
+    // round instead of a change-detecting join)
     var labels = Tables.documents(spark, dir)
       .select($"doc_id".as("id"), $"doc_id".as("label")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    var checksum = labels.agg(sum($"label")).head().getLong(0)
+    var converged = false
+    while (!converged) {
       val neighborMin = edges
         .join(labels, $"doc_a" === $"id")
         .select($"doc_b".as("id"), $"label")
       val next = labels.union(neighborMin)
         .groupBy($"id").agg(min($"label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count()
+      val nextSum = next.agg(sum($"label")).head().getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
       labels = next
     }
     labels.groupBy($"label".as("cluster_rep"))

@@ -122,12 +122,8 @@ object EventsQueries {
       .select($"event_id", $"user_id", $"ts")
     val signups = Tables.events(spark, dir)
       .filter($"event_type" === "signup")
-      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"))
-      .withColumnRenamed("s_user_id", "user_id_r")
-    graft.plans.AsOf.join(
-        purchases,
-        signups.withColumnRenamed("user_id_r", "user_id"),
-        "user_id", "ts", "s_ts")
+      .select($"user_id", $"ts".as("s_ts"))
+    graft.plans.AsOf.join(purchases, signups, "user_id", "ts", "s_ts")
       .select($"event_id",
         date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         date_format($"s_ts", "yyyy-MM-dd HH:mm:ss").as("signup_ts"))

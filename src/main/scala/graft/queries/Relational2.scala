@@ -136,7 +136,6 @@ object Relational2 {
       .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
     cust.join(ord, $"c_custkey" === $"o_custkey", "full_outer")
       .select(
-        coalesce($"c_custkey", $"o_custkey").as("custkey"),
         coalesce($"c_mktsegment", lit("NO_CUSTOMER")).as("segment"),
         coalesce($"n_orders", lit(0L)).as("n_orders"))
       .groupBy($"segment")

@@ -66,21 +66,20 @@ object SimilaritySearch {
     * sane on the test data. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
-      .select($"vec_id", $"v",
+    val vecs = base
+      .select($"vec_id",
         explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
-      .select($"vec_id", $"v", $"bk.band".as("band"), $"bk.key".as("key"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
     val queryBands = vecs.filter($"vec_id" < NQueries)
       .select($"band", $"key", $"vec_id".as("query_id"))
     // ids-only probe join, dedup multi-band collisions, THEN fetch vectors
     // and score once per candidate with the codegen'd kernel
-    val candIds = vecs.select($"band", $"key", $"vec_id")
+    val candIds = vecs
       .join(broadcast(queryBands), Seq("band", "key"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id").distinct()
-    val base = Tables.embeddings(spark, dir)
-      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
     val candidates = candIds
       .join(base.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
       .join(base, "vec_id")
