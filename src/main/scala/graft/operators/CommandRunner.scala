@@ -88,11 +88,13 @@ object SubprocessRunner extends CommandRunner {
 case class DockerRunner(imageName: String, forcePull: Boolean = false)
     extends CommandRunner {
 
-  private def normalizedImage: String =
+  /** Image name with the reference's default-`:latest` normalization
+    * (DockerHelper.scala:51-64). */
+  def imageWithTag: String =
     if (imageName.contains(":")) imageName else s"$imageName:latest"
 
   override def run(command: String, binds: Seq[(File, String)]): Unit = {
-    val image = normalizedImage
+    val image = imageWithTag
     val present = Process(Seq("docker", "image", "inspect", image)).!(ProcessLogger(_ => ())) == 0
     if (forcePull || !present) {
       val pull = Process(Seq("docker", "pull", image)).!

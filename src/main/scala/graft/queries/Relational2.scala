@@ -72,6 +72,22 @@ object Relational2 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Sketch-based approximate percentiles next to the exact ones (the
+    * bounded-memory path for 100 TB percentile queries — exact percentile
+    * materializes the group; the sketch is mergeable fixed-size state).
+    * Sketch output is engine-specific → rows-only driver check;
+    * RelationalSpec pins the accuracy bound vs exact. */
+  def q25ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Array scalar functions over the embeddings vector column. Floats cast
     * to double on both sides -> identical values. */
   def q22ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
@@ -159,6 +175,7 @@ object Relational2 {
     "q19_grouping_sets" -> (q19GroupingSets _),
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_percentiles" -> (q21Percentiles _),
+    "q25_approx_percentiles" -> (q25ApproxPercentiles _),
     "q22_array_funcs" -> (q22ArrayFuncs _),
     "q23_map_funcs" -> (q23MapFuncs _))
 

@@ -60,6 +60,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.sameElements(prices.sorted.reverse))
   }
 
+  test("q25 approx percentile is close to exact at accuracy 10000") {
+    queries.Relational2.q25ApproxPercentiles(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Double]("p50_approx")
+      val exact = r.getAs[Double]("p50_exact")
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx p50 $approx vs exact $exact")
+    }
+  }
+
+  test("docker image names normalize with a default tag") {
+    import graft.operators.DockerRunner
+    assert(DockerRunner("ubuntu").imageWithTag == "ubuntu:latest")
+    assert(DockerRunner("ubuntu:22.04").imageWithTag == "ubuntu:22.04")
+    assert(DockerRunner("repo/img").imageWithTag == "repo/img:latest")
+  }
+
   test("q20 approx distinct is within the configured 2% relative error x3") {
     queries.Relational2.q20ApproxDistinct(spark, sf).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_orders").toDouble
