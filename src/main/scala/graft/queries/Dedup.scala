@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Similarity, SimHash, VectorFunctions, TextFunctions => TF}
 import graft.sources.Tables
@@ -102,21 +103,77 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs within each `source` group (the
-    * blocking key bounds the pair explosion; fully SQL-expressible so this one
-    * IS oracle-checked). 3-word shingles, distinct-set Jaccard ≥ 0.5. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Source-blocked self-join over SORTED 64-bit shingle hashes with a
-    // codegen'd O(n+m) merge intersection per pair. Shingle strings never
-    // cross the join — only compact long arrays. (An inverted-index/prefix-
-    // filter join is the alternative at extreme block sizes, but this corpus
-    // has a tiny vocabulary — shingles repeat across most documents, which
-    // explodes the inverted index; the blocked merge-join is both the fastest
-    // here and predictable: O(block² · (n+m)) with no skew.)
-    // Collision note: 64-bit hashes over ~100-element sets — P(any collision)
-    // ≈ 1e-15, far below the oracle's float-rounding tolerance.
-    val docs = shingledDocs(spark, dir, withSource = true)
+  /** Exact Jaccard set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08) —
+    * over `docs` from [[shingledDocs]] (source, doc_id, sh sorted, sz).
+    * Threshold t = tNum/tDen is kept rational so every filter is exact
+    * integer arithmetic (no float-boundary surprises).
+    *
+    * Never materializes all pairs. Three bounds do the pruning:
+    *  - prefix filter: tokens of each doc are ordered rarest-first by
+    *    per-source document frequency (ties by hash — a total order shared by
+    *    all docs in the block); only the first `sz - ceil(t*sz) + 1` tokens
+    *    are indexed. Two docs with Jaccard >= t MUST share a prefix token,
+    *    so the inverted-index equi-join on (source, prefix token) finds every
+    *    true pair. Rarest-first ordering keeps high-frequency tokens out of
+    *    the index, so posting lists stay short even on repetitive corpora.
+    *  - length filter: |min| >= t*|max|, else Jaccard < t regardless of
+    *    overlap.
+    *  - positional filter (PPJoin): a match at 1-based prefix positions
+    *    (pa, pb) caps the overlap at 1 + min(sz_a-pa, sz_b-pb); require
+    *    (tNum+tDen)*cap >= tNum*(sz_a+sz_b)  (⟺ cap >= t/(1+t)*(sz_a+sz_b)).
+    *
+    * Candidates travel as ids+positions only; the shingle arrays rejoin AFTER
+    * the candidate set collapses, for one codegen'd merge-intersection per
+    * surviving pair. At 100 TB this is the scale-correct form: shuffle volume
+    * is O(sum of prefix posting-list squares), not O(block²), and the final
+    * verify join is an equi-join on doc ids. */
+  private[graft] def prefixFilterJaccardPairs(docs: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(tNum > 0 && tNum < tDen, s"need 0 < t < 1, got $tNum/$tDen")
+    // ceil(t*n) in exact integer arithmetic (n small → double div is exact,
+    // cast truncates the already-integral value)
+    def ceilT(n: Column): Column =
+      floor((n * tNum + (tDen - 1)) / tDen).cast("int")
+
+    val ex = docs.select($"source", $"doc_id", $"sz", explode($"sh").as("h"))
+    val dfreq = ex.groupBy($"source", $"h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy($"source", $"doc_id").orderBy($"df", $"h")
+    val index = ex.join(dfreq, Seq("source", "h"))
+      .withColumn("pos", row_number().over(byRarity))
+      .filter($"pos" <= $"sz" - ceilT($"sz") + 1)
+      .select($"source", $"h", $"doc_id", $"pos", $"sz")
+
+    val a = index.select($"source", $"h", $"doc_id".as("doc_a"),
+      $"pos".as("pos_a"), $"sz".as("sz_a"))
+    val b = index.select($"source", $"h", $"doc_id".as("doc_b"),
+      $"pos".as("pos_b"), $"sz".as("sz_b"))
+    val cand = a.join(b, Seq("source", "h"))
+      .filter($"doc_a" < $"doc_b")
+      .filter(least($"sz_a", $"sz_b") * tDen >= greatest($"sz_a", $"sz_b") * tNum)
+      .filter((lit(1) + least($"sz_a" - $"pos_a", $"sz_b" - $"pos_b")) * (tNum + tDen)
+        >= ($"sz_a" + $"sz_b") * tNum)
+      .select($"source", $"doc_a", $"doc_b").distinct()
+
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      // threshold test in exact integers: I/U >= tNum/tDen  ⟺  I*tDen >= U*tNum
+      .filter($"inter" * tDen >= ($"sz_a" + $"sz_b" - $"inter") * tNum)
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .select($"source", $"doc_a", $"doc_b", $"jac")
+  }
+
+  /** Blocked all-pairs form of the same join: O(block²) merge-intersections
+    * within each `source`. Kept as the fallback for blocks small enough that
+    * building the inverted index costs more than the quadratic scan, and as
+    * the independent implementation DedupSpec cross-checks
+    * [[prefixFilterJaccardPairs]] against. Not the scale default. */
+  private[graft] def blockedJaccardPairs(docs: DataFrame, t: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
     val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
     a.join(b, "source")
@@ -124,7 +181,20 @@ object Dedup {
       .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
       .withColumn("jac",
         $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
-      .filter($"jac" >= 0.5)
+      .filter($"jac" >= t)
+      .select($"source", $"doc_a", $"doc_b", $"jac")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within each `source` group, via the
+    * prefix-filter (PPJoin-style) inverted-index join — fully SQL-expressible
+    * so this one IS oracle-checked. 3-word shingles, distinct-set
+    * Jaccard ≥ 0.5.
+    * Collision note: 64-bit hashes over ~100-element sets — P(any collision)
+    * ≈ 1e-15, far below the oracle's float-rounding tolerance. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = shingledDocs(spark, dir, withSource = true)
+    prefixFilterJaccardPairs(docs, tNum = 1, tDen = 2)
       .select($"source", $"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"source", $"doc_a", $"doc_b")
   }

@@ -55,6 +55,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"cluster membership $clustered != brute-force near-dup docs $bruteDocs")
   }
 
+  test("prefix-filter Jaccard join equals blocked all-pairs join exactly") {
+    // the PPJoin-style inverted-index join must be a drop-in for the O(block²)
+    // form: same pairs, same jaccard values, at several thresholds
+    import graft.functions.VectorFunctions
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .withColumn("sz", size($"sh"))
+    for ((tNum, tDen) <- Seq((1, 2), (4, 5), (1, 4))) {
+      val pp = Dedup.prefixFilterJaccardPairs(docs, tNum, tDen)
+        .select("source", "doc_a", "doc_b", "jac")
+        .as[(String, Long, Long, Double)].collect().toSet
+      val blocked = Dedup.blockedJaccardPairs(docs, tNum.toDouble / tDen)
+        .select("source", "doc_a", "doc_b", "jac")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(pp == blocked,
+        s"t=$tNum/$tDen mismatch: missing=${blocked -- pp} extra=${pp -- blocked}")
+    }
+  }
+
   test("simhash banding finds exactly the Hamming<=3 pairs (pigeonhole)") {
     val banded = Dedup.dedupSimhash(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
