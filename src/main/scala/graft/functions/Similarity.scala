@@ -105,4 +105,40 @@ object Similarity {
     }
     array(bands: _*)
   }
+
+  /** Multi-probe sign-LSH keys for the QUERY side: each band yields its exact
+    * key plus `nProbe` neighbor keys obtained by flipping the lowest-|margin|
+    * hyperplane bits (margin = dot(vec, plane)). A near neighbor that lands
+    * across a hyperplane the query barely cleared is exactly the case an
+    * exact-band probe misses — flipping the low-margin bits recovers it
+    * (Lv et al., VLDB'07 multi-probe LSH).
+    *
+    * Scale shape: the INDEX keeps one exact key per band
+    * ([[signLshBands]] — unchanged, no index growth); only the query fan-out
+    * grows, by a factor of (1+nProbe), and queries are the broadcast side.
+    * Must be built with the same nBands/planesPerBand/dim/seed as the index.
+    * HOF evaluation here is interpreted, which is fine: this runs once per
+    * query row, never over the corpus. */
+  def signLshProbeBands(vec: Column, nBands: Int, planesPerBand: Int,
+      dim: Int, nProbe: Int, seed: Long = 42L): Column = {
+    require(nProbe >= 0 && nProbe <= planesPerBand,
+      s"nProbe must be in [0, $planesPerBand], got $nProbe")
+    val all = signLshPlanes(nBands * planesPerBand, dim, seed)
+    val bands: Seq[Column] = (0 until nBands).map { b =>
+      val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
+      val ms = planes.map(p => VectorFunctions.dotProduct(vec, array(p.map(lit): _*)))
+      val key = ms.zipWithIndex.map { case (m, i) =>
+        when(m >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // planes ranked by |margin| ascending; flip the nProbe least-confident bits
+      val ranked = array_sort(array(ms.zipWithIndex.map { case (m, i) =>
+        struct(abs(m).as("margin"), lit(i).as("i"))
+      }: _*))
+      val flips = transform(slice(ranked, 1, nProbe), s =>
+        struct(lit(b).as("band"),
+          key.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("i"))).as("key")))
+      concat(array(struct(lit(b).as("band"), key.as("key"))), flips)
+    }
+    flatten(array(bands: _*))
+  }
 }

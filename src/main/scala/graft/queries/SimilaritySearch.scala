@@ -60,10 +60,12 @@ object SimilaritySearch {
        |FROM ranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN: probe only the query's bucket. Rows-only driver check
-    * (bucket membership isn't ANSI SQL); SimilaritySpec verifies that every
-    * returned neighbor's cosine is exact and that recall vs brute force is
-    * sane on the test data. */
+  /** LSH-bucketed ANN with multi-probe queries: the index holds one exact
+    * sign-LSH key per band; each query probes its own bucket PLUS the buckets
+    * reached by flipping its lowest-margin hyperplane bits (multi-probe LSH —
+    * recall comes from extra query probes, not a bigger index). Rows-only
+    * driver check (bucket membership isn't ANSI SQL); LlmOpsSpec pins exact
+    * candidate scores and recall ≥ 0.8 vs brute force. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.embeddings(spark, dir)
@@ -72,8 +74,14 @@ object SimilaritySearch {
       .select($"vec_id",
         explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
-    val queryBands = vecs.filter($"vec_id" < NQueries)
-      .select($"band", $"key", $"vec_id".as("query_id"))
+    val queryBands = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"),
+        explode(Similarity.signLshProbeBands($"v", nBands = 4, planesPerBand = 4,
+          dim = 64, nProbe = 2)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.key".as("key"), $"query_id")
+      // a probe key may coincide with another band-probe of the same query;
+      // distinct keeps the probe set minimal before the broadcast
+      .distinct()
     // ids-only probe join, dedup multi-band collisions, THEN fetch vectors
     // and score once per candidate with the codegen'd kernel
     val candIds = vecs

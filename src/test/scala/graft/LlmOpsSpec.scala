@@ -112,6 +112,11 @@ class LlmOpsSpec extends AnyFunSuite {
         assert(math.abs(exact - c) < 1e-9, s"score mismatch for ($q,$n)")
       }
     }
+    // multi-probe (2 lowest-margin bit flips per band) must recover >= 0.8 of
+    // the true top-k even on these near-random vectors
+    val hits = lsh.count { case (q, n, _) => brute.get(q).exists(_.contains(n)) }
+    val total = brute.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.8, s"LSH recall too low: $hits/$total")
   }
 
   test("IVF ANN returns exact scores and sane recall vs brute force") {
