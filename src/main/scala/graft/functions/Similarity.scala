@@ -107,11 +107,15 @@ object Similarity {
   }
 
   /** Multi-probe sign-LSH keys for the QUERY side: each band yields its exact
-    * key plus `nProbe` neighbor keys obtained by flipping the lowest-|margin|
-    * hyperplane bits (margin = dot(vec, plane)). A near neighbor that lands
-    * across a hyperplane the query barely cleared is exactly the case an
-    * exact-band probe misses — flipping the low-margin bits recovers it
-    * (Lv et al., VLDB'07 multi-probe LSH).
+    * key plus `nProbe` neighbor keys — the perturbation masks (any subset of
+    * the band's bits) with the smallest total boundary distance, where a
+    * plane's boundary distance is |dot(vec, plane)| / ||plane|| (the margin
+    * must be normalized because [[signLshPlanes]] hyperplanes have varying
+    * norms). A near neighbor that lands across hyperplanes the query barely
+    * cleared is exactly the case an exact-band probe misses — probing the
+    * low-margin flip combinations recovers it (Lv et al., VLDB'07 multi-probe
+    * LSH; ranking subsets by summed margin is their "query-directed" probe
+    * sequence).
     *
     * Scale shape: the INDEX keeps one exact key per band
     * ([[signLshBands]] — unchanged, no index growth); only the query fan-out
@@ -121,22 +125,32 @@ object Similarity {
     * query row, never over the corpus. */
   def signLshProbeBands(vec: Column, nBands: Int, planesPerBand: Int,
       dim: Int, nProbe: Int, seed: Long = 42L): Column = {
-    require(nProbe >= 0 && nProbe <= planesPerBand,
-      s"nProbe must be in [0, $planesPerBand], got $nProbe")
+    val maxProbe = (1 << planesPerBand) - 1
+    require(nProbe >= 0 && nProbe <= maxProbe,
+      s"nProbe must be in [0, $maxProbe], got $nProbe")
     val all = signLshPlanes(nBands * planesPerBand, dim, seed)
     val bands: Seq[Column] = (0 until nBands).map { b =>
       val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
-      val ms = planes.map(p => VectorFunctions.dotProduct(vec, array(p.map(lit): _*)))
+      // normalized margin = distance from the plane's decision boundary
+      val ms = planes.map { p =>
+        val norm = math.sqrt(p.map(x => x * x).sum)
+        VectorFunctions.dotProduct(vec, array(p.map(lit): _*)) / lit(norm)
+      }
       val key = ms.zipWithIndex.map { case (m, i) =>
         when(m >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-      // planes ranked by |margin| ascending; flip the nProbe least-confident bits
-      val ranked = array_sort(array(ms.zipWithIndex.map { case (m, i) =>
-        struct(abs(m).as("margin"), lit(i).as("i"))
-      }: _*))
+      // every non-empty flip mask, scored by the summed boundary distance of
+      // its flipped planes; the nProbe cheapest masks become probe keys
+      val masks = (1 to maxProbe).map { mask =>
+        val score = (0 until planesPerBand)
+          .filter(i => (mask & (1 << i)) != 0)
+          .map(i => abs(ms(i)))
+          .reduce((a, c) => a + c)
+        struct(score.as("score"), lit(mask.toLong).as("mask"))
+      }
+      val ranked = array_sort(array(masks: _*))
       val flips = transform(slice(ranked, 1, nProbe), s =>
-        struct(lit(b).as("band"),
-          key.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("i"))).as("key")))
+        struct(lit(b).as("band"), key.bitwiseXOR(s.getField("mask")).as("key")))
       concat(array(struct(lit(b).as("band"), key.as("key"))), flips)
     }
     flatten(array(bands: _*))

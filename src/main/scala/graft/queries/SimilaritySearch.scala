@@ -66,7 +66,12 @@ object SimilaritySearch {
     * recall comes from extra query probes, not a bigger index). Rows-only
     * driver check (bucket membership isn't ANSI SQL); LlmOpsSpec pins exact
     * candidate scores and recall ≥ 0.8 vs brute force. */
-  def simLshTopk(spark: SparkSession, dir: String): DataFrame = {
+  def simLshTopk(spark: SparkSession, dir: String): DataFrame =
+    simLshTopkTuned(spark, dir, nProbe = 6)
+
+  /** nProbe exposed for tuning/specs; see [[simLshTopk]] for the shipped
+    * configuration. */
+  def simLshTopkTuned(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
     import spark.implicits._
     val base = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
@@ -74,14 +79,14 @@ object SimilaritySearch {
       .select($"vec_id",
         explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    // probe keys within a band are pairwise distinct by construction (exact
+    // key + distinct XOR masks) and the band id separates bands — no dedup
+    // needed before the broadcast
     val queryBands = base.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"),
         explode(Similarity.signLshProbeBands($"v", nBands = 4, planesPerBand = 4,
-          dim = 64, nProbe = 2)).as("bk"))
+          dim = 64, nProbe = nProbe)).as("bk"))
       .select($"bk.band".as("band"), $"bk.key".as("key"), $"query_id")
-      // a probe key may coincide with another band-probe of the same query;
-      // distinct keeps the probe set minimal before the broadcast
-      .distinct()
     // ids-only probe join, dedup multi-band collisions, THEN fetch vectors
     // and score once per candidate with the codegen'd kernel
     val candIds = vecs

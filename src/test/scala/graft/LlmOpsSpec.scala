@@ -112,11 +112,12 @@ class LlmOpsSpec extends AnyFunSuite {
         assert(math.abs(exact - c) < 1e-9, s"score mismatch for ($q,$n)")
       }
     }
-    // multi-probe (2 lowest-margin bit flips per band) must recover >= 0.8 of
-    // the true top-k even on these near-random vectors
+    // query-directed multi-probe (6 lowest-cost flip masks per band, margins
+    // normalized by plane norm) must recover >= 0.85 of the true top-k even
+    // on these near-random vectors (measured 0.98 at nProbe=6; 0.88 at 3)
     val hits = lsh.count { case (q, n, _) => brute.get(q).exists(_.contains(n)) }
     val total = brute.values.map(_.size).sum
-    assert(hits.toDouble / total >= 0.8, s"LSH recall too low: $hits/$total")
+    assert(hits.toDouble / total >= 0.85, s"LSH recall too low: $hits/$total")
   }
 
   test("IVF ANN returns exact scores and sane recall vs brute force") {
