@@ -92,16 +92,36 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY fp""".stripMargin
 
-  /** MinHash+LSH near-dup pairs: 3-word shingles → 16-component signature →
-    * 4 bands × 4 rows → equi-self-join on band key → verify exact Jaccard ≥ t.
-    * Not ANSI-expressible (xxhash64 signatures) → rows-only driver check;
-    * correctness is covered by DedupSpec's containment test vs exact Jaccard. */
+  /** MinHash+LSH near-dup pairs: 3-word shingles → 32-component signature →
+    * 8 bands × 4 rows → equi-self-join on band key → verify exact Jaccard ≥ t.
+    * 8×4 banding (same as [[dedupClusters]] edges) has brute-force-exact
+    * recall at this corpus' similarity levels (LlmOpsSpec), so the verified
+    * output equals the exact-Jaccard pair set and IS oracle-checked against
+    * DuckDB's brute-force pair join. The jaccard value is computed on hashed
+    * shingle sets; set sizes equal the string-set sizes w.h.p. (64-bit
+    * hashes, P(collision) ≈ 1e-15), so both engines produce the same ratio. */
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashVerifiedPairs(shingledDocs(spark, dir), nBands = 4, rowsPerBand = 4, t = 0.8)
+    minhashVerifiedPairs(shingledDocs(spark, dir), nBands = 8, rowsPerBand = 4, t = 0.8)
       .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  val dedupMinhashPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact Jaccard set-similarity self-join via prefix filtering — the
     * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08) —
@@ -354,5 +374,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

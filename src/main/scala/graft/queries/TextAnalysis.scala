@@ -89,8 +89,10 @@ object TextAnalysis {
       |ORDER BY source, bucket""".stripMargin
 
   /** Language-ID heuristic vs the labeled `lang` column: distribution of
-    * (actual, predicted) pairs. Rows-only driver check (the stopword argmax
-    * is awkward in ANSI SQL); TextAnalysisSpec pins exact expectations. */
+    * (actual, predicted) pairs. Oracle-checked: the stopword-hit argmax
+    * transliterates to DuckDB as `list_max` over `{hits, code}` structs
+    * (struct comparison is field-order lexicographic — hits first, then code,
+    * exactly the engine's strictly-greater-or-equal-and-later-code rule). */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -98,6 +100,33 @@ object TextAnalysis {
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")
+  }
+
+  // Generated from the SAME TextFunctions.stopwords map the engine uses, so
+  // the profiles can never drift between Spark and the oracle. Tokenization
+  // matches LangIdUtil.predict: lower → trim → split on runs of whitespace
+  // (an all-whitespace doc yields [''], which hits no profile → 'und').
+  val textLangidSql: String = {
+    val profileStructs = TF.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"{'hits': len(list_filter(t, x -> list_contains($arr, x))), 'code': '$code'}"
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM documents),
+       |best AS (
+       |  SELECT lang,
+       |    list_max([
+       |      $profileStructs
+       |    ]) AS b
+       |  FROM toks)
+       |SELECT lang,
+       |  CASE WHEN b['hits'] > 0 THEN b['code'] ELSE 'und' END AS predicted,
+       |  count(*) AS n
+       |FROM best
+       |GROUP BY 1, 2
+       |ORDER BY lang, predicted""".stripMargin
   }
 
   /** Per-document md5 fingerprint of normalized text (the exact-dedup key,
@@ -128,5 +157,6 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql)
 }
