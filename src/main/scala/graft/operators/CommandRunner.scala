@@ -61,10 +61,21 @@ object SubprocessRunner extends CommandRunner {
       binds.foreach { case (host, containerPath) =>
         val link = sandbox.resolve(containerPath.dropWhile(_ == '/'))
         if (Files.exists(link) && !Files.isSymbolicLink(link)) {
-          if (Files.isDirectory(host.toPath)) () // dir binds keep the symlink
-          else {
+          if (Files.isDirectory(link)) {
+            // command replaced a dir symlink with a real directory (mv over
+            // the bind): merge its entries back into the host dir, replacing
+            // same-named targets — matching Docker, where the rename happens
+            // inside the mounted volume itself
+            Files.createDirectories(host.toPath)
+            val entries = Files.list(link)
+            try entries.forEach { e =>
+              val target = host.toPath.resolve(e.getFileName.toString)
+              Pipeline.deleteRecursive(target.toFile)
+              Files.move(e, target); ()
+            } finally entries.close()
+          } else {
             Files.deleteIfExists(host.toPath)
-            Files.move(link, host.toPath)
+            Files.move(link, host.toPath); ()
           }
         }
       }
@@ -82,34 +93,62 @@ object SubprocessRunner extends CommandRunner {
 
 /** Docker-CLI runner for clusters with a daemon per worker: mirrors the
   * reference's pull-if-absent + volume-bind + `sh -c` entrypoint semantics
-  * (DockerHelper.scala:80-108). Source-compatible, not exercisable in this
-  * sandbox (no Docker daemon) — kept behind the same trait so pipelines are
-  * runtime-agnostic. */
-case class DockerRunner(imageName: String, forcePull: Boolean = false)
-    extends CommandRunner {
+  * (DockerHelper.scala:80-108). The daemon connection is configured the same
+  * way as the reference (DockerHelper.scala:23-34): the docker CLI honors
+  * `DOCKER_HOST`, `DOCKER_TLS_VERIFY` and `DOCKER_CERT_PATH`, which the
+  * spawned process inherits from the executor JVM's environment untouched —
+  * set them on the Spark executors to target a remote/TLS daemon.
+  *
+  * All daemon interaction funnels through `exec` (argv, quiet) → exit code,
+  * so the pull decision, argv assembly and failure handling are unit-testable
+  * without a daemon (CommandRunnerSpec); the default [[DockerRunner.cliExec]]
+  * invokes the real CLI. */
+case class DockerRunner(imageName: String, forcePull: Boolean = false,
+    exec: DockerRunner.Exec = DockerRunner.cliExec) extends CommandRunner {
 
   /** Image name with the reference's default-`:latest` normalization
     * (DockerHelper.scala:51-64). */
   def imageWithTag: String =
     if (imageName.contains(":")) imageName else s"$imageName:latest"
 
+  /** Daemon-side image-present probe. */
+  def inspectArgv: Seq[String] = Seq("docker", "image", "inspect", imageWithTag)
+
+  def pullArgv: Seq[String] = Seq("docker", "pull", imageWithTag)
+
+  /** `-v host:container` pairs, in bind order. */
+  def volumeArgs(binds: Seq[(File, String)]): Seq[String] =
+    binds.flatMap { case (host, cp) => Seq("-v", s"${host.getAbsolutePath}:$cp") }
+
+  def runArgv(command: String, binds: Seq[(File, String)]): Seq[String] =
+    Seq("docker", "run", "--rm", "--entrypoint", "sh") ++
+      volumeArgs(binds) ++ Seq(imageWithTag, "-c", command)
+
+  /** Pull-if-absent, always under forcePull (DockerHelper.scala:80-87). */
+  def shouldPull(imagePresent: Boolean): Boolean = forcePull || !imagePresent
+
   override def run(command: String, binds: Seq[(File, String)]): Unit = {
-    val image = imageWithTag
-    val present = Process(Seq("docker", "image", "inspect", image)).!(ProcessLogger(_ => ())) == 0
-    if (forcePull || !present) {
-      val pull = Process(Seq("docker", "pull", image)).!
-      if (pull != 0) throw new RuntimeException(s"docker pull failed for $image")
+    val present = exec(inspectArgv, true) == 0
+    if (shouldPull(present)) {
+      if (exec(pullArgv, false) != 0)
+        throw new RuntimeException(s"docker pull failed for $imageWithTag")
     }
-    val volumes = binds.flatMap { case (host, cp) =>
-      Seq("-v", s"${host.getAbsolutePath}:$cp")
-    }
-    val cmd = Seq("docker", "run", "--rm", "--entrypoint", "sh") ++
-      volumes ++ Seq(image, "-c", command)
-    val logger = ProcessLogger(
-      o => System.err.println(s"[graft docker] $o"),
-      e => System.err.println(s"[graft docker] $e"))
-    val exit = cmd ! logger
+    val exit = exec(runArgv(command, binds), false)
     if (exit != 0)
       throw new RuntimeException(s"container failed with exit status $exit: $command")
+  }
+}
+
+object DockerRunner {
+  /** (argv, quiet) → exit status. */
+  type Exec = (Seq[String], Boolean) => Int
+
+  val cliExec: Exec = (argv, quiet) => {
+    val logger =
+      if (quiet) ProcessLogger(_ => ())
+      else ProcessLogger(
+        o => System.err.println(s"[graft docker] $o"),
+        e => System.err.println(s"[graft docker] $e"))
+    Process(argv) ! logger
   }
 }

@@ -196,14 +196,31 @@ object Pipeline {
         throw e
     } finally deleteRecursive(inPath)
     val result = out.readPartition(outPath)
-    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+    def cleanup(): Unit = {
       result match { // partially-consumed streaming readers hold an open fd
         case c: java.io.Closeable => try c.close() catch { case _: Exception => () }
         case _ => ()
       }
       deleteRecursive(outPath)
-    })
-    result
+    }
+    Option(TaskContext.get()) match {
+      case Some(tc) =>
+        tc.addTaskCompletionListener[Unit](_ => cleanup())
+        result
+      case None =>
+        // no task context (driver-side / direct use): clean up when the
+        // iterator is exhausted — otherwise outPath and its open fd leak
+        // until JVM exit
+        new Iterator[U] {
+          private var done = false
+          override def hasNext: Boolean = {
+            val h = result.hasNext
+            if (!h && !done) { done = true; cleanup() }
+            h
+          }
+          override def next(): U = result.next()
+        }
+    }
   }
 
   private[operators] def deleteRecursive(f: File): Unit = {

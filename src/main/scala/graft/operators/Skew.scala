@@ -18,9 +18,12 @@ object Skew {
     * side is replicated once per salt value. The hot key's rows then spread
     * across `saltFactor` shuffle partitions instead of one.
     *
-    * The salt must be uniform but NOT depend on the key (that would undo the
-    * spread): rows are salted by hash of the whole row. Result equals the
-    * unsalted join (verified in ScaleSpec). */
+    * The salt must be uniform but NOT depend on the row's content: hashing
+    * the row would send exact-duplicate rows (the common shape of a hot key)
+    * to the SAME salt, rebuilding the hotspot. Rows are salted positionally
+    * (row number within their partition, mod saltFactor) — content-blind, so
+    * even a partition of identical rows spreads across all salts. Result
+    * equals the unsalted join (verified in ScaleSpec). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
@@ -30,13 +33,17 @@ object Skew {
     require(supported.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support '$joinType': right/full outer joins would " +
         "duplicate unmatched small-side rows once per salt")
-    val saltedLarge = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col).toSeq: _*), lit(saltFactor)))
+    val saltedLarge = large.withColumn("__salt", positionalSalt(saltFactor))
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Content-blind uniform salt: row number within the partition, mod
+    * saltFactor. Exposed for the ScaleSpec distribution check. */
+  private[graft] def positionalSalt(saltFactor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int")
 
   /** Top-N heavy-hitter keys of a column with their frequencies — the
     * diagnostic used to decide whether salting / AQE skew handling is needed. */

@@ -176,9 +176,13 @@ object Dedup {
         >= ($"sz_a" + $"sz_b") * tNum)
       .select($"source", $"doc_a", $"doc_b").distinct()
 
+    // verify joins carry source so per-source doc ids can't attach foreign
+    // shingle arrays (doc_id is only guaranteed unique within a source)
     cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .join(docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), Seq("source", "doc_a"))
+      .join(docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), Seq("source", "doc_b"))
       .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
       // threshold test in exact integers: I/U >= tNum/tDen  ⟺  I*tDen >= U*tNum
       .filter($"inter" * tDen >= ($"sz_a" + $"sz_b" - $"inter") * tNum)
@@ -194,8 +198,13 @@ object Dedup {
     * [[prefixFilterJaccardPairs]] against. Not the scale default. */
   private[graft] def blockedJaccardPairs(docs: DataFrame, t: Double): DataFrame = {
     import docs.sparkSession.implicits._
-    val a = docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
-    val b = docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
+    // empty shingle sets (texts under 3 words) are excluded, matching the
+    // prefix-filter form (which never indexes them); without this, an
+    // empty-empty pair yields jac = 0/0 = NaN, and NaN >= t is TRUE under
+    // Spark's NaN-greatest ordering — a silent divergence on short docs
+    val ne = docs.filter($"sz" > 0)
+    val a = ne.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
+    val b = ne.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
     a.join(b, "source")
       .filter($"doc_a" < $"doc_b")
       .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))

@@ -74,6 +74,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard joins agree on per-source duplicate ids and empty-shingle docs") {
+    import graft.functions.VectorFunctions
+    // doc_id is only unique WITHIN a source here (1 appears in both), and two
+    // docs are under 3 words (empty shingle set) — the two regression cases
+    // where the implementations could silently diverge
+    val raw = Seq(
+      ("s1", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("s1", 2L, "alpha beta gamma delta epsilon eta"),
+      ("s1", 3L, "hi"),
+      ("s1", 4L, "yo"),
+      ("s2", 1L, "one two three four five six seven"),
+      ("s2", 2L, "one two three four five six eight")
+    ).toDF("source", "doc_id", "text")
+    val docs = raw
+      .select($"source", $"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .withColumn("sz", size($"sh"))
+    for ((tNum, tDen) <- Seq((1, 4), (1, 2))) {
+      val pp = Dedup.prefixFilterJaccardPairs(docs, tNum, tDen)
+        .select("source", "doc_a", "doc_b", "jac")
+        .as[(String, Long, Long, Double)].collect().toSet
+      val blocked = Dedup.blockedJaccardPairs(docs, tNum.toDouble / tDen)
+        .select("source", "doc_a", "doc_b", "jac")
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(pp == blocked,
+        s"t=$tNum/$tDen mismatch: missing=${blocked -- pp} extra=${pp -- blocked}")
+      // empty-shingle docs never pair (NaN guard), in either implementation
+      assert(!pp.exists(p => Set(3L, 4L).contains(p._2) || Set(3L, 4L).contains(p._3)))
+      // both sources' (1,2) pairs survive with their own jaccard — a verify
+      // join that dropped source would cross-attach arrays and corrupt these
+      assert(pp.count(p => p._2 == 1L && p._3 == 2L) == 2,
+        s"expected one (1,2) pair per source, got $pp")
+    }
+  }
+
   test("simhash banding finds exactly the Hamming<=3 pairs (pigeonhole)") {
     val banded = Dedup.dedupSimhash(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

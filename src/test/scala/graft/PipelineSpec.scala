@@ -94,12 +94,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(content == "5050")
   }
 
+  test("collectToLocal over WholeTextFiles input (per-file text mount)") {
+    // reference covers collectReduce across all three mount types
+    // (MaReTest.scala:190-303); this and the binary test below complete the
+    // same matrix for the local-collect path
+    val outPath = Files.createTempDirectory("graft_test_").resolve("words.txt").toString
+    val ds = spark.createDataset(Seq(("a.txt", "one two\n"), ("b.txt", "three four five\n")))
+    Pipeline(ds).collectToLocal(
+      WholeTextFiles("/in"), TextFile("/out.txt"),
+      "cat in/*.txt | wc -w > out.txt", outPath)
+    val content = new String(Files.readAllBytes(new File(outPath).toPath)).trim
+    assert(content == "5")
+  }
+
+  test("collectToLocal over BinaryFiles input writing a binary dir") {
+    val outDir = Files.createTempDirectory("graft_test_").resolve("bins").toString
+    val a = Array[Byte](1, 2, 3, -1)
+    val b = Array[Byte](9, 8)
+    val ds = spark.createDataset(Seq(("a.bin", a), ("b.bin", b)))
+    Pipeline(ds).collectToLocal(
+      BinaryFiles("/in"), BinaryFiles("/out"),
+      "for f in in/*; do cat $f $f > out/$(basename $f); done", outDir)
+    def bytes(n: String) = Files.readAllBytes(new File(outDir, n).toPath).toSeq
+    assert(bytes("a.bin") == (a ++ a).toSeq)
+    assert(bytes("b.bin") == (b ++ b).toSeq)
+  }
+
   test("command that replaces its output file (mv) still delivers the partition") {
     val ds = spark.createDataset(Seq("3", "1", "2")).repartition(1)
     val out = Pipeline(ds).mapPartitionsThrough(
       TextFile("/in.txt"), TextFile("/out.txt"),
       "sort -n in.txt > tmp.txt && mv tmp.txt out.txt").ds.collect()
     assert(out.toSeq == Seq("1", "2", "3"))
+  }
+
+  test("command that replaces its output directory (mv) still delivers") {
+    // dir-bind analog of the mv-over-file case: the command builds results in
+    // a scratch dir and renames it over the output mount — under Docker the
+    // rename lands in the volume; the sandbox reconcile must match
+    val ds = spark.createDataset(Seq(("a.txt", "alpha"), ("b.txt", "beta")))
+      .repartition(1)
+    val out = Pipeline(ds).mapPartitionsThrough(
+      WholeTextFiles("/in"), WholeTextFiles("/out"),
+      "mkdir scratch && for f in in/*; do tr a-z A-Z < $f > scratch/$(basename $f); done" +
+        " && rm -r out && mv scratch out").ds.collect()
+    assert(out.toMap == Map("a.txt" -> "ALPHA", "b.txt" -> "BETA"))
   }
 
   test("failing command surfaces as an exception (task failure semantics)") {

@@ -50,6 +50,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join spreads exact-duplicate rows across salts") {
+    // a hot key usually arrives as EXACT duplicate rows; a content-hash salt
+    // would send them all to one salt and rebuild the hotspot
+    val dupes = spark.createDataset(Seq.fill(1000)(("hot", 1))).toDF("k", "v")
+    val salts = dupes.withColumn("s", Skew.positionalSalt(8))
+      .select("s").distinct().collect().map(_.getInt(0)).toSet
+    assert(salts.size == 8, s"expected all 8 salts used, got $salts")
+  }
+
   test("salted join rejects small-side-preserving join types") {
     val a = Seq((1L, "x")).toDF("k", "v")
     val b = Seq((1L, "y")).toDF("k", "w")
