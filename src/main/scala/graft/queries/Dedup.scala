@@ -325,19 +325,27 @@ object Dedup {
       .localCheckpoint()
     // min-label propagation to fixpoint; labels only decrease, so the
     // label-sum is a strictly-monotone convergence measure (one agg per
-    // round instead of a change-detecting join)
-    var labels = Tables.documents(spark, dir)
-      .select($"doc_id".as("id"), $"doc_id".as("label")).localCheckpoint()
-    var checksum = labels.agg(sum($"label")).head().getLong(0)
+    // round instead of a change-detecting join). The checksum rides the
+    // eager localCheckpoint job as an observed metric — exactly ONE driver
+    // action per round, not a checkpoint job plus a separate agg job.
+    def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val cp = df.observe(obs, sum($"label").as("s")).localCheckpoint()
+      (cp, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, checksum) = checkpointWithSum(
+      Tables.documents(spark, dir).select($"doc_id".as("id"), $"doc_id".as("label")),
+      "cc_init")
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
       val neighborMin = edges
         .join(labels, $"doc_a" === $"id")
         .select($"doc_b".as("id"), $"label")
-      val next = labels.union(neighborMin)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum($"label")).head().getLong(0)
+      val (next, nextSum) = checkpointWithSum(
+        labels.union(neighborMin).groupBy($"id").agg(min($"label").as("label")),
+        s"cc_round_$round")
       converged = nextSum == checksum
       checksum = nextSum
       labels = next

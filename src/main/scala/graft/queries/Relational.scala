@@ -290,9 +290,15 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     def activeIn(yr: Int) =
       ord.filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
-    val both = activeIn(1995).intersect(activeIn(2000)).withColumn("tag", lit("both"))
-    val only95 = activeIn(1995).except(activeIn(2000)).withColumn("tag", lit("only_1995"))
-    val any = activeIn(1995).union(activeIn(2000)).distinct().withColumn("tag", lit("any"))
+    // each year's set feeds three set-ops; caching the ids-only sets runs the
+    // orders scan + distinct shuffle once per year instead of three times
+    // (cached rows are bounded by the customer dimension — fine at any fact
+    // scale; ids-only, so the footprint is a few bytes per active customer)
+    val y95 = activeIn(1995).cache()
+    val y00 = activeIn(2000).cache()
+    val both = y95.intersect(y00).withColumn("tag", lit("both"))
+    val only95 = y95.except(y00).withColumn("tag", lit("only_1995"))
+    val any = y95.union(y00).distinct().withColumn("tag", lit("any"))
     both.union(only95).union(any)
       .groupBy($"tag").agg(count(lit(1)).as("n_customers"))
       .orderBy($"tag")
