@@ -43,6 +43,9 @@ object Bench {
       else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { i =>
+        // queries that cache() intermediate sets (q12_setops) must not get
+        // warm-cache medians while everything else measures cold
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

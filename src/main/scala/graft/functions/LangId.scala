@@ -22,8 +22,12 @@ object LangIdUtil {
     }
 
   def predict(text: UTF8String): UTF8String = {
-    // Locale.ROOT: match Catalyst lower() regardless of JVM default locale
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    // Locale.ROOT: match Catalyst lower() regardless of JVM default locale.
+    // No String.trim here: trim strips ALL chars <= U+0020 (including
+    // control chars that are not \s), which would diverge from the
+    // regex-normalized oracle tokenization; a leading-empty token from
+    // split on untrimmed text hits no vocab, so it's harmless.
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var bestHits = 0
     var bestCode = "und"
     var p = 0

@@ -62,16 +62,17 @@ object SubprocessRunner extends CommandRunner {
         val link = sandbox.resolve(containerPath.dropWhile(_ == '/'))
         if (Files.exists(link) && !Files.isSymbolicLink(link)) {
           if (Files.isDirectory(link)) {
-            // command replaced a dir symlink with a real directory (mv over
-            // the bind): merge its entries back into the host dir, replacing
-            // same-named targets — matching Docker, where the rename happens
-            // inside the mounted volume itself
+            // command replaced a dir symlink with a real directory (e.g.
+            // `rm -r out && mv scratch out`): the replacement dir's contents
+            // ARE the output now — clear the host dir first (files written
+            // through the symlink before the rm would otherwise survive the
+            // delete and pollute the delivered partition), then move the new
+            // entries in
+            Pipeline.deleteRecursive(host)
             Files.createDirectories(host.toPath)
             val entries = Files.list(link)
             try entries.forEach { e =>
-              val target = host.toPath.resolve(e.getFileName.toString)
-              Pipeline.deleteRecursive(target.toFile)
-              Files.move(e, target); ()
+              Files.move(e, host.toPath.resolve(e.getFileName.toString)); ()
             } finally entries.close()
           } else {
             Files.deleteIfExists(host.toPath)

@@ -196,7 +196,9 @@ object Pipeline {
         throw e
     } finally deleteRecursive(inPath)
     val result = out.readPartition(outPath)
-    def cleanup(): Unit = {
+    var cleaned = false
+    def cleanup(): Unit = if (!cleaned) {
+      cleaned = true
       result match { // partially-consumed streaming readers hold an open fd
         case c: java.io.Closeable => try c.close() catch { case _: Exception => () }
         case _ => ()
@@ -210,15 +212,16 @@ object Pipeline {
       case None =>
         // no task context (driver-side / direct use): clean up when the
         // iterator is exhausted — otherwise outPath and its open fd leak
-        // until JVM exit
-        new Iterator[U] {
-          private var done = false
+        // until JVM exit. Partial consumers (take/limit) won't reach
+        // exhaustion: the wrapper is Closeable so they can release early.
+        new Iterator[U] with java.io.Closeable {
           override def hasNext: Boolean = {
-            val h = result.hasNext
-            if (!h && !done) { done = true; cleanup() }
+            val h = !cleaned && result.hasNext
+            if (!h) cleanup()
             h
           }
           override def next(): U = result.next()
+          override def close(): Unit = cleanup()
         }
     }
   }

@@ -20,10 +20,13 @@ object Skew {
     *
     * The salt must be uniform but NOT depend on the row's content: hashing
     * the row would send exact-duplicate rows (the common shape of a hot key)
-    * to the SAME salt, rebuilding the hotspot. Rows are salted positionally
-    * (row number within their partition, mod saltFactor) — content-blind, so
-    * even a partition of identical rows spreads across all salts. Result
-    * equals the unsalted join (verified in ScaleSpec). */
+    * to the SAME salt, rebuilding the hotspot. Rows are salted by hashing a
+    * per-row position id — content-blind (duplicates spread) AND
+    * partition-blind (the raw id is pid·2³³+rowIdx, so taking it mod a
+    * power-of-two saltFactor directly would restart every partition at salt
+    * 0 and leave high salts unused when partitions are small; the hash
+    * decorrelates that). Result equals the unsalted join (verified in
+    * ScaleSpec). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
@@ -40,10 +43,10 @@ object Skew {
       .drop("__salt")
   }
 
-  /** Content-blind uniform salt: row number within the partition, mod
-    * saltFactor. Exposed for the ScaleSpec distribution check. */
+  /** Content-blind, partition-blind uniform salt: hash of the per-row
+    * position id. Exposed for the ScaleSpec distribution checks. */
   private[graft] def positionalSalt(saltFactor: Int): Column =
-    pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int")
+    pmod(hash(monotonically_increasing_id()), lit(saltFactor))
 
   /** Top-N heavy-hitter keys of a column with their frequencies — the
     * diagnostic used to decide whether salting / AQE skew handling is needed. */

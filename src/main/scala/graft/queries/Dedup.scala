@@ -86,7 +86,7 @@ object Dedup {
   }
 
   val dedupExactSql: String =
-    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+    """SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
       |  min(doc_id) AS keeper_id, count(*) AS n_copies
       |FROM documents
       |GROUP BY 1
@@ -113,7 +113,7 @@ object Dedup {
       |    list_distinct([array_to_string(toks[i:i+2], ' ')
       |                   FOR i IN range(1, len(toks) - 1)]) AS sh
       |  FROM (SELECT doc_id,
-      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |          string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS toks
       |        FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -236,7 +236,7 @@ object Dedup {
       |    list_distinct([array_to_string(toks[i:i+2], ' ')
       |                   FOR i IN range(1, len(toks) - 1)]) AS sh
       |  FROM (SELECT source, doc_id,
-      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |          string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS toks
       |        FROM documents))
       |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
@@ -361,7 +361,7 @@ object Dedup {
       |    list_distinct([array_to_string(toks[i:i+2], ' ')
       |                   FOR i IN range(1, len(toks) - 1)]) AS sh
       |  FROM (SELECT doc_id,
-      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |          string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS toks
       |        FROM documents)),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

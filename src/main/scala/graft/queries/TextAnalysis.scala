@@ -30,15 +30,15 @@ object TextAnalysis {
   val textStatsSql: String =
     """SELECT doc_id,
       |  length(text) AS n_chars,
-      |  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
-      |       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+      |  CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
       |  END AS n_tokens,
-      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
       |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
       |        / greatest(length(text), 1), 6) AS alpha_ratio,
       |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
       |        / greatest(length(text), 1), 6) AS digit_ratio,
-      |  round(CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+      |  round(CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
       |        / greatest(length(text), 1), 6) AS ws_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
@@ -67,17 +67,17 @@ object TextAnalysis {
       |                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
       |      + 0.25 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
       |                / greatest(length(text), 1))
-      |      + 0.2 * least(4 * (CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |      + 0.2 * least(4 * (CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
       |                    t -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], t))) AS DOUBLE)
-      |               / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
-      |                               ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END, 1)), 1.0)
-      |      + 0.3 * (CASE WHEN (CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS DOUBLE) + 1)
-      |                         / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
-      |                                         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END, 1)
+      |               / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
+      |                               ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END, 1)), 1.0)
+      |      + 0.3 * (CASE WHEN (CAST(length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS DOUBLE) + 1)
+      |                         / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
+      |                                         ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END, 1)
       |                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
       |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
       |             / greatest(length(text), 1))
-      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
       |             / greatest(length(text), 1)),
       |    1.0), 0.0) AS q
       |  FROM documents)
@@ -104,8 +104,9 @@ object TextAnalysis {
 
   // Generated from the SAME TextFunctions.stopwords map the engine uses, so
   // the profiles can never drift between Spark and the oracle. Tokenization
-  // matches LangIdUtil.predict: lower → trim → split on runs of whitespace
-  // (an all-whitespace doc yields [''], which hits no profile → 'und').
+  // matches LangIdUtil.predict: lower → split on runs of [ \t\n\x0B\f\r]
+  // (Java's ASCII \s, spelled out because RE2's \s lacks \x0B). Degenerate
+  // docs yield only empty/whitespace tokens, which hit no profile → 'und'.
   val textLangidSql: String = {
     val profileStructs = TF.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
       val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -113,7 +114,7 @@ object TextAnalysis {
     }.mkString(",\n      ")
     s"""WITH toks AS (
        |  SELECT lang,
-       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
        |  FROM documents),
        |best AS (
        |  SELECT lang,
@@ -141,9 +142,9 @@ object TextAnalysis {
 
   val textFingerprintSql: String =
     """SELECT doc_id,
-      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-      |  CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
-      |       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+      |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
+      |  CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
       |  END AS n_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin

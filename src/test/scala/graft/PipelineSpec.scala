@@ -141,6 +141,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toMap == Map("a.txt" -> "ALPHA", "b.txt" -> "BETA"))
   }
 
+  test("replaced output dir fully supersedes files written before the replace") {
+    // the command first writes THROUGH the dir symlink, then discards the
+    // whole dir and renames a fresh one over it — only the replacement's
+    // contents may be delivered (stale pre-replace files must not survive)
+    val ds = spark.createDataset(Seq(("a.txt", "alpha"))).repartition(1)
+    val out = Pipeline(ds).mapPartitionsThrough(
+      WholeTextFiles("/in"), WholeTextFiles("/out"),
+      "echo stale > out/old.txt && mkdir scratch && echo fresh > scratch/new.txt" +
+        " && rm -r out && mv scratch out").ds.collect()
+    assert(out.toMap == Map("new.txt" -> "fresh\n"), s"got ${out.toMap}")
+  }
+
   test("failing command surfaces as an exception (task failure semantics)") {
     val ds = spark.createDataset(Seq("x")).repartition(1)
     val ex = intercept[org.apache.spark.SparkException] {

@@ -57,6 +57,12 @@ class ScaleSpec extends AnyFunSuite {
     val salts = dupes.withColumn("s", Skew.positionalSalt(8))
       .select("s").distinct().collect().map(_.getInt(0)).toSet
     assert(salts.size == 8, s"expected all 8 salts used, got $salts")
+    // many tiny partitions: the raw position id is pid*2^33 + rowIdx, so a
+    // mod-8 salt would restart at 0 per partition and starve salts >= rows
+    // per partition — the hashed salt must still reach all 8
+    val tiny = dupes.repartition(500).withColumn("s", Skew.positionalSalt(8))
+      .select("s").distinct().collect().map(_.getInt(0)).toSet
+    assert(tiny.size == 8, s"expected all 8 salts with ~2-row partitions, got $tiny")
   }
 
   test("salted join rejects small-side-preserving join types") {

@@ -29,4 +29,16 @@ class RunPartitionSpec extends AnyFunSuite {
     assert(graftOutDirs() == before,
       "output tmp dir should be deleted once the iterator is exhausted")
   }
+
+  test("partially-consumed driver-side iterator releases via close()") {
+    val before = graftOutDirs()
+    val it = Pipeline.runPartition(
+      Iterator("3", "1", "2"),
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "sort -n in.txt > out.txt", SubprocessRunner)
+    assert(it.next() == "1") // abandon after one element
+    it.asInstanceOf[java.io.Closeable].close()
+    assert(graftOutDirs() == before, "close() should delete the output tmp dir")
+    assert(!it.hasNext, "closed iterator reports exhaustion")
+  }
 }
