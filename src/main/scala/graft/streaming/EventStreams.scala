@@ -56,4 +56,33 @@ object EventStreams {
   def sessionStatsWatermarked(events: DataFrame, gap: String,
       watermark: String): DataFrame =
     sessionStats(events.withWatermark("ts", watermark), gap)
+
+  /** Watermarked stream-stream join: each left event pairs with right events
+    * of the same user in [l_ts, l_ts + maxDelay] — the click→conversion /
+    * impression→purchase correlation shape. Both inputs are watermarked and
+    * the join condition time-bounds r_ts against l_ts, which is exactly what
+    * Structured Streaming needs to bound the join state store: a buffered
+    * left row is evictable once the right watermark passes l_ts + maxDelay
+    * (and vice versa), so state is O(rate × (maxDelay + watermark)), not
+    * unbounded. `joinType` "inner" or "left_outer" — outer emits the
+    * null-padded left row only after the watermark proves no match can
+    * arrive. Batch DataFrames plan the same expressions (withWatermark is a
+    * batch no-op), so the join is differentially testable against a plain
+    * batch join (StreamingSpec). */
+  def correlatedJoin(left: DataFrame, right: DataFrame, maxDelay: String,
+      watermark: String, joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      joinType)
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
+        col("r_ts"), col("r_type"))
+  }
 }

@@ -113,6 +113,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream correlated join matches within the delay bound only") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, String, Double)]
+    val buys = MemoryStream[(Timestamp, String, String, Double)]
+    def df(m: MemoryStream[(Timestamp, String, String, Double)]) =
+      m.toDF().toDF("ts", "event_type", "user_id", "value")
+    val joined = EventStreams.correlatedJoin(
+      df(clicks), df(buys), maxDelay = "10 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), "click", "alice", 1.0),
+        (ts("2024-01-01 10:00:00"), "click", "bob", 1.0))
+      buys.addData(
+        (ts("2024-01-01 10:05:00"), "buy", "alice", 9.0), // within bound
+        (ts("2024-01-01 10:30:00"), "buy", "alice", 9.0), // outside bound
+        (ts("2024-01-01 10:05:00"), "buy", "carol", 9.0)) // other user
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("user_id", "r_ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+      assert(rows == Set(("alice", ts("2024-01-01 10:05:00"))), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream left-outer join emits unmatched rows after the watermark") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, String, Double)]
+    val buys = MemoryStream[(Timestamp, String, String, Double)]
+    def df(m: MemoryStream[(Timestamp, String, String, Double)]) =
+      m.toDF().toDF("ts", "event_type", "user_id", "value")
+    val joined = EventStreams.correlatedJoin(
+      df(clicks), df(buys), maxDelay = "10 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_outer_out").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), "click", "dave", 1.0))
+      buys.addData((ts("2024-01-01 10:01:00"), "buy", "erin", 9.0))
+      q.processAllAvailable()
+      // dave has no match, but can't be emitted until the watermark proves
+      // none can arrive: advance both streams well past 10:15 (bound) + 5m
+      for (i <- 1 to 2) {
+        val sentinel = ts(s"2024-01-01 12:0$i:00")
+        clicks.addData((sentinel, "click", "zz", 0.0))
+        buys.addData((sentinel, "buy", "zz", 0.0))
+        q.processAllAvailable()
+      }
+      val unmatched = spark.table("ssj_outer_out")
+        .filter($"user_id" === "dave").collect()
+      assert(unmatched.length == 1, s"expected one null-padded dave row")
+      assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("r_ts")))
+    } finally q.stop()
+  }
+
+  test("stream-stream join equals the batch join on the same data") {
+    implicit val sql = spark.sqlContext
+    // same correlatedJoin expressions over batch inputs (watermark no-op)
+    // vs a hand-written batch range join — the differential pins semantics
+    val evs = Seq(
+      (ts("2024-01-01 10:00:00"), "click", "u1", 1.0),
+      (ts("2024-01-01 10:04:00"), "buy", "u1", 5.0),
+      (ts("2024-01-01 10:09:59"), "buy", "u1", 6.0),
+      (ts("2024-01-01 10:10:01"), "buy", "u1", 7.0),
+      (ts("2024-01-01 10:00:00"), "click", "u2", 1.0),
+      (ts("2024-01-01 09:59:00"), "buy", "u2", 8.0))
+    val all = evs.toDF("ts", "event_type", "user_id", "value")
+    val clicks = all.filter($"event_type" === "click")
+    val buys = all.filter($"event_type" === "buy")
+    val viaOp = EventStreams.correlatedJoin(clicks, buys, "10 minutes", "5 minutes")
+      .select($"user_id", $"r_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    val expected = clicks.as("c").join(buys.as("b"),
+        $"c.user_id" === $"b.user_id" &&
+          $"b.ts".between($"c.ts", $"c.ts" + expr("INTERVAL 10 minutes")))
+      .select($"c.user_id", $"b.ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    assert(viaOp == expected && viaOp ==
+      Set(("u1", ts("2024-01-01 10:04:00")), ("u1", ts("2024-01-01 10:09:59"))))
+  }
+
   test("killed query recovers from checkpoint with exactly-once file-sink output") {
     implicit val sql = spark.sqlContext
     // kill-and-recover: data arrives while the query is DOWN (stopped before
