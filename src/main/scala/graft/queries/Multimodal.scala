@@ -96,6 +96,78 @@ object Multimodal {
       .orderBy($"format")
   }
 
+  object StubResizer {
+    /** Aspect-fit resize planning: REAL math (largest scale of (w,h) fitting
+      * in (maxW,maxH) without upscaling, aspect preserved) on the REAL
+      * header-decoded dims; the pixel resample itself would be codec work and
+      * is out of scope here — swapping in a real resampler consumes exactly
+      * this plan. */
+    def fitWithin(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+      require(w > 0 && h > 0 && maxW > 0 && maxH > 0)
+      if (w <= maxW && h <= maxH) (w, h)
+      else {
+        // integer-only: pick the tighter axis via cross-multiplication
+        if (w.toLong * maxH <= h.toLong * maxW) // height is the tighter fit
+          (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+        else
+          (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+      }
+    }
+  }
+
+  /** Fixed-size frame boundaries (stand-in for the frame index a real
+    * demuxer yields), keeping every `stride`-th frame — video pipelines'
+    * row-expansion shape. Pure byte slicing: no codec needed, fully real. */
+  private[graft] def sampleFrames(bytes: Array[Byte], frameSize: Int,
+      stride: Int): Iterator[(Int, Array[Byte])] = {
+    require(frameSize > 0 && stride > 0)
+    Iterator.range(0, bytes.length, frameSize * stride).zipWithIndex.map {
+      case (off, k) =>
+        (k * stride, java.util.Arrays.copyOfRange(bytes, off,
+          math.min(off + frameSize, bytes.length)))
+    }
+  }
+
+  /** Frame-sampling over binary payloads: 4 KiB frames, every 4th kept, one
+    * output row per (doc, sampled frame) before per-doc re-aggregation — the
+    * explode-then-reduce plumbing of a video feature pipeline, with the
+    * per-partition batching of [[multimodalDecode]]. Oracle-checkable because
+    * the sampled-frame count and byte total are integer arithmetic over
+    * octet_length. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameSize = 4096
+    val stride = 4
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          sampleFrames(bytes, frameSize, stride).map {
+            case (idx, fb) => (id, idx, fb)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length($"frame")).as("sampled_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  // Same frame/stride arithmetic over octet_length: frame i covers bytes
+  // [i*4096, min((i+1)*4096, L)); sampled frames are i % 4 == 0.
+  val multimodalFramesSql: String =
+    """SELECT doc_id, count(*) AS n_frames,
+      |  CAST(sum(least(4096, octet_length(CAST(text AS BLOB)) - i * 4096)) AS BIGINT)
+      |    AS sampled_bytes
+      |FROM documents,
+      |  LATERAL (SELECT unnest(range(0,
+      |    CAST(ceil(octet_length(CAST(text AS BLOB)) / 4096.0) AS BIGINT))) AS i) f
+      |WHERE i % 4 = 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Oracle-checkable slice of the multimodal path: binary payload sizes per
     * source (octet_length of the cast bytes — provably flowing through the
     * binary column, not the string). */
@@ -119,8 +191,10 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_bytes" -> (multimodalBytes _))
+    "multimodal_bytes" -> (multimodalBytes _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
-    "multimodal_bytes" -> multimodalBytesSql)
+    "multimodal_bytes" -> multimodalBytesSql,
+    "multimodal_frames" -> multimodalFramesSql)
 }

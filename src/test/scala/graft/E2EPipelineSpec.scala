@@ -100,4 +100,29 @@ class E2EPipelineSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(s1.n_bytes == junk.length)
   }
+
+  test("frame sampling slices the exact payload bytes, tail included") {
+    val bytes = Array.tabulate(10_500)(i => (i % 251).toByte) // 3 frames of 4096 + tail
+    val frames = graft.queries.Multimodal.sampleFrames(bytes, 4096, 4).toList
+    // stride 4 over ceil(10500/4096)=3 frames keeps only frame 0
+    assert(frames.map(_._1) == List(0))
+    assert(frames.head._2.toSeq == bytes.slice(0, 4096).toSeq)
+    // stride 1 keeps all frames; partial tail is the exact remainder
+    val all = graft.queries.Multimodal.sampleFrames(bytes, 4096, 1).toList
+    assert(all.map(_._1) == List(0, 1, 2))
+    assert(all.map(_._2.length) == List(4096, 4096, 10_500 - 2 * 4096))
+    assert(all(2)._2.toSeq == bytes.slice(8192, 10_500).toSeq)
+    assert(graft.queries.Multimodal.sampleFrames(Array.empty[Byte], 4096, 4).isEmpty)
+  }
+
+  test("resize planning fits within bounds, preserves aspect, never upscales") {
+    import graft.queries.Multimodal.StubResizer.fitWithin
+    assert(fitWithin(640, 480, 320, 320) == (320, 240))   // width-bound
+    assert(fitWithin(480, 640, 320, 320) == (240, 320))   // height-bound
+    assert(fitWithin(100, 50, 320, 320) == (100, 50))     // no upscale
+    assert(fitWithin(4000, 2, 320, 320) == (320, 1))      // extreme aspect floor 1px
+    val (w, h) = fitWithin(1920, 1080, 640, 640)
+    assert(w <= 640 && h <= 640)
+    assert(math.abs(w.toDouble / h - 1920.0 / 1080) < 0.02)
+  }
 }
