@@ -25,6 +25,25 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("LLM-ops scans prune unused document/embedding columns") {
+    // at 100 TB an unused column in ReadSchema is real scan cost; pin that
+    // each operator's parquet scan carries only what it computes on
+    def readSchemas(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    val unwanted = Map(
+      "text_stats" -> Seq("lang", "source", "n_chars"),       // uses doc_id+text
+      "dedup_exact" -> Seq("lang", "source", "n_chars"),      // uses doc_id+text
+      "dedup_ngram_jaccard" -> Seq("lang", "n_chars"),        // adds source only
+      "text_langid" -> Seq("source", "n_chars"),              // uses lang+text
+      "multimodal_bytes" -> Seq("doc_id", "lang", "n_chars"), // uses source+text
+      "sim_bruteforce_topk" -> Seq("label"),                  // uses vec_id+embedding
+      "sim_lsh_topk" -> Seq("label"))
+    for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
+      assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
+  }
+
   test("dimension joins broadcast; no cartesian product anywhere") {
     assert(planOf("q03_join_revenue").contains("BroadcastHashJoin"))
     assert(planOf("q06_broadcast_dims").contains("BroadcastHashJoin"))
