@@ -45,7 +45,10 @@ object Dedup {
     * over the exploded hash index (codegen'd hash agg — interpreted HOF
     * transforms were the sf0.1 bottleneck); candidate ids only through the
     * band join; hash arrays rejoin AFTER the candidate set collapses for one
-    * merge-intersection each. Returns (doc_a, doc_b, jac) with jac >= t. */
+    * merge-intersection each. Returns (doc_a, doc_b, jac) with jac >= t.
+    * Contract: `doc_id` must be globally unique in `docs` (the verify joins
+    * key on it alone — unlike [[prefixFilterJaccardPairs]], which scopes by
+    * source). */
   private def minhashVerifiedPairs(docs: DataFrame, nBands: Int,
       rowsPerBand: Int, t: Double): DataFrame = {
     import docs.sparkSession.implicits._
@@ -278,7 +281,15 @@ object Dedup {
     * distribution" rather than true near-dups, exercising the same plan
     * shape. Rows-only check (LSH recall is probabilistic by design);
     * LlmOpsSpec verifies precision (every emitted pair really clears the
-    * threshold, brute-force checked). */
+    * threshold, brute-force checked).
+    *
+    * Why this one is NOT oracle-checked like dedup_minhash_pairs: measured
+    * recall vs brute force (cos ≥ 0.4) only reaches 100% at 32 bands × 4
+    * planes — with zero margin (58/59 at 24 bands) — and by then 85% of ALL
+    * sf0.001 pairs are candidates, i.e. on near-random vectors a threshold
+    * inside the distribution bulk makes exact-recall LSH brute force in
+    * disguise. The 4-band operator keeps the honest scale shape; recall is
+    * what banding theory predicts (~50% at the threshold boundary). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val threshold = 0.4
