@@ -38,6 +38,8 @@ class PlanSpec extends AnyFunSuite {
       "dedup_ngram_jaccard" -> Seq("lang", "n_chars"),        // adds source only
       "text_langid" -> Seq("source", "n_chars"),              // uses lang+text
       "multimodal_bytes" -> Seq("doc_id", "lang", "n_chars"), // uses source+text
+      "multimodal_frames" -> Seq("lang", "source", "n_chars"), // typed mapPartitions must still prune
+      "multimodal_decode" -> Seq("lang", "source", "n_chars"),
       "sim_bruteforce_topk" -> Seq("label"),                  // uses vec_id+embedding
       "sim_lsh_topk" -> Seq("label"))
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
