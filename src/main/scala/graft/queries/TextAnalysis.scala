@@ -130,6 +130,41 @@ object TextAnalysis {
        |ORDER BY lang, predicted""".stripMargin
   }
 
+  /** Exact per-source heavy hitters: top-5 tokens by frequency, ties broken
+    * to the lexicographically smaller token. The highest-cardinality shuffle
+    * in the text family — explode to one row per token, partial-agg before
+    * the (source, token) shuffle, then a WindowGroupLimit top-k per source
+    * (rank filter pushed into the sort, no full per-source sort). */
+  def textTopTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"source", explode(TF.wordTokens($"text")).as("token"))
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n".desc, $"token")
+    counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank".cast("long").as("rank"), $"token", $"n")
+      .orderBy($"source", $"rank")
+  }
+
+  val textTopTokensSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) > 0),
+      |counts AS (
+      |  SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, token, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank
+      |  FROM counts)
+      |SELECT source, rank, token, n FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   /** Per-document md5 fingerprint of normalized text (the exact-dedup key,
     * exposed as its own operator). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -153,11 +188,13 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_top_tokens" -> (textTopTokens _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_top_tokens" -> textTopTokensSql,
     "text_fingerprint" -> textFingerprintSql)
 }

@@ -95,6 +95,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(parts.flatten.toSet == (1 to 100).toSet)
   }
 
+  test("clustered write yields disjoint per-file ranges (scan-prunable layout)") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    Layout.writeClustered(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_shipdate", $"l_quantity"),
+      dir, Seq("l_shipdate"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size >= 3, s"expected multiple range files, got $files")
+    // per-file [min, max] of the cluster column must not overlap — that is
+    // the property parquet stats pruning feeds on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"l_shipdate"), max($"l_shipdate")).head()
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(!hiA.isAfter(loB), s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    // total row count survives the re-layout
+    val n = spark.read.parquet(dir).count()
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
   test("csv, json, and text sources round-trip the documents table") {
     val base = Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
