@@ -14,6 +14,12 @@ import scala.sys.process._
   * (and the only one testable in this sandbox), with [[DockerRunner]] the
   * drop-in for real clusters with a Docker daemon per node.
   *
+  * One portability caveat: commands that REPLACE an output mount point
+  * (`rm -r out && mv scratch out`) work under SubprocessRunner (the sandbox
+  * reconciles the replacement dir back), but under Docker `rm -r` on a bind
+  * mount point fails with EBUSY — portable commands should write INTO the
+  * output mount (`cp -r scratch/. out`), not replace it.
+  *
   * Contract (same as the reference): blocks until exit; non-zero exit status
   * throws, which surfaces as a Spark task failure → standard task retry.
   */

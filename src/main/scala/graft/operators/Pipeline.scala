@@ -220,7 +220,13 @@ object Pipeline {
             if (!h) cleanup()
             h
           }
-          override def next(): U = result.next()
+          override def next(): U = {
+            // after close()/exhaustion the backing reader is closed and its
+            // dir deleted — honor the Iterator contract instead of surfacing
+            // an opaque closed-stream error
+            if (cleaned) throw new NoSuchElementException("iterator closed")
+            result.next()
+          }
           override def close(): Unit = cleanup()
         }
     }

@@ -82,6 +82,7 @@ object Multimodal {
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
+      .filter($"text".isNotNull) // a null payload has nothing to decode
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions { batch =>
@@ -139,6 +140,9 @@ object Multimodal {
     val frameSize = 4096
     val stride = 4
     Tables.documents(spark, dir)
+      // null payloads carry no frames — matches the oracle, where the frame
+      // range over a NULL length is empty and the doc just drops out
+      .filter($"text".isNotNull)
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

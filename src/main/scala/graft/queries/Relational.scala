@@ -293,15 +293,18 @@ object Relational {
     // each year's set feeds three set-ops; caching the ids-only sets runs the
     // orders scan + distinct shuffle once per year instead of three times
     // (cached rows are bounded by the customer dimension — fine at any fact
-    // scale; ids-only, so the footprint is a few bytes per active customer)
+    // scale). The counts are taken eagerly INSIDE the cache's lifetime so the
+    // blocks can be unpersisted before returning — no session-long pin.
     val y95 = activeIn(1995).cache()
     val y00 = activeIn(2000).cache()
-    val both = y95.intersect(y00).withColumn("tag", lit("both"))
-    val only95 = y95.except(y00).withColumn("tag", lit("only_1995"))
-    val any = y95.union(y00).distinct().withColumn("tag", lit("any"))
-    both.union(only95).union(any)
-      .groupBy($"tag").agg(count(lit(1)).as("n_customers"))
-      .orderBy($"tag")
+    try {
+      Seq(
+        ("any", y95.union(y00).distinct().count()),
+        ("both", y95.intersect(y00).count()),
+        ("only_1995", y95.except(y00).count()))
+        .toDF("tag", "n_customers")
+        .orderBy($"tag")
+    } finally { y95.unpersist(); y00.unpersist(); () }
   }
 
   val q12Sql: String =
