@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Spark-native plugin registration: enable every graft extension at session
+  * build time with
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), instead of calling the
+  * per-session `GraftFunctions.register` / `AsOf.register` imperatively.
+  * This is the deployment path for clusters where the session is built by
+  * the platform (Thrift server, Connect, notebooks): the custom as-of join
+  * strategy and the SQL-callable codegen expressions are present in every
+  * session without user code running first. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array",
+        exprs => SimHash64(exprs.head)),
+      ("dot_product", "dot_product(a, b) - double dot product of two arrays",
+        exprs => DotProduct(exprs(0), exprs(1))),
+      ("cosine_sim", "cosine_sim(a, b) - cosine similarity of two arrays",
+        exprs => CosineSim(exprs(0), exprs(1))),
+      ("intersect_size_sorted",
+        "intersect_size_sorted(a, b) - intersection size of two sorted arrays",
+        exprs => IntersectSizeSorted(exprs(0), exprs(1))),
+      ("language_id", "language_id(text) - stopword-profile language guess",
+        exprs => LanguageId(exprs.head)))
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+  }
+}

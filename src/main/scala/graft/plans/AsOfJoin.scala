@@ -157,8 +157,16 @@ object AsOf {
     * than reusing one DataFrame for both sides of a self-as-of). */
   def join(left: DataFrame, right: DataFrame, key: String,
       timeLeft: String, timeRight: String): DataFrame = {
+    register(left.sparkSession)
+    plan(left, right, key, timeLeft, timeRight)
+  }
+
+  /** Build the as-of logical plan WITHOUT touching session strategy
+    * registration — for sessions where [[graft.GraftExtensions]] already
+    * injected [[AsOfJoinStrategy]] via `spark.sql.extensions`. */
+  def plan(left: DataFrame, right: DataFrame, key: String,
+      timeLeft: String, timeRight: String): DataFrame = {
     val spark = left.sparkSession
-    register(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     val shared = lPlan.outputSet.intersect(rPlan.outputSet)

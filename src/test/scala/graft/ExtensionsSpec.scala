@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make the custom strategy + SQL functions available
+  * in a session configured ONLY via spark.sql.extensions — the zero-user-code
+  * deployment path. Uses its own session (extensions apply at build time). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate returns any existing session and would silently skip the
+  // extensions config — clear active/default first to force a NEW session
+  // (over the JVM's single SparkContext), and clear again after so other
+  // suites' shared TestSpark session is unaffected by this one.
+  private lazy val spark = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    s
+  }
+
+  test("SQL functions are injected without calling GraftFunctions.register") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d,
+        |       language_id('the cat and the dog was here') AS l""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+    assert(r.getString(2) == "en")
+  }
+
+  test("as-of strategy is planned without calling AsOf.register") {
+    import spark.implicits._
+    val left = Seq(("a", 10L), ("a", 20L)).toDF("k", "t")
+    val right = Seq(("a", 5L, "x"), ("a", 15L, "y")).toDF("k", "rt", "v")
+    val plan = graft.plans.AsOf.plan(left, right, "k", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"),
+      s"custom exec not planned:\n$plan")
+  }
+}
