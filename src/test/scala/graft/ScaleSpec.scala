@@ -156,6 +156,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("orc source round-trips the documents table (zlib + snappy)") {
+    // the second columnar format Spark ships natively; same pushdown/pruning
+    // machinery as parquet, different encoder stack
+    val docs = Tables.documents(spark, sf)
+    for (codec <- Seq("zlib", "snappy")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_orc_$codec").toString
+      docs.write.mode("overwrite").option("compression", codec).orc(dir)
+      val back = spark.read.orc(dir)
+      assert(back.count() == docs.count())
+      assert(back.schema == docs.schema)
+      val a = docs.orderBy($"doc_id").collect().map(_.toString).toSeq
+      val b = back.orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(a == b, s"orc/$codec round-trip diverged")
+    }
+  }
+
   test("custom record delimiter reads multi-line records (SDF-style)") {
     val dir = Files.createTempDirectory("graft_sdf_").toString
     val records = Seq("mol1\nATOM 1\nATOM 2", "mol2\nATOM 3", "mol3")
