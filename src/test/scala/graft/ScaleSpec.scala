@@ -118,6 +118,18 @@ class ScaleSpec extends AnyFunSuite {
     // total row count survives the re-layout
     val n = spark.read.parquet(dir).count()
     assert(n == Tables.lineitem(spark, sf).count())
+    // file-size cap: no physical file may exceed maxRecordsPerFile
+    val capDir = java.nio.file.Files.createTempDirectory("graft_layout_cap_").toString
+    Layout.writeClustered(
+      Tables.lineitem(spark, sf).select($"l_orderkey", $"l_shipdate"),
+      capDir, Seq("l_shipdate"), numFiles = 2, maxRecordsPerFile = 500L)
+    val capFiles = new java.io.File(capDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(capFiles.size > 2, s"cap should split the 2 range slices: $capFiles")
+    capFiles.foreach { f =>
+      val c = spark.read.parquet(f).count()
+      assert(c <= 500, s"file $f holds $c rows > cap 500")
+    }
   }
 
   test("csv, json, and text sources round-trip the documents table") {
