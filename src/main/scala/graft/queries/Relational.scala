@@ -284,27 +284,30 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** Set operations: customers active in 1995 vs 2000 (intersect / except / union). */
+  /** Set operations: customers active in 1995 vs 2000 (intersect / except / union).
+    *
+    * union/intersect/except over the same two inputs collapse to membership
+    * flags: one scan of orders, one shuffle keyed on o_custkey folding each
+    * customer to (seen-in-95, seen-in-00), then a partial+final count per
+    * combination — `any` = either flag, `both` = intersect, `only_1995` =
+    * except. Fully lazy single job (no driver actions, no cache), where the
+    * literal set-op form needed three counts over cached id sets. */
   def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ord = Tables.orders(spark, dir)
-    def activeIn(yr: Int) =
-      ord.filter(year($"o_orderdate") === yr).select($"o_custkey").distinct()
-    // each year's set feeds three set-ops; caching the ids-only sets runs the
-    // orders scan + distinct shuffle once per year instead of three times
-    // (cached rows are bounded by the customer dimension — fine at any fact
-    // scale). The counts are taken eagerly INSIDE the cache's lifetime so the
-    // blocks can be unpersisted before returning — no session-long pin.
-    val y95 = activeIn(1995).cache()
-    val y00 = activeIn(2000).cache()
-    try {
-      Seq(
-        ("any", y95.union(y00).distinct().count()),
-        ("both", y95.intersect(y00).count()),
-        ("only_1995", y95.except(y00).count()))
-        .toDF("tag", "n_customers")
-        .orderBy($"tag")
-    } finally { y95.unpersist(); y00.unpersist(); () }
+    val flags = Tables.orders(spark, dir)
+      .select($"o_custkey", year($"o_orderdate").as("yr"))
+      .filter($"yr" === 1995 || $"yr" === 2000)
+      .groupBy($"o_custkey")
+      .agg(max(($"yr" === 1995).cast("int")).as("in95"),
+        max(($"yr" === 2000).cast("int")).as("in00"))
+    flags
+      .agg(
+        count(lit(1)).as("n_any"),
+        sum(($"in95" === 1 && $"in00" === 1).cast("long")).as("n_both"),
+        sum(($"in95" === 1 && $"in00" === 0).cast("long")).as("n_only95"))
+      .select(expr(
+        "stack(3, 'any', n_any, 'both', n_both, 'only_1995', n_only95) AS (tag, n_customers)"))
+      .orderBy($"tag")
   }
 
   val q12Sql: String =

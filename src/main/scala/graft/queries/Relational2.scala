@@ -170,8 +170,52 @@ object Relational2 {
       |GROUP BY 1
       |ORDER BY segment""".stripMargin
 
+  /** Promo revenue share by ship month (TPC-H Q14 shape): lineitem ⋈ part
+    * with the part dimension broadcast (~1e-3 of the fact side), conditional
+    * revenue sums per month of 1997. Exact DECIMAL sums cast to DOUBLE, then
+    * a single double division — both engines divide bitwise-identical
+    * operands, so the ratio hash-matches without any rounding grid. */
+  def q26PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate") === 1997)
+      .select($"l_partkey", month($"l_shipdate").cast("long").as("ship_month"),
+        ($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))).as("rev"))
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"ship_month")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"rev").otherwise(lit(0).cast("decimal(12,2)")))
+          .cast("double").as("promo_rev"),
+        sum($"rev").cast("double").as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share_pct", lit(100.0) * $"promo_rev" / $"total_rev")
+      .select($"ship_month", $"promo_share_pct", $"promo_rev", $"total_rev", $"n_items")
+      .orderBy($"ship_month")
+  }
+
+  val q26Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |             THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_rev,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev,
+      |    count(*) AS n_items
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE year(l_shipdate) = 1997
+      |  GROUP BY 1)
+      |SELECT ship_month, 100.0 * promo_rev / total_rev AS promo_share_pct,
+      |  promo_rev, total_rev, n_items
+      |FROM m
+      |ORDER BY ship_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_outer_join" -> (q24OuterJoin _),
+    "q26_promo_revenue" -> (q26PromoRevenue _),
     "q19_grouping_sets" -> (q19GroupingSets _),
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_percentiles" -> (q21Percentiles _),
@@ -181,6 +225,7 @@ object Relational2 {
 
   val oracles: Map[String, String] = Map(
     "q24_outer_join" -> q24Sql,
+    "q26_promo_revenue" -> q26Sql,
     "q19_grouping_sets" -> q19Sql,
     "q21_percentiles" -> q21Sql,
     "q22_array_funcs" -> q22Sql,
