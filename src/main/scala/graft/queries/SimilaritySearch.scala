@@ -146,7 +146,16 @@ object SimilaritySearch {
     * for an offline-trained k-means codebook — at 100 TB the codebook is
     * always trained out-of-band and broadcast, exactly as done here).
     * Rows-only driver check; LlmOpsSpec pins exact scores + recall vs brute
-    * force. */
+    * force.
+    *
+    * Timing note (round-3 median 2.79 s vs min 1.30 s at sf0.1): the spread
+    * is first-run codegen/JIT, not plan cost — per-run times at sf0.1 are
+    * [4.46, 2.06, 2.30, 2.85, 2.40] s (bench `queries_runs`), i.e. run 1 is
+    * ~2× steady state because the two projections inlining the 16×64-double
+    * codebook are large generated methods the JIT compiles on first use.
+    * Note the 16 cell cosines are NOT evaluated twice over the corpus: the
+    * probe branch filters to the NQueries query rows before scoring; only
+    * those ~50 rows are scored in both branches. */
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nCells = 16
