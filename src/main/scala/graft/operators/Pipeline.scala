@@ -119,21 +119,41 @@ final class Pipeline[T](val ds: Dataset[T]) extends Serializable {
     * driver memory, full data volume; same bound as the reference's
     * sequential per-partition runJob loop, MaRe.scala:224-227) into a single
     * local file, then run ONE local command over it. The result stays at
-    * `localOutPath`; nothing is returned to Spark. */
+    * `localOutPath`; nothing is returned to Spark.
+    *
+    * `intermediateStorageLevel` mirrors the reference (MaRe.scala:202-208:
+    * persist at the configured level, then force computation with a cluster
+    * job before draining): `toLocalIterator` launches one job per partition,
+    * so an upstream with expensive narrow stages would recompute them on
+    * every partition fetch; persisting first computes the dataset ONCE, in
+    * parallel across all executors, and the sequential drain then only reads
+    * cached blocks. Persist/unpersist are scoped to this call. */
   def collectToLocal(
       in: MountPoint[T],
       out: MountPoint[_],
       command: String,
       localOutPath: String,
-      runner: CommandRunner = SubprocessRunner): Unit = {
+      runner: CommandRunner = SubprocessRunner,
+      intermediateStorageLevel: Option[org.apache.spark.storage.StorageLevel] = None): Unit = {
     import scala.jdk.CollectionConverters._
+    val src = intermediateStorageLevel.fold(ds) { lvl =>
+      val persisted = ds.persist(lvl)
+      // force full materialization as one parallel job (the reference's
+      // "enforce the computation" no-op job) before the partition-at-a-time
+      // driver drain
+      persisted.foreachPartition((_: Iterator[T]) => ())
+      persisted
+    }
     val tmpIn = Pipeline.freshTempPath("collect_in")
     try {
-      in.writePartition(ds.toLocalIterator().asScala, tmpIn)
+      in.writePartition(src.toLocalIterator().asScala, tmpIn)
       val outFile = new File(localOutPath)
       out.createEmpty(outFile)
       runner.run(command, Seq(tmpIn -> in.containerPath, outFile -> out.containerPath))
-    } finally Pipeline.deleteRecursive(tmpIn)
+    } finally {
+      Pipeline.deleteRecursive(tmpIn)
+      if (intermediateStorageLevel.isDefined) { src.unpersist(); () }
+    }
   }
 }
 

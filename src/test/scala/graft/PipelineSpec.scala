@@ -94,6 +94,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(content == "5050")
   }
 
+  test("collectToLocal with intermediateStorageLevel computes upstream exactly once") {
+    // reference parity (MaRe.scala:202-208): persist + force-materialize as
+    // one parallel job, so the sequential partition-at-a-time drain reads
+    // cached blocks. The accumulator proves it: the force job accounts for
+    // all 100 rows, and a recomputing drain would double the count.
+    val acc = spark.sparkContext.longAccumulator("upstream_rows")
+    val outPath = Files.createTempDirectory("graft_test_").resolve("sum.txt").toString
+    val ds = spark.createDataset(1 to 100).repartition(4)
+      .map { i => acc.add(1); i.toString }
+    Pipeline(ds).collectToLocal(
+      TextFile("/in.txt"), TextFile("/out.txt"),
+      "awk '{s+=$1} END {print s}' in.txt > out.txt",
+      outPath,
+      intermediateStorageLevel = Some(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    val content = new String(Files.readAllBytes(new File(outPath).toPath)).trim
+    assert(content == "5050")
+    assert(acc.value == 100L, s"upstream computed ${acc.value} rows, expected exactly 100")
+    // persist is scoped to the call: nothing left pinned in the block manager
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("collectToLocal over WholeTextFiles input (per-file text mount)") {
     // reference covers collectReduce across all three mount types
     // (MaReTest.scala:190-303); this and the binary test below complete the
