@@ -327,21 +327,40 @@ object Dedup {
     * verified against brute force in LlmOpsSpec) filtered by exact Jaccard
     * ≥ 0.8. The oracle recomputes the same edges by brute force and closes
     * them with a recursive CTE. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(spark, dir, reliableCheckpoint = false)
+
+  /** Reliable-checkpoint variant for real clusters: per-round lineage cuts go
+    * through `Dataset.checkpoint()` into the SparkContext checkpoint dir
+    * (HDFS/object store in production) instead of `localCheckpoint()`'s
+    * executor block manager, so a lost executor cannot lose a round's labels
+    * mid-loop. Costs one extra computation per round (RDD checkpoint writes
+    * in a second job after the computing job) — the durability trade, not the
+    * bench default. Caller must have set `sc.setCheckpointDir` first. */
+  private[graft] def dedupClustersReliable(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersImpl(spark, dir, reliableCheckpoint = true)
+
+  private def dedupClustersImpl(spark: SparkSession, dir: String,
+      reliableCheckpoint: Boolean): DataFrame = {
     import spark.implicits._
+    if (reliableCheckpoint)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable checkpoint mode needs sc.setCheckpointDir(...)")
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val pairs = minhashVerifiedPairs(shingledDocs(spark, dir),
       nBands = 8, rowsPerBand = 4, t = 0.8)
       .select($"doc_a", $"doc_b")
-    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .localCheckpoint()
+    val edges = cut(pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
     // min-label propagation to fixpoint; labels only decrease, so the
     // label-sum is a strictly-monotone convergence measure (one agg per
     // round instead of a change-detecting join). The checksum rides the
-    // eager localCheckpoint job as an observed metric — exactly ONE driver
-    // action per round, not a checkpoint job plus a separate agg job.
+    // eager checkpoint job as an observed metric — exactly ONE driver
+    // action per round (plus the checkpoint write job in reliable mode),
+    // not a checkpoint job plus a separate agg job.
     def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(tag)
-      val cp = df.observe(obs, sum($"label").as("s")).localCheckpoint()
+      val cp = cut(df.observe(obs, sum($"label").as("s")))
       (cp, obs.get("s").asInstanceOf[Long])
     }
     var (labels, checksum) = checkpointWithSum(

@@ -55,6 +55,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"cluster membership $clustered != brute-force near-dup docs $bruteDocs")
   }
 
+  test("dedupClusters reliable-checkpoint mode returns identical clusters") {
+    // the durability mode (reliable Dataset.checkpoint lineage cuts instead
+    // of localCheckpoint) must be a pure execution-strategy toggle: byte-for-
+    // byte the same (cluster_rep, n_members) rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val local = Dedup.dedupClusters(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+      val reliable = Dedup.dedupClustersReliable(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+      assert(reliable == local)
+      assert(local.nonEmpty)
+    } finally {
+      hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("prefix-filter Jaccard join equals blocked all-pairs join exactly") {
     // the PPJoin-style inverted-index join must be a drop-in for the O(block²)
     // form: same pairs, same jaccard values, at several thresholds
