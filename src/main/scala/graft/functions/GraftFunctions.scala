@@ -20,6 +20,24 @@ object GraftFunctions {
       "intersect_size_sorted",
       exprs => IntersectSizeSorted(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "command_reduce", { exprs =>
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
+          e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"command_reduce: $what must be a string literal, got $other")
+          }
+        exprs match {
+          case Seq(rec, cmd) =>
+            graft.operators.CommandReduceAgg(rec, lit(cmd, "command"))
+          case Seq(rec, cmd, bs) =>
+            graft.operators.CommandReduceAgg(rec, lit(cmd, "command"),
+              batchSize = bs.eval().toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"command_reduce expects 2 or 3 args, got ${other.length}")
+        }
+      }, "scala_udf")
+    registry.createOrReplaceTempFunction(
       "shingle_hash_set", {
         case Seq(text) => ShingleHashSet(text, 3)
         case Seq(text, k) =>

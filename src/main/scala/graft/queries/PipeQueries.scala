@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Pipeline, TextFile}
+import org.apache.spark.sql.functions._
+import graft.operators.{CommandReduce, Pipeline, TextFile}
 import graft.sources.Tables
 
 /** MaRe-style containerized-pipe queries, surfaced as oracle-checkable
@@ -62,11 +63,42 @@ object PipeQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Containerized reduce INSIDE relational groupBy: per-returnflag quantity
+    * sums where the per-group combiner is an external `awk` command run by
+    * [[graft.operators.CommandReduceAgg]] (TypedImperativeAggregate →
+    * ObjectHashAggregate: partial buffers map-side, command batches of ≤64k
+    * records, shuffled partials merged and reduced once more at eval). The
+    * reference can only reduce a whole dataset to one value per job; this
+    * composes the same command contract with grouped aggregation. */
+  def pipeGroupReduce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val recs = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
+        $"l_quantity".cast("long").cast("string").as("rec"))
+    recs.groupBy($"l_returnflag")
+      .agg(element_at(
+        CommandReduce.commandReduce(
+          $"rec", "awk '{s+=$1} END {print s}' in.txt > out.txt",
+          batchSize = 65536), 1)
+        .cast("long").as("qty_sum"))
+      .orderBy($"l_returnflag")
+  }
+
+  // quantities are integral doubles, so the BIGINT cast is exact in both
+  // engines (DuckDB rounds, Spark truncates — identical on integral values)
+  val pipeGroupReduceSql: String =
+    """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_vowel_count" -> (pipeVowelCount _),
-    "pipe_grep_filter" -> (pipeGrepFilter _))
+    "pipe_grep_filter" -> (pipeGrepFilter _),
+    "pipe_group_reduce" -> (pipeGroupReduce _))
 
   val oracles: Map[String, String] = Map(
     "pipe_vowel_count" -> pipeVowelCountSql,
-    "pipe_grep_filter" -> pipeGrepFilterSql)
+    "pipe_grep_filter" -> pipeGrepFilterSql,
+    "pipe_group_reduce" -> pipeGroupReduceSql)
 }

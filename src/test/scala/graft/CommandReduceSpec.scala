@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CommandReduce, Pipeline, TextFile}
+
+/** The containerized-reduce aggregate must satisfy the reference reduce
+  * contract inside relational groupBy: for an associative & commutative
+  * command, the result is independent of partitioning, batch size, and
+  * partial/final aggregation splits, and agrees both with native Spark
+  * aggregation and with [[Pipeline.treeReduce]] running the SAME command
+  * over the same records. */
+class CommandReduceSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val sumCmd = "awk '{s+=$1} END {print s}' in.txt > out.txt"
+
+  test("groupBy command_reduce(awk sum) equals native groupBy sum") {
+    val df = spark.range(1000)
+      .select(($"id" % 7).as("k"), $"id".cast("string").as("rec"))
+      .repartition(6)
+    val piped = df.groupBy($"k")
+      .agg(CommandReduce.commandReduce($"rec", sumCmd).as("recs"))
+      .select($"k", element_at($"recs", 1).cast("long").as("s"),
+        size($"recs").as("n_recs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val native = spark.range(1000)
+      .select(($"id" % 7).as("k"), $"id")
+      .groupBy($"k").agg(sum($"id").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1)).toSet
+    assert(piped == native)
+  }
+
+  test("result is invariant to batchSize (intermediate collapse path)") {
+    val df = spark.range(500)
+      .select(($"id" % 3).as("k"), $"id".cast("string").as("rec"))
+      .repartition(5)
+    def run(bs: Int) = df.groupBy($"k")
+      .agg(CommandReduce.commandReduce($"rec", sumCmd, batchSize = bs).as("recs"))
+      .select($"k", element_at($"recs", 1).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bs=2 collapses after every second record (maximal command fan-in
+    // pressure); bs=1000 never collapses before eval
+    val expected = run(1000)
+    for (bs <- Seq(2, 7, 50)) assert(run(bs) == expected, s"batchSize=$bs")
+  }
+
+  test("global command_reduce equals treeReduce with the same command") {
+    val recs = spark.createDataset((1 to 200).map(_.toString)).repartition(8)
+    val viaAgg = recs.toDF("rec")
+      .agg(CommandReduce.commandReduce($"rec", sumCmd, batchSize = 16).as("recs"))
+      .select(element_at($"recs", 1).cast("long"))
+      .head().getLong(0)
+    val viaTree = Pipeline(recs)
+      .treeReduce(TextFile("/in.txt"), TextFile("/out.txt"), sumCmd, depth = 3)
+      .ds.collect()
+    assert(viaTree.length == 1)
+    assert(viaAgg == viaTree.head.trim.toLong)
+    assert(viaAgg == (1 to 200).map(_.toLong).sum)
+  }
+
+  test("command_reduce is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(100)
+      .select(($"id" % 2).as("k"), $"id".cast("string").as("rec"))
+      .createOrReplaceTempView("cr_input")
+    val rows = spark.sql(
+      "SELECT k, CAST(command_reduce(rec, 'awk \\'{s+=$1} END {print s}\\' in.txt > out.txt', 10)[0] AS LONG) AS s " +
+        "FROM cr_input GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val evens = (0 until 100 by 2).map(_.toLong).sum
+    val odds = (1 until 100 by 2).map(_.toLong).sum
+    assert(rows == Seq((0L, evens), (1L, odds)))
+  }
+
+  test("multi-record command output surfaces as multiple result records") {
+    // a command that emits min and max — the aggregate must not assume a
+    // single output record
+    val minMax = "sort -n in.txt | sed -n '1p;$p' > out.txt"
+    val recs = (1 to 50).map(_.toString)
+    val out = spark.createDataset(recs).toDF("rec")
+      .agg(CommandReduce.commandReduce($"rec", minMax).as("recs"))
+      .select($"recs").head().getSeq[String](0)
+    assert(out == Seq("1", "50"))
+  }
+}
