@@ -72,6 +72,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("Partial"))
   }
 
+  test("q26 broadcasts the part dimension and prunes the lineitem scan") {
+    val plan = SparkEntry.queries("q26_promo_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"))
+    val liSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_partkey")).get
+    for (c <- Seq("l_quantity", "l_tax", "l_returnflag", "l_orderkey"))
+      assert(!liSchema.contains(c), s"q26 lineitem scan reads unused '$c': $liSchema")
+  }
+
+  test("q12 set-ops run as one job: single key shuffle, no caching") {
+    val plan = planOf("q12_setops")
+    assert(!plan.contains("InMemoryRelation"), "q12 must not cache")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"q12 should shuffle once on o_custkey, found $keyShuffles:\n$plan")
+  }
+
+  test("pipe_group_reduce aggregates partially map-side (ObjectHashAggregate)") {
+    val plan = planOf("pipe_group_reduce")
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("partial_command_reduce") || plan.contains("Partial"),
+      s"command_reduce must pre-aggregate before the shuffle:\n$plan")
+  }
+
   test("native as-of join plans its own exchanges and sorts") {
     val plan = planOf("events_asof_native")
     assert(plan.contains("AsOfJoin"))
