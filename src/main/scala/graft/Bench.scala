@@ -82,8 +82,10 @@ object Bench {
     val failures = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
+    // cpus is quoted: SPARK_GRAFT_CPUS may legitimately be non-numeric
+    // ("*" for local[*]) and an unquoted value would corrupt the JSON
     val header = s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""cpus":$cpus,"sf":"$sfDir","failures":$failures"""
+      s""""cpus":"$cpus","sf":"$sfDir","failures":$failures"""
     val full = s"""{$header,"queries":${fmt(median)},"queries_min":${fmt(_.min)},""" +
       s""""queries_runs":$perRun,"bench_file":"$outPath"}"""
     val p = Paths.get(outPath)

@@ -22,17 +22,26 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "command_reduce", { exprs =>
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
-          e.eval() match {
+          (if (e.foldable) e.eval() else null) match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString
             case other => throw new IllegalArgumentException(
-              s"command_reduce: $what must be a string literal, got $other")
+              s"command_reduce: $what must be a non-null string literal, got " +
+                (if (e.foldable) s"$other" else s"non-literal $e"))
+          }
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
+          (if (e.foldable) e.eval() else null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"command_reduce: $what must be an integer literal, got " +
+                (if (e.foldable) s"$other" else s"non-literal $e"))
           }
         exprs match {
           case Seq(rec, cmd) =>
             graft.operators.CommandReduceAgg(rec, lit(cmd, "command"))
           case Seq(rec, cmd, bs) =>
             graft.operators.CommandReduceAgg(rec, lit(cmd, "command"),
-              batchSize = bs.eval().toString.toInt)
+              batchSize = intLit(bs, "batchSize"))
           case other => throw new IllegalArgumentException(
             s"command_reduce expects 2 or 3 args, got ${other.length}")
         }

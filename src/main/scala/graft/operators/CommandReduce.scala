@@ -70,8 +70,13 @@ case class CommandReduceAgg(
   }
 
   override def merge(buf: ArrayBuffer[String], other: ArrayBuffer[String]): ArrayBuffer[String] = {
-    buf ++= other
-    if (buf.length >= batchSize) collapse(buf)
+    // append element-wise with interleaved collapses so no command invocation
+    // ever sees more than batchSize records (a bulk ++= of two near-full
+    // buffers would hand one invocation close to 2x the documented bound)
+    other.foreach { r =>
+      buf += r
+      if (buf.length >= batchSize) collapse(buf)
+    }
     buf
   }
 
@@ -85,6 +90,13 @@ case class CommandReduceAgg(
     val reduced = runCommand(buf.toSeq)
     require(reduced.nonEmpty,
       s"command_reduce command produced no output records: $command")
+    // a command that does not strictly shrink its input is not a reducer:
+    // left unchecked, a full buffer would re-collapse on every subsequent
+    // record — one subprocess per row, silently. Fail on the first batch.
+    require(reduced.length < buf.length,
+      s"command_reduce command did not reduce its input " +
+        s"(${buf.length} records in, ${reduced.length} out) — not a reducer, " +
+        s"or batchSize ($batchSize) too small for its output arity: $command")
     buf.clear()
     buf ++= reduced
     ()

@@ -136,16 +136,14 @@ final class Pipeline[T](val ds: Dataset[T]) extends Serializable {
       runner: CommandRunner = SubprocessRunner,
       intermediateStorageLevel: Option[org.apache.spark.storage.StorageLevel] = None): Unit = {
     import scala.jdk.CollectionConverters._
-    val src = intermediateStorageLevel.fold(ds) { lvl =>
-      val persisted = ds.persist(lvl)
-      // force full materialization as one parallel job (the reference's
-      // "enforce the computation" no-op job) before the partition-at-a-time
-      // driver drain
-      persisted.foreachPartition((_: Iterator[T]) => ())
-      persisted
-    }
+    val src = intermediateStorageLevel.fold(ds)(ds.persist)
     val tmpIn = Pipeline.freshTempPath("collect_in")
     try {
+      // force full materialization as one parallel job (the reference's
+      // "enforce the computation" no-op job) before the partition-at-a-time
+      // driver drain; inside the try so a failing upstream still unpersists
+      if (intermediateStorageLevel.isDefined)
+        src.foreachPartition((_: Iterator[T]) => ())
       in.writePartition(src.toLocalIterator().asScala, tmpIn)
       val outFile = new File(localOutPath)
       out.createEmpty(outFile)

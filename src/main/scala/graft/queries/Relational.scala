@@ -303,8 +303,10 @@ object Relational {
     flags
       .agg(
         count(lit(1)).as("n_any"),
-        sum(($"in95" === 1 && $"in00" === 1).cast("long")).as("n_both"),
-        sum(($"in95" === 1 && $"in00" === 0).cast("long")).as("n_only95"))
+        // coalesce: sum over zero rows is NULL, but the set-op counts this
+        // replaces returned 0 on empty input — keep that contract
+        coalesce(sum(($"in95" === 1 && $"in00" === 1).cast("long")), lit(0L)).as("n_both"),
+        coalesce(sum(($"in95" === 1 && $"in00" === 0).cast("long")), lit(0L)).as("n_only95"))
       .select(expr(
         "stack(3, 'any', n_any, 'both', n_both, 'only_1995', n_only95) AS (tag, n_customers)"))
       .orderBy($"tag")

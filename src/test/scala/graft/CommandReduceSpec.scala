@@ -75,6 +75,19 @@ class CommandReduceSpec extends AnyFunSuite {
     assert(rows == Seq((0L, evens), (1L, odds)))
   }
 
+  test("a non-reducing command fails fast at the first collapse") {
+    // 'cat' returns every record: left unchecked the full buffer would
+    // re-collapse on every subsequent row (one subprocess per record)
+    val ex = intercept[Exception] {
+      spark.createDataset((1 to 50).map(_.toString)).toDF("rec")
+        .agg(CommandReduce.commandReduce($"rec", "cat in.txt > out.txt", batchSize = 10))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("did not reduce")), messages(ex).mkString(" | "))
+  }
+
   test("multi-record command output surfaces as multiple result records") {
     // a command that emits min and max — the aggregate must not assume a
     // single output record
