@@ -31,7 +31,12 @@ object GraftFunctions {
         def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
           (if (e.foldable) e.eval() else null) match {
             case i: Int => i
-            case l: Long => l.toInt
+            case l: Long =>
+              try Math.toIntExact(l)
+              catch { case _: ArithmeticException =>
+                throw new IllegalArgumentException(
+                  s"command_reduce: $what $l overflows Int")
+              }
             case other => throw new IllegalArgumentException(
               s"command_reduce: $what must be an integer literal, got " +
                 (if (e.foldable) s"$other" else s"non-literal $e"))

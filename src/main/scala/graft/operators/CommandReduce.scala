@@ -25,14 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * path as `collect_list`/`percentile` (ObjectHashAggregateExec) — partial
   * buffers on the map side, serialized shuffle of partially-reduced buffers,
   * final merge+command on the reduce side. The command runs whenever a
-  * buffer reaches `batchSize` records (bounding both JVM memory and the
-  * record count any single command invocation sees — the analog of
-  * treeReduce's n^(1/depth) fan-in), on merged spill/shuffle buffers that
-  * reach it, and once at `eval`. A group's result therefore sees the command
-  * applied in a data-dependent tree — exactly the contract the reference
-  * imposes (associativity + commutativity), checked in CommandReduceSpec by
-  * sweeping batch sizes against [[Pipeline.treeReduce]] and native
-  * aggregation on the same data.
+  * buffer reaches its collapse threshold (initially `batchSize`, bounding
+  * both JVM memory and the record count any single command invocation sees —
+  * the analog of treeReduce's n^(1/depth) fan-in), on merged spill/shuffle
+  * buffers that reach it, and once at `eval`. A group's result therefore
+  * sees the command applied in a data-dependent tree — exactly the contract
+  * the reference imposes (associativity + commutativity), checked in
+  * CommandReduceSpec by sweeping batch sizes against [[Pipeline.treeReduce]]
+  * and native aggregation on the same data.
+  *
+  * Commands that cannot shrink a batch (a dedup-style `sort -u` over
+  * all-distinct records is a legitimate associative reducer with nothing to
+  * remove) grow the threshold geometrically instead of failing or thrashing:
+  * memory degrades gracefully toward collect_list-like buffering while the
+  * subprocess count stays amortized-logarithmic in the group size — never
+  * one invocation per record.
   *
   * Result type: `array<string>` — the records remaining after the final
   * command run (a proper reducer command usually leaves exactly one). */
@@ -45,8 +52,9 @@ case class CommandReduceAgg(
     outMount: TextFile = TextFile("/out.txt"),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[String]]
+  extends TypedImperativeAggregate[CommandReduceAgg.Buffer]
   with UnaryLike[Expression] {
+  import CommandReduceAgg.Buffer
 
   require(batchSize >= 2, s"batchSize must be >= 2, got $batchSize")
 
@@ -58,47 +66,50 @@ case class CommandReduceAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "command_reduce"
 
-  override def createAggregationBuffer(): ArrayBuffer[String] = ArrayBuffer.empty
+  override def createAggregationBuffer(): Buffer =
+    new Buffer(batchSize, ArrayBuffer.empty)
 
-  override def update(buf: ArrayBuffer[String], input: InternalRow): ArrayBuffer[String] = {
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = child.eval(input)
     if (v != null) {
-      buf += v.asInstanceOf[UTF8String].toString
-      if (buf.length >= batchSize) collapse(buf)
+      buf.records += v.asInstanceOf[UTF8String].toString
+      if (buf.records.length >= buf.threshold) collapse(buf)
     }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[String], other: ArrayBuffer[String]): ArrayBuffer[String] = {
-    // append element-wise with interleaved collapses so no command invocation
-    // ever sees more than batchSize records (a bulk ++= of two near-full
-    // buffers would hand one invocation close to 2x the documented bound)
-    other.foreach { r =>
-      buf += r
-      if (buf.length >= batchSize) collapse(buf)
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    // the larger threshold wins: if either side already proved the command
+    // can't shrink below some size, re-thrashing at the smaller bound is
+    // pointless. Append element-wise with interleaved collapses so no
+    // command invocation ever sees more than the threshold (a bulk ++= of
+    // two near-full buffers would hand one invocation close to 2x it).
+    buf.threshold = math.max(buf.threshold, other.threshold)
+    other.records.foreach { r =>
+      buf.records += r
+      if (buf.records.length >= buf.threshold) collapse(buf)
     }
     buf
   }
 
-  override def eval(buf: ArrayBuffer[String]): Any = {
-    val result = if (buf.isEmpty) Nil else runCommand(buf.toSeq)
+  override def eval(buf: Buffer): Any = {
+    val result = if (buf.records.isEmpty) Nil else runCommand(buf.records.toSeq)
     new GenericArrayData(result.map(r => UTF8String.fromString(r): Any).toArray)
   }
 
-  /** Replace the buffer's records with the command's output records. */
-  private def collapse(buf: ArrayBuffer[String]): Unit = {
-    val reduced = runCommand(buf.toSeq)
+  /** Replace the buffer's records with the command's output records. If the
+    * command could not shrink below the threshold, double it (geometric
+    * growth: the next collapse happens only after the buffer doubles, so a
+    * non-shrinking command costs amortized-log subprocess launches, never
+    * one per record). */
+  private def collapse(buf: Buffer): Unit = {
+    val reduced = runCommand(buf.records.toSeq)
     require(reduced.nonEmpty,
       s"command_reduce command produced no output records: $command")
-    // a command that does not strictly shrink its input is not a reducer:
-    // left unchecked, a full buffer would re-collapse on every subsequent
-    // record — one subprocess per row, silently. Fail on the first batch.
-    require(reduced.length < buf.length,
-      s"command_reduce command did not reduce its input " +
-        s"(${buf.length} records in, ${reduced.length} out) — not a reducer, " +
-        s"or batchSize ($batchSize) too small for its output arity: $command")
-    buf.clear()
-    buf ++= reduced
+    buf.records.clear()
+    buf.records ++= reduced
+    if (buf.records.length * 2 > buf.threshold)
+      buf.threshold = math.max(buf.threshold * 2, buf.records.length * 2)
     ()
   }
 
@@ -124,11 +135,12 @@ case class CommandReduceAgg(
     }
   }
 
-  override def serialize(buf: ArrayBuffer[String]): Array[Byte] = {
+  override def serialize(buf: Buffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
-    out.writeInt(buf.length)
-    buf.foreach { s =>
+    out.writeInt(buf.threshold)
+    out.writeInt(buf.records.length)
+    buf.records.foreach { s =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       out.writeInt(b.length)
       out.write(b)
@@ -137,18 +149,19 @@ case class CommandReduceAgg(
     bytes.toByteArray
   }
 
-  override def deserialize(storageFormat: Array[Byte]): ArrayBuffer[String] = {
+  override def deserialize(storageFormat: Array[Byte]): Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    val threshold = in.readInt()
     val n = in.readInt()
-    val buf = new ArrayBuffer[String](n)
+    val records = new ArrayBuffer[String](n)
     var i = 0
     while (i < n) {
       val b = new Array[Byte](in.readInt())
       in.readFully(b)
-      buf += new String(b, StandardCharsets.UTF_8)
+      records += new String(b, StandardCharsets.UTF_8)
       i += 1
     }
-    buf
+    new Buffer(threshold, records)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CommandReduceAgg =
@@ -159,12 +172,20 @@ case class CommandReduceAgg(
     copy(child = newChild)
 }
 
+object CommandReduceAgg {
+  /** Mutable aggregation state: pending records plus the current collapse
+    * threshold (starts at batchSize; doubles whenever the command cannot
+    * shrink the batch to under half of it). */
+  final class Buffer(var threshold: Int, val records: ArrayBuffer[String])
+}
+
 object CommandReduce {
 
   /** Column-API entry: `df.groupBy($"k").agg(commandReduce($"rec", cmd))`.
     * `command` must be associative & commutative over text records (the
     * reference reduce contract); sees at most `batchSize` records per
-    * invocation. */
+    * invocation unless it cannot shrink batches, in which case the bound
+    * grows geometrically (see [[CommandReduceAgg]]). */
   def commandReduce(records: Column, command: String, batchSize: Int = 1000,
       runner: CommandRunner = SubprocessRunner): Column =
     GraftBridge.column(

@@ -75,17 +75,30 @@ class CommandReduceSpec extends AnyFunSuite {
     assert(rows == Seq((0L, evens), (1L, odds)))
   }
 
-  test("a non-reducing command fails fast at the first collapse") {
-    // 'cat' returns every record: left unchecked the full buffer would
-    // re-collapse on every subsequent row (one subprocess per record)
-    val ex = intercept[Exception] {
-      spark.createDataset((1 to 50).map(_.toString)).toDF("rec")
-        .agg(CommandReduce.commandReduce($"rec", "cat in.txt > out.txt", batchSize = 10))
-        .collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("did not reduce")), messages(ex).mkString(" | "))
+  test("dedup-style reducer that can't always shrink still aggregates correctly") {
+    // 'sort -nu' is a legitimate associative+commutative reducer, but over
+    // all-distinct records a batch has nothing to remove — the adaptive
+    // threshold must absorb that (grow, not throw, not thrash)
+    val distinct = (1 to 80).map(_.toString)
+    val got = spark.createDataset(distinct).repartition(4).toDF("rec")
+      .agg(CommandReduce.commandReduce($"rec", "sort -nu in.txt > out.txt", batchSize = 8).as("recs"))
+      .select($"recs").head().getSeq[String](0)
+    assert(got.map(_.toInt).sorted == (1 to 80))
+  }
+
+  test("a non-shrinking command launches amortized-log subprocesses, not one per record") {
+    // 'cat' never shrinks: the collapse threshold must double after each
+    // non-shrinking collapse, so 200 records at batchSize=10 cost a handful
+    // of invocations (10→20→40→80→160 growth + final eval), not ~190
+    val marker = java.nio.file.Files.createTempFile("graft_cr_invocations_", ".log")
+    val cmd = s"cat in.txt > out.txt; echo x >> $marker"
+    val got = spark.createDataset((1 to 200).map(_.toString)).repartition(1).toDF("rec")
+      .agg(CommandReduce.commandReduce($"rec", cmd, batchSize = 10).as("recs"))
+      .select($"recs").head().getSeq[String](0)
+    val invocations = java.nio.file.Files.readAllLines(marker).size
+    java.nio.file.Files.deleteIfExists(marker)
+    assert(got.map(_.toInt).sorted == (1 to 200))
+    assert(invocations <= 8, s"expected amortized-log invocations, got $invocations")
   }
 
   test("multi-record command output surfaces as multiple result records") {

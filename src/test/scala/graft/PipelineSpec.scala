@@ -103,10 +103,11 @@ class PipelineSpec extends AnyFunSuite {
     val outPath = Files.createTempDirectory("graft_test_").resolve("sum.txt").toString
     val ds = spark.createDataset(1 to 100).repartition(4)
       .map { i => acc.add(1); i.toString }
-    // relative, not absolute: the shared test session may hold persistent
-    // RDDs from other suites' localCheckpoint calls until the ContextCleaner
-    // catches a GC — only pin that THIS call leaves no new entry behind
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    // id-set, not size: the shared test session may hold persistent RDDs
+    // from other suites' localCheckpoint calls (removed whenever the
+    // ContextCleaner catches a GC), so only pin that THIS call leaves no
+    // NEW entry behind — a concurrent removal can't mask a leaked id
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     Pipeline(ds).collectToLocal(
       TextFile("/in.txt"), TextFile("/out.txt"),
       "awk '{s+=$1} END {print s}' in.txt > out.txt",
@@ -115,9 +116,9 @@ class PipelineSpec extends AnyFunSuite {
     val content = new String(Files.readAllBytes(new File(outPath).toPath)).trim
     assert(content == "5050")
     assert(acc.value == 100L, s"upstream computed ${acc.value} rows, expected exactly 100")
-    // persist is scoped to the call: nothing NEW left pinned (cleaner may
-    // have shrunk the set concurrently, hence <=)
-    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+    // persist is scoped to the call: nothing NEW left pinned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"collectToLocal leaked persistent RDD ids: $leaked")
   }
 
   test("collectToLocal over WholeTextFiles input (per-file text mount)") {

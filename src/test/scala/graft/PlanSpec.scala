@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("BroadcastHashJoin"))
     val liSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
-      .find(_.contains("l_partkey")).get
+      .find(_.contains("l_partkey"))
+      .getOrElse(fail(s"no lineitem ReadSchema line in plan:\n$plan"))
     for (c <- Seq("l_quantity", "l_tax", "l_returnflag", "l_orderkey"))
       assert(!liSchema.contains(c), s"q26 lineitem scan reads unused '$c': $liSchema")
   }
