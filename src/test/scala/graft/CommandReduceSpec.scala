@@ -101,6 +101,57 @@ class CommandReduceSpec extends AnyFunSuite {
     assert(invocations <= 8, s"expected amortized-log invocations, got $invocations")
   }
 
+  test("buffer serialization round-trips records, unicode, and threshold") {
+    // partial buffers cross the shuffle through serialize/deserialize; the
+    // adaptive threshold must survive too or the final-side merge re-thrashes
+    val agg = graft.operators.CommandReduceAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), sumCmd, batchSize = 10)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val recs = scala.collection.mutable.ArrayBuffer.tabulate(rnd.nextInt(30)) { i =>
+        rnd.nextInt(4) match {
+          case 0 => ""
+          case 1 => s"plain_$i"
+          case 2 => "unicode_é中文_" + rnd.nextLong()
+          case _ => // long well-formed strings (unpaired surrogates are not
+            // representable in UTF-8 by contract, so not generated)
+            List.fill(rnd.nextInt(200))(rnd.alphanumeric.head).mkString + "🙂"
+        }
+      }
+      val buf = new graft.operators.CommandReduceAgg.Buffer(10 + rnd.nextInt(1000), recs)
+      val back = agg.deserialize(agg.serialize(buf))
+      assert(back.threshold == buf.threshold, s"trial $trial")
+      assert(back.records == buf.records, s"trial $trial")
+    }
+  }
+
+  test("pipe map composes with Structured Streaming via foreachBatch") {
+    // the MaRe surface in a streaming pipeline: each micro-batch's
+    // partitions are piped through an external command, results land in a
+    // sink — same code path as batch (Pipeline over the batch DataFrame)
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        Pipeline(batch)
+          .mapPartitionsThrough(TextFile("/in.txt"), TextFile("/out.txt"),
+            "tr 'a-z' 'A-Z' < in.txt > out.txt")
+          .ds.collect().foreach(r => { collected.add(r); () })
+        ()
+      }
+      .start()
+    try {
+      input.addData("alpha", "beta")
+      q.processAllAvailable()
+      input.addData("gamma")
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(collected.asScala.toSet == Set("ALPHA", "BETA", "GAMMA"))
+    } finally q.stop()
+  }
+
   test("multi-record command output surfaces as multiple result records") {
     // a command that emits min and max — the aggregate must not assume a
     // single output record
