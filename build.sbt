@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through verbatim instead of re-logging each
+// line with an "[info] " prefix: Bench/Verify print a contractual JSON line
+// that the caller parses, and the prefix breaks `json.loads` on that line
+// (BENCH_r04 carried the full map yet still parsed as null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
