@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Training-data preparation operators: deterministic splits, weighted
+  * mixture sampling, sequence packing, chunking, and redaction.
+  *
+  * Everything here is built on content-hash determinism (md5 of stable keys)
+  * rather than `rand()`: at 100 TB a split/sample must be reproducible across
+  * reruns, stable under repartitioning, and computable with ZERO shuffles —
+  * a hash of the row's own key is all three, while `rand()` is none. All five
+  * operators are pure projections or per-source window scans; none shuffles
+  * more than one narrow aggregation.
+  */
+object DataPipeline {
+
+  /** First `width` hex chars of md5(key) — a uniform draw in [0, 16^width)
+    * that both Spark and DuckDB compute byte-identically. Comparing the hex
+    * PREFIX STRING against a hex threshold string avoids any hex→int
+    * conversion (which the two engines spell differently). */
+  private def md5Prefix(key: Column, width: Int): Column =
+    substring(md5(key.cast("string")), 1, width)
+
+  /** Deterministic train/val/test assignment: bucket = first two hex chars of
+    * md5(doc_id) → 256 uniform buckets; [00,cc) train (~80%), [cc,e6) val
+    * (~10%), [e6,ff] test. A pure projection — no shuffle, no RNG state, and
+    * the assignment of a given doc_id never changes as the corpus grows,
+    * which is the property that keeps eval sets uncontaminated across
+    * dataset versions. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = md5Prefix($"doc_id", 2)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+          .as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val splitAssignSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source sampling rates for [[mixWeighted]]. Sources cycle through
+    * full / half / quarter / tenth — the shape of a real training mixture
+    * (keep all of the high-quality source, downsample the crawl). The oracle
+    * SQL is GENERATED from this map so the two sides cannot drift. */
+  val mixRates: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4))
+
+  /** Hex threshold string for a keep-rate: keep iff the 4-hex-char md5 prefix
+    * sorts below it. Rate 1.0 maps to "g000", which every [0-9a-f] prefix
+    * sorts below — no special case needed on either engine. */
+  private def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g000" else f"${math.round(rate * 65536)}%04x"
+
+  /** Weighted mixture sampling: each source keeps a deterministic fraction of
+    * its documents (md5 of doc_id:source vs a per-source hex threshold).
+    * The salt ("mix:") decorrelates this draw from [[splitAssign]]'s buckets
+    * so sampling does not bias the split. Pure projection + filter — the
+    * 100 TB shape is a single scan that emits the mixed corpus with no
+    * shuffle and no driver state. */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = element_at(
+      map(mixRates.flatMap { case (s, r) => Seq(lit(s), lit(rateThreshold(r))) }: _*),
+      $"source")
+    Tables.documents(spark, dir)
+      .filter(md5Prefix(concat_ws(":", lit("mix"), $"doc_id", $"source"), 4) < thr)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val mixWeightedSql: String = {
+    val cases = mixRates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${rateThreshold(r)}'"
+    }.mkString("\n      |    ", "\n      |    ", "").stripMargin
+    s"""SELECT doc_id, source
+       |FROM documents
+       |WHERE substring(md5(concat_ws(':', 'mix', CAST(doc_id AS VARCHAR), source)), 1, 4)
+       |      < CASE source $cases END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence packing: concatenate documents (in doc_id order, per source)
+    * into fixed token-budget packs of `budget` tokens. Pack assignment is the
+    * EXCLUSIVE running token total integer-divided by the budget — the
+    * streaming-quota form of packing (a doc may straddle its pack boundary;
+    * trainers that split documents across context windows want exactly this).
+    * Partitioning by source keeps the window scan parallel: at 100 TB the
+    * running sum never crosses partition boundaries, so this is one narrow
+    * per-source sort, not a global one. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+
+  def packSequencesSql(budget: Int = 256): String =
+    s"""WITH counted AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) = 0 THEN 0
+       |         ELSE len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
+       |    END AS n_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // $budget AS pack_id
+       |  FROM counted)
+       |SELECT source, pack_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY 1, 2
+       |ORDER BY source, pack_id""".stripMargin
+
+  /** Overlapping fixed-size chunking (RAG / context-window prep): each
+    * document yields word-window chunks of `size` tokens every `stride`
+    * tokens. One generate-and-explode projection — no shuffle; chunk ids are
+    * derived from the window start (start / stride), not an ordinal, so the
+    * operator stays deterministic under any row order. */
+  def textChunks(spark: SparkSession, dir: String,
+                 size: Int = 32, stride: Int = 16): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", TF.wordTokens($"text").as("toks"))
+      .filter(org.apache.spark.sql.functions.size($"toks") > 0)
+      .select($"doc_id",
+        explode(sequence(lit(0), org.apache.spark.sql.functions.size($"toks") - 1,
+          lit(stride))).as("start"), $"toks")
+      .select($"doc_id",
+        expr(s"start div $stride").as("chunk_id"),
+        org.apache.spark.sql.functions.size(slice($"toks", $"start" + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice($"toks", $"start" + 1, lit(size)), " ").as("chunk"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  def textChunksSql(size: Int = 32, stride: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+       |  FROM documents
+       |  WHERE length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) > 0),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start FROM toks)
+       |SELECT doc_id,
+       |  start // $stride AS chunk_id,
+       |  len(list_slice(t, start + 1, start + $size)) AS n_chunk_tokens,
+       |  array_to_string(list_slice(t, start + 1, start + $size), ' ') AS chunk
+       |FROM starts
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** PII-shaped redaction over `events.props`: numeric literals and
+    * email-shaped tokens are masked with typed placeholders. Patterns are
+    * written in the RE2-compatible subset (no lookarounds, no \\s shorthand)
+    * so Spark's Java regex and the oracle's RE2 agree byte-for-byte. A pure
+    * projection — the 100 TB shape is scan-and-rewrite with pushdown intact. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        regexp_replace(
+          regexp_replace($"props", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"))
+      .orderBy($"event_id")
+  }
+
+  val textRedactSql: String =
+    """SELECT event_id,
+      |  regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |                 '[0-9]+', '<NUM>', 'g') AS redacted
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_split" -> (splitAssign _),
+    "prep_mix" -> (mixWeighted _),
+    "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
+    "text_redact" -> (textRedact _))
+
+  val oracles: Map[String, String] = Map(
+    "prep_split" -> splitAssignSql,
+    "prep_mix" -> mixWeightedSql,
+    "prep_pack" -> packSequencesSql(),
+    "text_chunks" -> textChunksSql(),
+    "text_redact" -> textRedactSql)
+}
