@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-5 relational widening: pivot/unpivot reshaping, exact-moment
+  * statistical aggregates, distribution window functions, and date/interval
+  * arithmetic. Float policy follows the repo rule (Relational.scala header):
+  * money sums stay in exact DECIMAL until a single final cast to double, and
+  * every ratio is a ratio of bitwise-identical numerators/denominators, so
+  * the DuckDB oracle hash-matches without a rounding grid. */
+object Relational3 {
+
+  private def decQty = col("l_quantity").cast("decimal(12,2)")
+  private def decPrice = col("l_extendedprice").cast("decimal(12,2)")
+
+  /** Pivot: per returnflag row, one quantity-sum column per linestatus.
+    * The pivot values are enumerated (F/O) so Catalyst plans a single
+    * partial+final hash aggregate with no extra pass to discover keys —
+    * the form that scales (value-discovery pivot is two jobs). */
+  def q27Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(decQty).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy($"l_returnflag")
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+      |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Unpivot (wide → long): the two measure columns of a per-flag aggregate
+    * become (measure, value) rows. Uses Dataset.unpivot — Catalyst's Expand,
+    * one pass, no union of re-scans. */
+  def q28Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum(decQty).cast("double").as("sum_qty"),
+        sum(decPrice).cast("double").as("sum_price"))
+    wide.unpivot(
+      ids = Array($"l_returnflag"),
+      values = Array($"sum_qty", $"sum_price"),
+      variableColumnName = "measure",
+      valueColumnName = "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val q28Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** Statistical aggregates (variance / stddev / correlation) computed from
+    * EXACT decimal moments: n, Σx, Σy, Σx², Σy², Σxy accumulate in DECIMAL
+    * (order-independent, no float error), are cast to double once, and the
+    * closed-form moment formulas run identically on both engines — the only
+    * way stddev/corr can hash-match across engines, since their native
+    * implementations accumulate doubles in engine-specific orders. Same
+    * single partial+final hash-agg shape (6 decimal sums) as a native corr,
+    * so the scale cost is identical. */
+  def q30StatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(decQty).cast("double").as("sx"),
+        sum(decPrice).cast("double").as("sy"),
+        sum(decQty * decQty).cast("double").as("sxx"),
+        sum(decPrice * decPrice).cast("double").as("syy"),
+        sum(decQty * decPrice).cast("double").as("sxy"))
+    m.select($"l_returnflag",
+      $"n".cast("long").as("n"),
+      (($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("var_qty"),
+      sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("stddev_qty"),
+      (($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+        .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q30Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(n AS BIGINT) AS n,
+      |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+      |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist over a
+    * UNIQUE ordering (totalprice, orderkey) — uniqueness makes peer groups
+    * singletons, so both engines' rank-ratio doubles are identical integer
+    * ratios. One window sort per priority partition, fully parallel. */
+  def q31WindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Date/interval arithmetic rolled into a per-(year, quarter) aggregate:
+    * calendar extraction, day spans, interval shifts, month boundaries. All
+    * date outputs are formatted to strings (the repo's timestamp rule) and
+    * all numbers are integer counts — nothing floats. */
+  def q33DateArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_shipdate".cast("date").as("d"))
+      .groupBy(year($"d").cast("long").as("yr"),
+        quarter($"d").cast("long").as("qtr"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(trunc($"d", "month")).as("n_months"),
+        datediff(max($"d"), min($"d")).cast("long").as("day_span"),
+        max(date_format(last_day($"d"), "yyyy-MM-dd")).as("max_month_end"),
+        min(date_format(date_add($"d", 30), "yyyy-MM-dd")).as("min_plus30"))
+      .orderBy($"yr", $"qtr")
+  }
+
+  val q33Sql: String =
+    """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem)
+      |SELECT year(d) AS yr, quarter(d) AS qtr,
+      |  count(*) AS n,
+      |  count(DISTINCT date_trunc('month', d)) AS n_months,
+      |  date_diff('day', min(d), max(d)) AS day_span,
+      |  strftime(max(last_day(d)), '%Y-%m-%d') AS max_month_end,
+      |  strftime(min(d + INTERVAL 30 DAY), '%Y-%m-%d') AS min_plus30
+      |FROM d
+      |GROUP BY 1, 2
+      |ORDER BY yr, qtr""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_pivot" -> (q27Pivot _),
+    "q28_unpivot" -> (q28Unpivot _),
+    "q30_stats_moments" -> (q30StatsMoments _),
+    "q31_window_extras" -> (q31WindowExtras _),
+    "q33_date_arith" -> (q33DateArith _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_pivot" -> q27Sql,
+    "q28_unpivot" -> q28Sql,
+    "q30_stats_moments" -> q30Sql,
+    "q31_window_extras" -> q31Sql,
+    "q33_date_arith" -> q33Sql)
+}
