@@ -168,11 +168,51 @@ object Relational3 {
       |GROUP BY 1, 2
       |ORDER BY yr, qtr""".stripMargin
 
+  /** Fact-fact join accelerated by a RUNTIME BLOOM FILTER: Catalyst's
+    * InjectRuntimeFilter builds a bloom filter from the selectively-filtered
+    * orders side and pushes a `might_contain` probe into the lineitem scan,
+    * so the big side drops non-qualifying rows BEFORE the shuffle — the
+    * standard 100 TB trick for joins whose small side is filtered but too big
+    * to broadcast. False positives only cost shuffle bytes; the join itself
+    * stays exact, which is why this hash-matches a plain-SQL oracle.
+    *
+    * Runs on an isolated `newSession()` (shared context, private conf): the
+    * rule needs `autoBroadcastJoinThreshold=-1` (shuffle join) and a lowered
+    * `applicationSideScanSizeThreshold` to fire at test scale, and those
+    * must not leak into sibling queries. */
+  def q32BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000.0)
+    Tables.lineitem(s, dir)
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(decPrice * (lit(BigDecimal(1).setScale(2)) - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q32Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_pivot" -> (q27Pivot _),
     "q28_unpivot" -> (q28Unpivot _),
     "q30_stats_moments" -> (q30StatsMoments _),
     "q31_window_extras" -> (q31WindowExtras _),
+    "q32_bloom_join" -> (q32BloomJoin _),
     "q33_date_arith" -> (q33DateArith _))
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +220,6 @@ object Relational3 {
     "q28_unpivot" -> q28Sql,
     "q30_stats_moments" -> q30Sql,
     "q31_window_extras" -> q31Sql,
+    "q32_bloom_join" -> q32Sql,
     "q33_date_arith" -> q33Sql)
 }

@@ -43,6 +43,20 @@ class Relational3Spec extends AnyFunSuite {
     assert(!analyzed.contains("Union"), s"unexpected Union:\n$analyzed")
   }
 
+  test("runtime bloom filter is injected into the lineitem side of q32") {
+    val df = Relational3.q32BloomJoin(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+      s"no runtime bloom filter in plan:\n$opt")
+    // and the filtered result still matches a plain (no-bloom) join
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000.0),
+        $"l_orderkey" === $"o_orderkey")
+      .count()
+    assert(df.agg(sum($"n")).as[Long].head() == plain)
+  }
+
   test("window extras are within-partition consistent") {
     val rows = Relational3.q31WindowExtras(spark, sf)
       .as[(String, Long, Long, Double, Double)].collect()
