@@ -57,6 +57,50 @@ object EventStreams {
       watermark: String): DataFrame =
     sessionStats(events.withWatermark("ts", watermark), gap)
 
+  /** Stream-static enrichment join: the streaming side keeps its event-time
+    * columns; the static dimension is joined per micro-batch (re-resolved
+    * each batch, so slowly-changing dims pick up updates). At scale the
+    * static side should be broadcast — it participates in every micro-batch,
+    * and a shuffle join would re-shuffle the stream's state store keys. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** foreachBatch keyed-upsert sink (MERGE for plain parquet targets): keep
+    * the batch's last row per key (by `orderCol`), drop replaced keys from
+    * the current target, rewrite atomically via write-new + swap. The result
+    * is a pure function of (target state, batch contents), so re-running a
+    * batch after a sink-side failure converges to the identical state — the
+    * idempotent-upsert pattern that gives exactly-once EFFECT on a
+    * non-transactional sink. On a real deployment the swap step is the one
+    * piece to replace with a transactional table format; the dataflow
+    * (dedupe → anti-join → union) is unchanged. */
+  def upsertByKey(target: String, key: String, orderCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(orderCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dir = new java.io.File(target)
+    val merged =
+      if (dir.exists()) {
+        val current = spark.read.parquet(target)
+        current.join(latest.select(col(key)), Seq(key), "left_anti")
+          .unionByName(latest)
+      } else latest
+    val tmp = target + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // local-FS swap; transactional formats replace exactly this step
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"could not move $tmp to $target")
+  }
+
   /** Watermarked stream-stream join: each left event pairs with right events
     * of the same user in [l_ts, l_ts + maxDelay] — the click→conversion /
     * impression→purchase correlation shape. Both inputs are watermarked and

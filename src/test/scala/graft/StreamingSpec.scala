@@ -352,4 +352,85 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.subsetOf(streamed))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the file source and stops on its own") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avnow_src_")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream, "1 hour")
+      .writeStream.outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("avnow_out").start()
+    // AvailableNow processes everything present at start, then TERMINATES —
+    // the batch-job-over-streaming-checkpoint mode for scheduled ingestion
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    assert(!q.isActive)
+    val n = spark.table("avnow_out").count()
+    val batchN = EventStreams.tumblingCounts(
+      spark.read.schema(schema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "1 hour").count()
+    assert(n == batchN && n > 0)
+  }
+
+  test("stream-static enrichment join attaches dimension rows per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val enriched = EventStreams.enrich(
+      input.toDF().toDF("ts", "user_id", "value"), dim, "user_id")
+    val q = enriched.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:01:00"), 2L, 2.0),
+        (ts("2024-01-01 10:02:00"), 3L, 3.0)) // no dim row -> null segment
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select($"user_id", $"segment").as[(Long, Option[String])]
+        .collect().toSet
+      assert(out == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("keyed-upsert sink is idempotent under batch replay") {
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert_")
+      .resolve("state").toString
+    val sink = EventStreams.upsertByKey(target, "user_id", "ts") _
+    val b0 = Seq((1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 11.0), // same key, later -> wins
+      (2L, ts("2024-01-01 10:30:00"), 20.0)).toDF("user_id", "ts", "value")
+    sink(b0, 0L)
+    def state() = spark.read.parquet(target)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toSet
+    val afterB0 = state()
+    assert(afterB0 == Set((1L, 11.0), (2L, 20.0)))
+    sink(b0, 0L) // replay after simulated sink failure: state must not change
+    assert(state() == afterB0, "replaying a batch changed the target state")
+    val b1 = Seq((2L, ts("2024-01-01 12:00:00"), 21.0),
+      (3L, ts("2024-01-01 12:00:00"), 30.0)).toDF("user_id", "ts", "value")
+    sink(b1, 1L)
+    assert(state() == Set((1L, 11.0), (2L, 21.0), (3L, 30.0)))
+    // and it drives from an actual stream
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = input.toDF().toDF("user_id", "ts", "value")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch(sink).start()
+    try {
+      input.addData((3L, ts("2024-01-01 13:00:00"), 31.0))
+      q.processAllAvailable()
+      assert(state() == Set((1L, 11.0), (2L, 21.0), (3L, 31.0)))
+    } finally q.stop()
+  }
 }
