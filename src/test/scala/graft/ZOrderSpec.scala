@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Layout, Tables}
+
+/** Z-order layout: interleave correctness and the data-skipping property —
+  * per-file bounding boxes must shrink in BOTH dimensions, where a linear
+  * sort only narrows its leading column. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("zValue interleaves bucket bits (identity ranges)") {
+    // ranges 0..65535 make bucket == value, so z is the pure Morton code
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
+    val z = df.select(Layout.zValue(Seq(
+      (col("a"), 0.0, 65535.0), (col("b"), 0.0, 65535.0))).as("z"))
+      .as[Long].collect().toSeq
+    // interleave(3,5): spread(3)=0b101, spread(5)=0b10001 -> 5 | (17<<1) = 39
+    assert(z == Seq(0L, 1L, 2L, 39L))
+  }
+
+  test("z-ordered files have small bounding boxes in both dimensions") {
+    val li = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z_").toString + "/t"
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin_").toString + "/t"
+    Layout.writeZOrdered(li, zDir, Seq("l_partkey", "l_suppkey"), 16)
+    Layout.writeClustered(li, linDir, Seq("l_partkey"), 16)
+
+    def fileBoxes(path: String): Seq[(Double, Double)] = {
+      val (pLo, pHi, sLo, sHi) = li.select(
+        min($"l_partkey").cast("double"), max($"l_partkey").cast("double"),
+        min($"l_suppkey").cast("double"), max($"l_suppkey").cast("double"))
+        .as[(Double, Double, Double, Double)].head()
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max($"l_partkey") - min($"l_partkey")) / (pHi - pLo)).as("pr"),
+          ((max($"l_suppkey") - min($"l_suppkey")) / (sHi - sLo)).as("sr"))
+        .select($"pr", $"sr").as[(Double, Double)].collect().toSeq
+    }
+    val zBoxes = fileBoxes(zDir)
+    val linBoxes = fileBoxes(linDir)
+    assert(zBoxes.size >= 16 && linBoxes.size >= 16)
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    // Total bounding-box AREA scales ~1/numFiles for both layouts; z-order's
+    // property is BALANCE — every dimension stays prunable. Linear sort makes
+    // the leading column narrow and leaves the second spanning ~everything
+    // (a suppkey-only predicate scans every file); z-order bounds both.
+    val zS = avg(zBoxes.map(_._2)); val linS = avg(linBoxes.map(_._2))
+    assert(zS < 0.6 * linS, s"z avg suppkey range $zS vs linear $linS")
+    val zP = avg(zBoxes.map(_._1))
+    assert(zP < 0.6, s"z avg partkey range $zP not bounded")
+  }
+}
