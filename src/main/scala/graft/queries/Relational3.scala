@@ -116,7 +116,11 @@ object Relational3 {
   /** Distribution window functions: ntile / percent_rank / cume_dist over a
     * UNIQUE ordering (totalprice, orderkey) — uniqueness makes peer groups
     * singletons, so both engines' rank-ratio doubles are identical integer
-    * ratios. One window sort per priority partition, fully parallel. */
+    * ratios. One window sort per priority partition. Scale note: parallelism
+    * is capped by the partition-key cardinality (5 priorities here) —
+    * rank-family windows need the whole partition sorted, so at 100 TB pick
+    * a higher-cardinality partition key or pre-bucket the data; there is no
+    * shuffle-free form of a global rank. */
   def q31WindowExtras(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_orderpriority")

@@ -41,7 +41,12 @@ class PlanSpec extends AnyFunSuite {
       "multimodal_frames" -> Seq("lang", "source", "n_chars"), // typed mapPartitions must still prune
       "multimodal_decode" -> Seq("lang", "source", "n_chars"),
       "sim_bruteforce_topk" -> Seq("label"),                  // uses vec_id+embedding
-      "sim_lsh_topk" -> Seq("label"))
+      "sim_lsh_topk" -> Seq("label"),
+      "prep_split" -> Seq("text", "lang", "n_chars"),         // uses doc_id+source
+      "prep_mix" -> Seq("text", "lang", "n_chars"),           // uses doc_id+source
+      "prep_pack" -> Seq("lang", "n_chars"),                  // uses doc_id+source+text
+      "text_chunks" -> Seq("lang", "source", "n_chars"),      // uses doc_id+text
+      "text_redact" -> Seq("user_id", "event_type", "value")) // uses event_id+props
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
       assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
   }
