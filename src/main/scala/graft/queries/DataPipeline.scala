@@ -57,10 +57,14 @@ object DataPipeline {
     (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4))
 
   /** Hex threshold string for a keep-rate: keep iff the 4-hex-char md5 prefix
-    * sorts below it. Rate 1.0 maps to "g000", which every [0-9a-f] prefix
-    * sorts below — no special case needed on either engine. */
-  private def rateThreshold(rate: Double): String =
-    if (rate >= 1.0) "g000" else f"${math.round(rate * 65536)}%04x"
+    * sorts below it. Rates that round to the full 65536 map to "g000", which
+    * every [0-9a-f] prefix sorts below — no special case needed on either
+    * engine (and no 5-char "10000", which would sort BELOW most 4-char
+    * prefixes and invert the comparison). */
+  private def rateThreshold(rate: Double): String = {
+    val bound = math.round(rate * 65536)
+    if (bound >= 65536) "g000" else f"$bound%04x"
+  }
 
   /** Weighted mixture sampling: each source keeps a deterministic fraction of
     * its documents (md5 of doc_id:source vs a per-source hex threshold).
@@ -70,7 +74,11 @@ object DataPipeline {
     * shuffle and no driver state. */
   def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val thr = element_at(
+    // try_element_at: a source outside the rate map yields NULL, the filter
+    // drops the row — same as the oracle CASE's NULL. Plain element_at would
+    // THROW under Spark 4's default ANSI mode, diverging from the oracle the
+    // moment the corpus grows a new source.
+    val thr = try_element_at(
       map(mixRates.flatMap { case (s, r) => Seq(lit(s), lit(rateThreshold(r))) }: _*),
       $"source")
     Tables.documents(spark, dir)
@@ -115,9 +123,7 @@ object DataPipeline {
   def packSequencesSql(budget: Int = 256): String =
     s"""WITH counted AS (
        |  SELECT source, doc_id,
-       |    CASE WHEN length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) = 0 THEN 0
-       |         ELSE len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))
-       |    END AS n_tokens
+       |    ${OracleFragments.tokenCount("text")} AS n_tokens
        |  FROM documents),
        |packed AS (
        |  SELECT source, doc_id, n_tokens,
@@ -156,9 +162,9 @@ object DataPipeline {
   def textChunksSql(size: Int = 32, stride: Int = 16): String =
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+       |    ${OracleFragments.tokens("text")} AS t
        |  FROM documents
-       |  WHERE length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) > 0),
+       |  WHERE length(${OracleFragments.norm("text")}) > 0),
        |starts AS (
        |  SELECT doc_id, t, unnest(range(0, len(t), $stride)) AS start FROM toks)
        |SELECT doc_id,

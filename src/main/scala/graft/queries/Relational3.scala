@@ -85,12 +85,18 @@ object Relational3 {
         sum(decQty * decQty).cast("double").as("sxx"),
         sum(decPrice * decPrice).cast("double").as("syy"),
         sum(decQty * decPrice).cast("double").as("sxy"))
+    // degenerate groups return NULL exactly like native var_samp/corr would:
+    // n=1 makes the sample denominator 0 and a zero variance makes the corr
+    // denominator 0, and 0-division doubles are where Spark (NaN/Inf) and
+    // DuckDB (NULL) part ways
+    val varNum = $"n" * $"sxx" - $"sx" * $"sx"
+    val varNumY = $"n" * $"syy" - $"sy" * $"sy"
     m.select($"l_returnflag",
       $"n".cast("long").as("n"),
-      (($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("var_qty"),
-      sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("stddev_qty"),
-      (($"n" * $"sxy" - $"sx" * $"sy") /
-        (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+      when($"n" > 1, varNum / ($"n" * ($"n" - 1))).as("var_qty"),
+      when($"n" > 1, sqrt(varNum / ($"n" * ($"n" - 1)))).as("stddev_qty"),
+      when($"n" > 1 && varNum > 0 && varNumY > 0,
+        ($"n" * $"sxy" - $"sx" * $"sy") / (sqrt(varNum) * sqrt(varNumY)))
         .as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
@@ -107,9 +113,11 @@ object Relational3 {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag,
       |  CAST(n AS BIGINT) AS n,
-      |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
-      |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
-      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |  CASE WHEN n > 1 THEN (n * sxx - sx * sx) / (n * (n - 1)) END AS var_qty,
+      |  CASE WHEN n > 1 THEN sqrt((n * sxx - sx * sx) / (n * (n - 1))) END AS stddev_qty,
+      |  CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |       THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |  END AS corr_qty_price
       |FROM m
       |ORDER BY l_returnflag""".stripMargin
 

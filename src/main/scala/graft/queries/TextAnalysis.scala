@@ -28,11 +28,9 @@ object TextAnalysis {
   }
 
   val textStatsSql: String =
-    """SELECT doc_id,
+    raw"""SELECT doc_id,
       |  length(text) AS n_chars,
-      |  CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
-      |       ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
-      |  END AS n_tokens,
+      |  ${OracleFragments.tokenCount("text")} AS n_tokens,
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
       |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
       |        / greatest(length(text), 1), 6) AS alpha_ratio,
@@ -60,20 +58,18 @@ object TextAnalysis {
   // The full quality formula transliterated; every term is a ratio of integer
   // counts so both engines compute identical doubles (no accumulation).
   val textQualitySql: String =
-    """WITH scored AS (
+    raw"""WITH scored AS (
       |  SELECT source, text,
       |    greatest(least(
       |      0.25 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
       |                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
       |      + 0.25 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
       |                / greatest(length(text), 1))
-      |      + 0.2 * least(4 * (CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
+      |      + 0.2 * least(4 * (CAST(len(list_filter(${OracleFragments.tokens("text")},
       |                    t -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], t))) AS DOUBLE)
-      |               / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
-      |                               ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END, 1)), 1.0)
-      |      + 0.3 * (CASE WHEN (CAST(length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS DOUBLE) + 1)
-      |                         / greatest(CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
-      |                                         ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) END, 1)
+      |               / greatest(${OracleFragments.tokenCount("text")}, 1)), 1.0)
+      |      + 0.3 * (CASE WHEN (CAST(length(${OracleFragments.norm("text")}) AS DOUBLE) + 1)
+      |                         / greatest(${OracleFragments.tokenCount("text")}, 1)
       |                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
       |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
       |             / greatest(length(text), 1))
@@ -114,7 +110,7 @@ object TextAnalysis {
     }.mkString(",\n      ")
     s"""WITH toks AS (
        |  SELECT lang,
-       |    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+       |    ${OracleFragments.tokens("text")} AS t
        |  FROM documents),
        |best AS (
        |  SELECT lang,
@@ -150,11 +146,11 @@ object TextAnalysis {
   }
 
   val textTopTokensSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT source,
-      |    unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ')) AS token
+      |    unnest(${OracleFragments.tokens("text")}) AS token
       |  FROM documents
-      |  WHERE length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) > 0),
+      |  WHERE length(${OracleFragments.norm("text")}) > 0),
       |counts AS (
       |  SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
       |ranked AS (
@@ -176,11 +172,9 @@ object TextAnalysis {
   }
 
   val textFingerprintSql: String =
-    """SELECT doc_id,
-      |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
-      |  CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) = 0 THEN 0
-      |       ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '))
-      |  END AS n_tokens
+    s"""SELECT doc_id,
+      |  md5(${OracleFragments.norm("text")}) AS fp,
+      |  ${OracleFragments.tokenCount("text")} AS n_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -35,33 +35,50 @@ object Layout {
       .parquet(path)
   }
 
-  /** Morton bit-spread: the low 16 bits of `v` spaced out to every other bit
-    * position. Composed entirely from builtin shift/mask functions so the
-    * whole z-value stays inside whole-stage codegen — no UDF, no custom
-    * expression needed. */
-  private def spread16(v: Column): Column = {
-    val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
-    val s = Seq(8, 4, 2, 1)
-    m.zip(s).foldLeft(v.bitwiseAND(lit(0xFFFFL))) { case (x, (mask, shift)) =>
-      (x.bitwiseOR(shiftleft(x, shift))).bitwiseAND(lit(mask))
-    }
+  /** Morton bit-spread: the low `bits` bits of `v` spaced to every `stride`-th
+    * bit position (bit i → bit i·stride). Composed entirely from builtin
+    * shift/mask functions so the whole z-value stays inside whole-stage
+    * codegen — no UDF, no custom expression needed. For stride 2 the classic
+    * four-step magic-mask ladder applies; other strides use the generic
+    * per-bit fold (bits·4 expression nodes, still codegen'd). */
+  private def spreadBits(v: Column, stride: Int, bits: Int): Column = {
+    val masked = v.bitwiseAND(lit((1L << bits) - 1))
+    if (stride == 1) masked
+    else if (stride == 2 && bits == 16) {
+      val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
+      val s = Seq(8, 4, 2, 1)
+      m.zip(s).foldLeft(masked) { case (x, (mask, shift)) =>
+        (x.bitwiseOR(shiftleft(x, shift))).bitwiseAND(lit(mask))
+      }
+    } else (0 until bits).map { i =>
+      shiftleft(shiftright(masked, i).bitwiseAND(lit(1L)), i * stride)
+    }.reduce(_ bitwiseOR _)
   }
 
+  /** Bits per dimension for a k-column z-value: 16 where it fits, else an
+    * even split of the 63 usable long bits (e.g. 3 cols → 16, 4 cols → 15). */
+  private def bitsPerDim(k: Int): Int = math.min(16, 63 / k)
+
   /** Z-order (Morton) value over 2+ numeric columns: each value is mapped to
-    * a 16-bit bucket of its [min,max] range, buckets are bit-interleaved.
-    * Rows close in z are close in EVERY clustered dimension, which is what
-    * makes multi-column data skipping work (a linear sort gives narrow file
-    * ranges only on its leading column). Uniform buckets via width_bucket —
-    * for heavily skewed columns substitute approxQuantile-derived boundaries;
-    * the interleave is unchanged. */
+    * a bucket of its [min,max] range ([[bitsPerDim]] bits), buckets are
+    * bit-interleaved — column i owns bit positions ≡ i (mod k), so any
+    * column count interleaves without collisions. Rows close in z are close
+    * in EVERY clustered dimension, which is what makes multi-column data
+    * skipping work (a linear sort gives narrow file ranges only on its
+    * leading column). NULLs map to bucket 0 (the low corner — explicit, not
+    * an artifact of null-skipping comparisons). Uniform buckets via
+    * width_bucket — for heavily skewed columns substitute
+    * approxQuantile-derived boundaries; the interleave is unchanged. */
   def zValue(colsWithRange: Seq[(Column, Double, Double)]): Column = {
-    require(colsWithRange.size >= 2, "z-order needs at least 2 columns")
+    val k = colsWithRange.size
+    require(k >= 2, "z-order needs at least 2 columns")
+    val bits = bitsPerDim(k)
+    val nBuckets = 1L << bits
     colsWithRange.zipWithIndex.map { case ((c, mn, mx), i) =>
-      val bucket = when(lit(mx) > lit(mn),
-        width_bucket(c.cast("double"), lit(mn), lit(mx), lit(65536)) - 1)
-        .otherwise(lit(0L))
-      val clamped = greatest(lit(0L), least(lit(65535L), bucket))
-      shiftleft(spread16(clamped), i)
+      val bucket = when(c.isNull || lit(mx) <= lit(mn), lit(0L))
+        .otherwise(width_bucket(c.cast("double"), lit(mn), lit(mx), lit(nBuckets)) - 1)
+      val clamped = greatest(lit(0L), least(lit(nBuckets - 1), bucket))
+      shiftleft(spreadBits(clamped, k, bits), i)
     }.reduce(_ bitwiseOR _)
   }
 
@@ -73,10 +90,16 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
     require(zCols.size >= 2 && numFiles > 0)
-    val stats = df.select(
+    val statsRows = df.select(
       zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
-      .head()
+      .collect()
+    // empty input or an all-null column aggregates to null min/max — fail
+    // with the cause rather than an NPE out of Row.getDouble
     val ranges = zCols.zipWithIndex.map { case (c, i) =>
+      val stats = statsRows.headOption.getOrElse(
+        throw new IllegalArgumentException("writeZOrdered: empty input"))
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"writeZOrdered: no non-null values for column '$c' (empty input?)")
       (col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
     df.withColumn("__z", zValue(ranges))

@@ -78,9 +78,14 @@ object EventStreams {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // tie-break equal orderCol values by a content hash: row_number ties
+    // otherwise fall to partition-internal row order, which changes across
+    // retries — and a replay that picks a different row breaks the
+    // converges-on-replay guarantee this sink exists to provide
     val latest = batch
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(col(orderCol).desc)))
+        Window.partitionBy(col(key))
+          .orderBy(col(orderCol).desc, xxhash64(struct(batch.columns.map(col): _*)))))
       .filter(col("__rn") === 1).drop("__rn")
     val dir = new java.io.File(target)
     val merged =
