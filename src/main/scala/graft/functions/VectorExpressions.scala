@@ -78,6 +78,50 @@ object VectorOps {
     n
   }
 
+  /** Int8 scalar quantization of a double vector: scale = 127/max(|x|),
+    * q_i = round(x_i * scale) half-AWAY-FROM-ZERO (DuckDB `round` semantics —
+    * `Math.round`'s floor(x+0.5) would round -2.5 to -2 and diverge from the
+    * oracle). An all-zero vector quantizes to all zeros. The int8 range is
+    * guaranteed by construction (|x_i * scale| <= 127), so no clamp. */
+  def quantizeInt8(a: ArrayData): ArrayData = {
+    val xs = a.toDoubleArray()
+    var m = 0.0
+    var i = 0
+    while (i < xs.length) { val v = math.abs(xs(i)); if (v > m) m = v; i += 1 }
+    val q = new Array[Int](xs.length)
+    if (m > 0.0) {
+      val scale = 127.0 / m
+      i = 0
+      while (i < xs.length) {
+        val v = xs(i) * scale
+        q(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(q)
+  }
+
+  /** max |x_i| of a double vector — the int8 quantization scale denominator. */
+  def maxAbs(a: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    var m = 0.0
+    var i = 0
+    while (i < xs.length) { val v = math.abs(xs(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+
+  /** Exact integer dot product of two int arrays (64-dim int8 products stay
+    * far inside long range). */
+  def dotInt(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toIntArray()
+    val ys = b.toIntArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += xs(i).toLong * ys(i); i += 1 }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toDoubleArray()
     val ys = b.toDoubleArray()
@@ -146,6 +190,67 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Int8 scalar quantization of an array<double> column (see
+  * [[VectorOps.quantizeInt8]]). */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeInt8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.quantizeInt8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** max |x_i| of an array<double> column. */
+case class MaxAbs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "max_abs"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.maxAbs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.maxAbs($c)")
+  override protected def withNewChildInternal(newChild: Expression): MaxAbs =
+    copy(child = newChild)
+}
+
+/** Exact long-valued dot product of two array<int> columns. */
+case class DotInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "dot_int"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int>, array<int>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotInt(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotInt($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotInt =
+    copy(left = l, right = r)
+}
+
 /** Sorted distinct 64-bit hashes of the k-word shingles of a text column. */
 case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
@@ -184,4 +289,16 @@ object VectorFunctions {
     * Bitwise-identical to sequential-order double accumulation. */
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd int8 scalar quantization of an array<double> column. */
+  def quantizeInt8(a: Column): Column =
+    GraftBridge.column(QuantizeInt8(GraftBridge.expression(a)))
+
+  /** Codegen'd max |x_i| of an array<double> column. */
+  def maxAbs(a: Column): Column =
+    GraftBridge.column(MaxAbs(GraftBridge.expression(a)))
+
+  /** Codegen'd exact integer dot product of two array<int> columns. */
+  def dotInt(a: Column, b: Column): Column =
+    GraftBridge.column(DotInt(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -196,10 +196,58 @@ object DataPipeline {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Eval-set contamination check: test-split documents that are NEAR-DUPS
+    * (shingle-Jaccard >= 0.8) of a train-split document — the check every
+    * training pipeline must run before reporting eval numbers. Exact-dup
+    * leakage is the degenerate case (jaccard = 1.0); near-dup is the one
+    * that actually bites, because paraphrased/reformatted eval items survive
+    * an exact-fingerprint screen. Reuses [[splitAssign]]'s hash-bucket split
+    * so the query IS the production composition, not a fixture.
+    *
+    * 100 TB shape ([[Dedup.minhashCrossVerifiedPairs]]): each side builds a
+    * band index over its OWN documents only — the test side is ~10% of the
+    * corpus, so the candidate equi-join is test-index × train-index on
+    * uniform hash keys, far cheaper than the dedup self-join; exact-Jaccard
+    * verification touches only the collapsed candidate id-set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = md5Prefix($"doc_id", 2)
+    val tagged = Dedup.shingledDocs(spark, dir).withColumn("split",
+      when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"))
+    val testDocs = tagged.filter($"split" === "test").drop("split")
+    val trainDocs = tagged.filter($"split" === "train").drop("split")
+    Dedup.minhashCrossVerifiedPairs(testDocs, trainDocs,
+        nBands = 8, rowsPerBand = 4, t = 0.8)
+      .select($"doc_a".as("test_doc"), $"doc_b".as("train_doc"),
+        round($"jac", 4).as("jaccard"))
+      .orderBy($"test_doc", $"train_doc")
+  }
+
+  /** Brute-force cross-split oracle (same argument as `dedup_minhash_pairs`:
+    * 8×4 banding recall is brute-force-exact on this corpus, so the verified
+    * engine output equals the exact pair set). */
+  val contaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                   FOR i IN range(1, len(toks) - 1)]) AS sh,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${OracleFragments.tokens("text")} AS toks FROM documents))
+       |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+       |FROM sh a JOIN sh b ON a.split = 'test' AND b.split = 'train'
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+       |ORDER BY test_doc, train_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "prep_contamination" -> (contamination _),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
     "text_redact" -> (textRedact _))
 
@@ -207,6 +255,7 @@ object DataPipeline {
     "prep_split" -> splitAssignSql,
     "prep_mix" -> mixWeightedSql,
     "prep_pack" -> packSequencesSql(),
+    "prep_contamination" -> contaminationSql,
     "text_chunks" -> textChunksSql(),
     "text_redact" -> textRedactSql)
 }

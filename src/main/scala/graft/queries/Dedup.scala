@@ -29,7 +29,7 @@ object Dedup {
   /** Documents as sorted 64-bit shingle-hash sets: one codegen'd pass builds
     * (doc_id[, source], sh, sz); shingle strings never leave this projection.
     * Shared base of every shingle-level dedup family below. */
-  private def shingledDocs(spark: SparkSession, dir: String,
+  private[queries] def shingledDocs(spark: SparkSession, dir: String,
       withSource: Boolean = false): DataFrame = {
     import spark.implicits._
     val cols =
@@ -38,6 +38,39 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(cols: _*)
       .withColumn("sz", size($"sh"))
+  }
+
+  /** (doc_id, band, key) LSH index rows for `docs` — the exploded banded
+    * minhash signature shared by the self-join ([[minhashVerifiedPairs]]) and
+    * cross-join ([[minhashCrossVerifiedPairs]]) candidate generators. */
+  private def bandedKeys(docs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = nBands * rowsPerBand
+    val mins = (0 until n).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
+    val sig = docs.select($"doc_id", explode($"sh").as("h"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    sig.select($"doc_id", explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((rowsPerBand * b until rowsPerBand * (b + 1))
+          .map(j => col(s"h$j")): _*).as("key"))
+    }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+  }
+
+  /** Exact-Jaccard verification of a candidate (doc_a, doc_b) id-pair set:
+    * rejoin the shingle sets, one codegen'd merge-intersection per pair,
+    * keep jac >= t. */
+  private def verifyJaccard(cand: DataFrame, docsA: DataFrame, docsB: DataFrame,
+      t: Double): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(docsA.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
+      .join(docsB.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .filter($"jac" >= t)
+      .select($"doc_a", $"doc_b", $"jac")
   }
 
   /** Near-dup pairs via MinHash banding over `docs` (from [[shingledDocs]]):
@@ -49,31 +82,33 @@ object Dedup {
     * Contract: `doc_id` must be globally unique in `docs` (the verify joins
     * key on it alone — unlike [[prefixFilterJaccardPairs]], which scopes by
     * source). */
-  private def minhashVerifiedPairs(docs: DataFrame, nBands: Int,
+  private[queries] def minhashVerifiedPairs(docs: DataFrame, nBands: Int,
       rowsPerBand: Int, t: Double): DataFrame = {
     import docs.sparkSession.implicits._
-    val n = nBands * rowsPerBand
-    val mins = (0 until n).map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
-    val sig = docs.select($"doc_id", explode($"sh").as("h"))
-      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-    val banded = sig.select($"doc_id", explode(array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((rowsPerBand * b until rowsPerBand * (b + 1))
-          .map(j => col(s"h$j")): _*).as("key"))
-    }: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    val banded = bandedKeys(docs, nBands, rowsPerBand)
     val cand = banded.select($"band", $"key", $"doc_id".as("doc_a"))
       .join(banded.select($"band", $"key", $"doc_id".as("doc_b")), Seq("band", "key"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    cand
-      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "doc_a")
-      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "doc_b")
-      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
-      .withColumn("jac",
-        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
-      .filter($"jac" >= t)
-      .select($"doc_a", $"doc_b", $"jac")
+    verifyJaccard(cand, docs, docs, t)
+  }
+
+  /** Cross-corpus near-dup pairs: candidates from an equi-join of the two
+    * sides' OWN band indexes (each side bands only its own documents — at
+    * 100 TB the small side's index is a fraction of a self-join's), verified
+    * with exact Jaccard. Returns (doc_a ∈ docsA, doc_b ∈ docsB, jac >= t).
+    * Same recall argument as [[minhashVerifiedPairs]]: banding bounds recall,
+    * verification makes precision exact. */
+  private[queries] def minhashCrossVerifiedPairs(docsA: DataFrame, docsB: DataFrame,
+      nBands: Int, rowsPerBand: Int, t: Double): DataFrame = {
+    import docsA.sparkSession.implicits._
+    val cand = bandedKeys(docsA, nBands, rowsPerBand)
+      .select($"band", $"key", $"doc_id".as("doc_a"))
+      .join(bandedKeys(docsB, nBands, rowsPerBand)
+        .select($"band", $"key", $"doc_id".as("doc_b")), Seq("band", "key"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    verifyJaccard(cand, docsA, docsB, t)
   }
 
   /** Exact dedup: group by md5(normalized text); keep min doc_id per group.

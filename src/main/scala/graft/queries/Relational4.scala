@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Fourth relational widening: argmin/argmax aggregates and an
+  * effective-dated (SCD2) dimension build — two shapes warehouse users reach
+  * for constantly that the surface did not yet exercise.
+  */
+object Relational4 {
+
+  /** Deterministic total-order key for (o_totalprice, o_orderkey), encoded
+    * into one BIGINT: cents · 10^7 + orderkey. Needed because argmax by
+    * price alone is nondeterministic under price ties (both engines leave
+    * the tie-winner unspecified), and DuckDB's `arg_max` cannot order by a
+    * struct. Cents ≤ ~6·10^7 and orderkey < 10^7, so the encoding stays far
+    * inside long range and never collides. `round` is exact here: totalprice
+    * is a 2-decimal quantity whose double is within 1e-9 of the true cents
+    * value. */
+  private val priceKeyOrd = expr(
+    "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+
+  /** Per-priority argmin/argmax: which order carries the highest / lowest
+    * total price. `max_by`/`min_by` are single-pass hash-agg accumulators —
+    * the scalable replacement for the self-join-on-max antipattern (scan ×2
+    * plus a shuffle) and for a full per-group window sort. One partial+final
+    * hash aggregate; nothing but (priority, ord, key) crosses the wire. */
+  def q34MinmaxBy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max_by($"o_orderkey", priceKeyOrd).as("best_key"),
+        min_by($"o_orderkey", priceKeyOrd).as("worst_key"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_key,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS worst_key,
+      |  max(o_totalprice) AS max_price,
+      |  min(o_totalprice) AS min_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Slowly-changing-dimension type 2 build: each customer's order stream
+    * becomes effective-dated versions — valid_from = the order's date,
+    * valid_to = the next order's date (open-ended sentinel for the latest),
+    * is_current flagging the live row. The standard lead()-over-entity
+    * window; at scale this is ONE shuffle on the entity key and a
+    * within-partition sort — the same cost as any windowed scan, with no
+    * self-join. Ties on the date are ordered by o_orderkey so the version
+    * chain is total and deterministic. Timestamps are formatted to strings
+    * per the repo's timestamp output rule. */
+  def q35Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val nextDate = lead($"o_orderdate", 1).over(w)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(nextDate, "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        nextDate.isNull.cast("long").as("is_current"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q35Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+      |           '9999-12-31 00:00:00') AS valid_to,
+      |  CAST(lead(o_orderdate) OVER w IS NULL AS BIGINT) AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_minmax_by" -> (q34MinmaxBy _),
+    "q35_scd2" -> (q35Scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q34_minmax_by" -> q34Sql,
+    "q35_scd2" -> q35Sql)
+}

@@ -195,13 +195,124 @@ object SimilaritySearch {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Metadata-filtered vector search: exact top-k over the subset of vectors
+    * whose `label` passes a predicate (the RAG "filtered retrieval" shape).
+    * The filter is applied BEFORE scoring (pre-filter), which is the only
+    * order that survives scale: post-filtering a top-k can return < k rows
+    * however large k' is inflated, and it scores candidates the predicate
+    * would have discarded. The filter also reaches the parquet scan as a
+    * pushed predicate — at 100 TB with label-partitioned or z-ordered layout
+    * (see [[graft.sources.Layout]]) it prunes whole files before any vector
+    * is read. Shuffle shape is identical to [[simBruteforceTopk]]: queries
+    * broadcast, per-partition top-k, O(queries × k × partitions) shuffle. */
+  def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", Similarity.toDoubleArray($"embedding").as("v"))
+    val queries = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"v".as("q"))
+    val candidates = base.filter($"label".isin(1, 3, 5))
+    val scored = candidates.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val simFilteredTopkSql: String =
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+       |    list_cosine_similarity(q.emb, c.emb) AS cos
+       |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries AND c.label IN (1, 3, 5)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, label, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, label, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Int8 scalar-quantized top-k: vectors are quantized once
+    * (q_i = round(x_i · 127/max|x|), a codegen'd kernel), candidates are
+    * scored by the EXACT INTEGER dot product of the quantized vectors, then
+    * ranked by the dequantized score qdot · m_a · m_b / 127² — FAISS `SQ8`
+    * scoring (the per-vector scales must rejoin the score, or large-norm
+    * candidates are systematically under-ranked). The trade: 4× less
+    * candidate-fetch bandwidth (int8 vs fp32) and an integer inner loop, for
+    * a sub-percent score perturbation vs the exact dot (pinned by
+    * LlmOpsSpec). Deterministic cross-engine with no rounding grid on the
+    * sort key: qdot is an exact integer and the dequantization multiplies
+    * bitwise-identical doubles in the same left-to-right order. At 100 TB
+    * the quantized column is what you'd materialize next to the fp32 source
+    * of truth; re-ranking survivors with [[VectorFunctions.cosineSim]] on
+    * the fp32 vectors is the standard second stage (shape shown by the
+    * candIds → rejoin pattern in [[simLshTopkTuned]]). */
+  def simQuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+      .select($"vec_id",
+        VectorFunctions.quantizeInt8($"v").as("qv"),
+        VectorFunctions.maxAbs($"v").as("m"))
+    val queries = base.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"qv".as("qq"), $"m".as("mq"))
+    val scored = base.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("qdot", VectorFunctions.dotInt($"qq", $"qv"))
+      .withColumn("score", $"qdot".cast("double") * $"mq" * $"m" / lit(16129.0))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), $"qdot", round($"score", 4).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  // CASE guard: an all-zero vector quantizes to all zeros on both sides
+  // (kernel: m=0 branch; oracle: scale=0 so round(x*0)=0) instead of the
+  // unguarded 127/0 = inf -> NaN cast failure. The dequantized sort key
+  // multiplies qdot*mq*m/16129.0 in the engine's left-to-right association.
+  val simQuantizedTopkSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s AS (SELECT vec_id, emb,
+       |        list_max(list_transform(emb, x -> abs(x))) AS m,
+       |        CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+       |             THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+       |             ELSE 0.0 END AS scale
+       |      FROM v),
+       |q AS (SELECT vec_id, m,
+       |        list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+       |      FROM s),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS qdot,
+       |    CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT)
+       |      * a.m * b.m / 16129.0 AS score
+       |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, qdot, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, qdot, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
+    "sim_filtered_topk" -> (simFilteredTopk _),
+    "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_label_centroids" -> (simLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
+    "sim_filtered_topk" -> simFilteredTopkSql,
+    "sim_quantized_topk" -> simQuantizedTopkSql,
     "sim_label_centroids" -> simLabelCentroidsSql)
 }

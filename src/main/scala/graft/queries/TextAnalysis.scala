@@ -178,11 +178,67 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source keyword extraction by TF-IDF, rational variant: score =
+    * tf · N / df where tf = term count within the source, df = number of
+    * sources containing the term, N = number of sources. The classic
+    * formulation takes log(N/df); ranking by the rational form keeps every
+    * intermediate an exact integer (the only float is one division of
+    * identical integers), so the oracle check is hash-exact — no
+    * transcendental whose last ulp could differ between libm builds.
+    *
+    * Scale shape: explode → partial-agg → one (source, token) shuffle (same
+    * as [[textTopTokens]]); df is a second agg over the already-collapsed
+    * (source, token) pairs — cardinality ≤ vocab × sources, orders of
+    * magnitude below the corpus; N joins in as a broadcast 1-row cross. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"source", explode(TF.wordTokens($"text")).as("token"))
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = counts.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nSources = Tables.documents(spark, dir)
+      .agg(countDistinct($"source").as("n_sources"))
+    val scored = counts.join(dfreq, "token")
+      .crossJoin(broadcast(nSources))
+      .withColumn("score", ($"tf" * $"n_sources").cast("double") / $"df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score".desc, $"token")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"source", $"rank".cast("long").as("rank"), $"token",
+        $"tf", $"df", $"score")
+      .orderBy($"source", $"rank")
+  }
+
+  val textTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${OracleFragments.tokens("text")}) AS token
+       |  FROM documents
+       |  WHERE length(${OracleFragments.norm("text")}) > 0),
+       |counts AS (
+       |  SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT token, count(*) AS df FROM counts GROUP BY 1),
+       |n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+       |scored AS (
+       |  SELECT c.source, c.token, c.tf, d.df,
+       |    CAST(c.tf * n.n_sources AS DOUBLE) / d.df AS score
+       |  FROM counts c JOIN dfreq d USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT source, token, tf, df, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rank
+       |  FROM scored)
+       |SELECT source, rank, token, tf, df, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_top_tokens" -> (textTopTokens _),
+    "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -190,5 +246,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_top_tokens" -> textTopTokensSql,
+    "text_tfidf" -> textTfidfSql,
     "text_fingerprint" -> textFingerprintSql)
 }

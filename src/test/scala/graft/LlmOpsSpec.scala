@@ -252,4 +252,109 @@ class LlmOpsSpec extends AnyFunSuite {
       .toDF("text").select(TF.fingerprintMd5($"text")).as[String].collect()
     assert(fps.distinct.length == 1)
   }
+
+  test("int8 quantization: range, zero vector, half-away-from-zero rounding") {
+    import graft.functions.VectorFunctions
+    val qs = Seq(
+      Seq(0.0, 0.0),            // all-zero -> all-zero (no inf/NaN)
+      Seq(1.0, -0.5),           // -63.5 must round AWAY from zero (-64, not
+                                // Math.round's -63) to match DuckDB round()
+      Seq(1.0, -1.0, 0.5),      // 63.5 -> 64
+      Seq(-0.005, 0.015, 0.01)) // non-dyadic scale: 127/0.015
+      .toDF("v").select(VectorFunctions.quantizeInt8($"v").as("q"))
+      .as[Seq[Int]].collect()
+    assert(qs(0) == Seq(0, 0))
+    assert(qs(1) == Seq(127, -64))
+    assert(qs(2) == Seq(127, -127, 64))
+    assert(qs(3) == Seq(-42, 127, 85))
+    qs.foreach(_.foreach(q => assert(math.abs(q) <= 127)))
+  }
+
+  test("quantized topk dequantized scores are within the SQ8 error bound of the exact dot") {
+    import graft.functions.VectorFunctions
+    val res = SimilaritySearch.simQuantizedTopk(spark, sf)
+      .select("query_id", "neighbor_id", "score")
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val joined = res
+      .join(vecs.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
+      .join(vecs.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+      .select($"query_id", $"neighbor_id", $"score",
+        VectorFunctions.dotProduct($"q", $"v").as("dot"),
+        VectorFunctions.maxAbs($"q").as("ma"), VectorFunctions.maxAbs($"v").as("mb"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(joined.length == 50)
+    joined.foreach { case (q, n, score, dot, ma, mb) =>
+      // per-element dequantization error <= m/254 on each side; over 64 dims
+      // |score - dot| <= 64*(ma*mb/254 + mb*ma/254) + O(1/254^2), padded 5%
+      val bound = 64.0 * 2.1 * ma * mb / 254.0
+      assert(math.abs(score - dot) <= bound,
+        s"($q,$n) score=$score dot=$dot bound=$bound")
+    }
+  }
+
+  test("filtered topk equals brute force restricted to the label subset") {
+    import graft.functions.VectorFunctions
+    val res = SimilaritySearch.simFilteredTopk(spark, sf)
+      .select("query_id", "neighbor_id", "label", "rank")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(res.length == 50)
+    assert(res.forall(r => Set(1, 3, 5).contains(r._3)))
+    // brute-force the filtered subset in the spec (pre-filter semantics:
+    // candidates restricted BEFORE scoring)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", Similarity.toDoubleArray($"embedding").as("v"))
+    val queries = vecs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("q"))
+    val brute = vecs.filter($"label".isin(1, 3, 5))
+      .join(queries, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorFunctions.cosineSim($"q", $"v").as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSeq).toMap
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      val got = rows.sortBy(_._4).map(_._2).toSeq
+      assert(got == brute(q), s"query $q: $got != ${brute(q)}")
+    }
+  }
+
+  test("near-dup contamination equals brute-force cross-split pairs") {
+    import graft.functions.VectorFunctions
+    import graft.queries.DataPipeline
+    val got = DataPipeline.contamination(spark, sf)
+      .select("test_doc", "train_doc").as[(Long, Long)].collect().toSet
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"),
+        when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+          .as("split"))
+      .withColumn("sz", size($"sh"))
+    val test_ = docs.filter($"split" === "test")
+      .select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
+    val train = docs.filter($"split" === "train")
+      .select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
+    val brute = test_.crossJoin(train)
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double") >= 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("tfidf ranks are score-ordered and df counts containing sources") {
+    val res = TextAnalysis.textTfidf(spark, sf)
+      .select("source", "rank", "token", "df", "score")
+      .as[(String, Long, String, Long, Double)].collect()
+    assert(res.nonEmpty && res.forall(_._2 <= 3))
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // df of a sampled result token = #distinct sources containing it
+    val (token, df) = (res.head._3, res.head._4)
+    val actual = Tables.documents(spark, sf)
+      .select($"source", explode(TF.wordTokens($"text")).as("t"))
+      .filter($"t" === token).select($"source").distinct().count()
+    assert(df == actual, s"df($token)=$df but $actual sources contain it")
+  }
 }
