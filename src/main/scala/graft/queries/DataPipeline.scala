@@ -25,29 +25,33 @@ object DataPipeline {
   private def md5Prefix(key: Column, width: Int): Column =
     substring(md5(key.cast("string")), 1, width)
 
-  /** Deterministic train/val/test assignment: bucket = first two hex chars of
-    * md5(doc_id) → 256 uniform buckets; [00,cc) train (~80%), [cc,e6) val
-    * (~10%), [e6,ff] test. A pure projection — no shuffle, no RNG state, and
-    * the assignment of a given doc_id never changes as the corpus grows,
-    * which is the property that keeps eval sets uncontaminated across
-    * dataset versions. */
+  /** The 80/10/10 train/val/test assignment of an id column: bucket = first
+    * two hex chars of md5(id) → 256 uniform buckets; [00,cc) train (~80%),
+    * [cc,e6) val (~10%), [e6,ff] test. ONE definition (mirrored by
+    * [[OracleFragments.splitCase]]) shared by [[splitAssign]] and
+    * [[contamination]] — a boundary change here cannot leave a consumer
+    * checking against the old split. */
+  private[queries] def splitCol(id: Column): Column = {
+    val bucket = md5Prefix(id, 2)
+    when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+  }
+
+  /** Deterministic train/val/test assignment: [[splitCol]] as a pure
+    * projection — no shuffle, no RNG state, and the assignment of a given
+    * doc_id never changes as the corpus grows, which is the property that
+    * keeps eval sets uncontaminated across dataset versions. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = md5Prefix($"doc_id", 2)
     Tables.documents(spark, dir)
-      .select($"doc_id", $"source",
-        when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
-          .as("split"))
+      .select($"doc_id", $"source", splitCol($"doc_id").as("split"))
       .orderBy($"doc_id")
   }
 
   val splitAssignSql: String =
-    """SELECT doc_id, source,
-      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, source,
+       |  ${OracleFragments.splitCase("doc_id")} AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-source sampling rates for [[mixWeighted]]. Sources cycle through
     * full / half / quarter / tenth — the shape of a real training mixture
@@ -211,9 +215,8 @@ object DataPipeline {
     * verification touches only the collapsed candidate id-set. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = md5Prefix($"doc_id", 2)
-    val tagged = Dedup.shingledDocs(spark, dir).withColumn("split",
-      when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test"))
+    val tagged = Dedup.shingledDocs(spark, dir)
+      .withColumn("split", splitCol($"doc_id"))
     val testDocs = tagged.filter($"split" === "test").drop("split")
     val trainDocs = tagged.filter($"split" === "train").drop("split")
     Dedup.minhashCrossVerifiedPairs(testDocs, trainDocs,
@@ -231,9 +234,7 @@ object DataPipeline {
        |  SELECT doc_id,
        |    list_distinct([array_to_string(toks[i:i+2], ' ')
        |                   FOR i IN range(1, len(toks) - 1)]) AS sh,
-       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-       |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${OracleFragments.splitCase("doc_id")} AS split
        |  FROM (SELECT doc_id, ${OracleFragments.tokens("text")} AS toks FROM documents))
        |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

@@ -98,7 +98,14 @@ object Dedup {
     * 100 TB the small side's index is a fraction of a self-join's), verified
     * with exact Jaccard. Returns (doc_a ∈ docsA, doc_b ∈ docsB, jac >= t).
     * Same recall argument as [[minhashVerifiedPairs]]: banding bounds recall,
-    * verification makes precision exact. */
+    * verification makes precision exact.
+    *
+    * Contract: `doc_id` must be unique across docsA ∪ docsB (e.g. two
+    * disjoint splits of one corpus, as in the contamination caller). The
+    * doc_a ≠ doc_b guard then only suppresses the same underlying document
+    * appearing on both sides (overlapping splits); with independent id
+    * spaces it would wrongly drop distinct same-id documents — re-key one
+    * side first in that case. */
   private[queries] def minhashCrossVerifiedPairs(docsA: DataFrame, docsB: DataFrame,
       nBands: Int, rowsPerBand: Int, t: Double): DataFrame = {
     import docsA.sparkSession.implicits._

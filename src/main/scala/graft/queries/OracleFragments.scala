@@ -23,4 +23,13 @@ object OracleFragments {
     * yields [''], not []). */
   def tokenCount(c: String): String =
     s"CASE WHEN length(${norm(c)}) = 0 THEN 0 ELSE len(${tokens(c)}) END"
+
+  /** DataPipeline.splitCol(id): the 80/10/10 md5-hex-bucket train/val/test
+    * assignment. One definition on each side — every oracle needing the
+    * split interpolates this, so a boundary change cannot drift between
+    * prep_split and its consumers (contamination). */
+  def splitCase(idCol: String): String =
+    s"""CASE WHEN substring(md5(CAST($idCol AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |         WHEN substring(md5(CAST($idCol AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |         ELSE 'test' END""".stripMargin
 }

@@ -11,16 +11,13 @@ import graft.sources.Tables
   */
 object Relational4 {
 
-  /** Deterministic total-order key for (o_totalprice, o_orderkey), encoded
-    * into one BIGINT: cents · 10^7 + orderkey. Needed because argmax by
-    * price alone is nondeterministic under price ties (both engines leave
-    * the tie-winner unspecified), and DuckDB's `arg_max` cannot order by a
-    * struct. Cents ≤ ~6·10^7 and orderkey < 10^7, so the encoding stays far
-    * inside long range and never collides. `round` is exact here: totalprice
-    * is a 2-decimal quantity whose double is within 1e-9 of the true cents
-    * value. */
-  private val priceKeyOrd = expr(
-    "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+  /** Deterministic total order for argmin/argmax: (o_totalprice, o_orderkey)
+    * as a struct — argmax by price alone is nondeterministic under price
+    * ties (both engines leave the tie-winner unspecified), and any
+    * single-BIGINT encoding of the pair has a finite key range it silently
+    * collides beyond. Spark's max_by/min_by order structs lexicographically,
+    * so ties break to the larger (max_by) / smaller (min_by) orderkey. */
+  private val priceKeyOrd = struct(col("o_totalprice"), col("o_orderkey"))
 
   /** Per-priority argmin/argmax: which order carries the highest / lowest
     * total price. `max_by`/`min_by` are single-pass hash-agg accumulators —
@@ -40,16 +37,28 @@ object Relational4 {
       .orderBy($"o_orderpriority")
   }
 
+  // DuckDB arg_max cannot order by a struct, so the oracle expresses the
+  // same deterministic argmin/argmax as rank-1 rows of two windows with the
+  // identical (price, key) tie-break.
   val q34Sql: String =
-    """SELECT o_orderpriority,
-      |  count(*) AS n_orders,
-      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_key,
-      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS worst_key,
-      |  max(o_totalprice) AS max_price,
-      |  min(o_totalprice) AS min_price
-      |FROM orders
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+      |  FROM orders),
+      |agg AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders,
+      |    max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT a.o_orderpriority, a.n_orders,
+      |  b.o_orderkey AS best_key, w.o_orderkey AS worst_key,
+      |  a.max_price, a.min_price
+      |FROM agg a
+      |JOIN ranked b ON b.o_orderpriority = a.o_orderpriority AND b.rb = 1
+      |JOIN ranked w ON w.o_orderpriority = a.o_orderpriority AND w.rw = 1
+      |ORDER BY a.o_orderpriority""".stripMargin
 
   /** Slowly-changing-dimension type 2 build: each customer's order stream
     * becomes effective-dated versions — valid_from = the order's date,

@@ -90,16 +90,18 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       numFiles: Int, maxRecordsPerFile: Long = 0L): Unit = {
     require(zCols.size >= 2 && numFiles > 0)
+    require(!df.columns.contains("__z"),
+      "writeZOrdered: input already has a '__z' column (it would be clobbered and dropped)")
     val statsRows = df.select(
       zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
       .collect()
     // empty input or an all-null column aggregates to null min/max — fail
     // with the cause rather than an NPE out of Row.getDouble
+    val stats = statsRows.headOption.getOrElse(
+      throw new IllegalArgumentException("writeZOrdered: empty input"))
     val ranges = zCols.zipWithIndex.map { case (c, i) =>
-      val stats = statsRows.headOption.getOrElse(
-        throw new IllegalArgumentException("writeZOrdered: empty input"))
       require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
-        s"writeZOrdered: no non-null values for column '$c' (empty input?)")
+        s"writeZOrdered: no non-null values for column '$c'")
       (col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
     df.withColumn("__z", zValue(ranges))

@@ -58,10 +58,15 @@ object EventStreams {
     sessionStats(events.withWatermark("ts", watermark), gap)
 
   /** Stream-static enrichment join: the streaming side keeps its event-time
-    * columns; the static dimension is joined per micro-batch (re-resolved
-    * each batch, so slowly-changing dims pick up updates). At scale the
-    * static side should be broadcast — it participates in every micro-batch,
-    * and a shuffle join would re-shuffle the stream's state store keys. */
+    * columns; the static side is re-EXECUTED each micro-batch, but for
+    * file-based dims the file LISTING was snapshotted when the DataFrame was
+    * created, so rows appended as new files after query start are NOT picked
+    * up (and replaced files can fail the scan). A dim that must track
+    * updates needs to be re-created per batch (foreachBatch) or come from a
+    * format whose index refreshes (a transactional table format). At scale
+    * the static side should be broadcast — it participates in every
+    * micro-batch, and a shuffle join would re-shuffle the stream's state
+    * store keys. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
@@ -88,6 +93,15 @@ object EventStreams {
           .orderBy(col(orderCol).desc, xxhash64(struct(batch.columns.map(col): _*)))))
       .filter(col("__rn") === 1).drop("__rn")
     val dir = new java.io.File(target)
+    val bak = new java.io.File(target + ".old")
+    // recovery: a missing target with a surviving .old means a previous
+    // promote died between its two renames — restore the pre-batch state
+    // FIRST, so the invariant "target holds the live state (when it exists)"
+    // is re-established before anything reads or deletes. Without this, a
+    // replay would treat the sink as empty and silently drop every key
+    // upserted by earlier batches.
+    if (!dir.exists() && bak.exists() && !bak.renameTo(dir))
+      throw new java.io.IOException(s"could not restore $bak to $target")
     val merged =
       if (dir.exists()) {
         val current = spark.read.parquet(target)
@@ -96,14 +110,19 @@ object EventStreams {
       } else latest
     val tmp = target + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    // local-FS swap; transactional formats replace exactly this step
+    // local-FS swap, crash-safe at every boundary: the live state is always
+    // in target or .old — never deleted before the new state is promoted.
+    // Transactional formats replace exactly this step.
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    if (dir.exists()) rm(dir)
+    if (bak.exists()) rm(bak) // leftover of a fully-promoted prior swap
+    if (dir.exists() && !dir.renameTo(bak))
+      throw new java.io.IOException(s"could not move $target aside to $bak")
     if (!new java.io.File(tmp).renameTo(dir))
       throw new java.io.IOException(s"could not move $tmp to $target")
+    rm(bak)
   }
 
   /** Watermarked stream-stream join: each left event pairs with right events

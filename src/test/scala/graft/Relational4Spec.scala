@@ -22,11 +22,10 @@ class Relational4Spec extends AnyFunSuite {
     res.foreach { case (prio, best, worst, maxP, minP) =>
       val grp = orders(prio)
       assert(maxP == grp.map(_._3).max && minP == grp.map(_._3).min)
-      // encoded ord = cents*1e7 + key: max_by breaks price ties to the
+      // struct ordering (price, key): max_by breaks price ties to the
       // LARGEST key, min_by to the SMALLEST
-      val cents = (p: Double) => math.round(p * 100)
-      val expBest = grp.filter(o => cents(o._3) == cents(maxP)).map(_._2).max
-      val expWorst = grp.filter(o => cents(o._3) == cents(minP)).map(_._2).min
+      val expBest = grp.filter(_._3 == maxP).map(_._2).max
+      val expWorst = grp.filter(_._3 == minP).map(_._2).min
       assert(best == expBest, s"$prio best_key $best != $expBest")
       assert(worst == expWorst, s"$prio worst_key $worst != $expWorst")
     }

@@ -421,6 +421,15 @@ class StreamingSpec extends AnyFunSuite {
       (3L, ts("2024-01-01 12:00:00"), 30.0)).toDF("user_id", "ts", "value")
     sink(b1, 1L)
     assert(state() == Set((1L, 11.0), (2L, 21.0), (3L, 30.0)))
+    // crash between the two promote renames: target is gone, .old holds the
+    // pre-batch state. A replay must restore from .old and converge — not
+    // treat the sink as empty and drop keys 1 and 3 (which are absent from
+    // b1's own rows)
+    val preCrash = state()
+    assert(new java.io.File(target).renameTo(new java.io.File(target + ".old")))
+    sink(b1, 1L)
+    assert(state() == preCrash, "replay after mid-swap crash lost state")
+    assert(!new java.io.File(target + ".old").exists(), ".old not cleaned up")
     // and it drives from an actual stream
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
