@@ -244,11 +244,48 @@ object DataPipeline {
        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
        |ORDER BY test_doc, train_doc""".stripMargin
 
+  /** Per-group percentile outlier filter: rows whose extended price exceeds
+    * their return-flag group's exact p99 — the "drop the pathological tail
+    * before training" shape (over-long documents, runaway token counts).
+    *
+    * Scale shape: the cutoffs aggregate is GROUPS-sized (here 3 rows) and
+    * broadcast back, so the filter pass is a pure map over the fact scan —
+    * no row-level shuffle. Exact percentile materializes each group once in
+    * the cutoff agg; at 100 TB swap `percentile` for `approx_percentile`
+    * (the q25 sketch path) and keep the broadcast join-back unchanged.
+    * Comparing on the UNROUNDED cutoff is cross-engine safe: interpolated
+    * cutoffs never coincide with a 2-decimal price, and non-interpolated
+    * ones are picked (not computed) identically by both engines. */
+  def outlierFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val cuts = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    li.join(broadcast(cuts), "l_returnflag")
+      .filter($"l_extendedprice" > $"p99")
+      .select($"l_returnflag", $"l_orderkey",
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        $"l_extendedprice", round($"p99", 4).as("p99"))
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+  }
+
+  val outlierFilterSql: String =
+    """WITH cuts AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.99) AS p99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, l.l_orderkey,
+      |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+      |  l.l_extendedprice, round(c.p99, 4) AS p99
+      |FROM lineitem l JOIN cuts c USING (l_returnflag)
+      |WHERE l.l_extendedprice > c.p99
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "prep_contamination" -> (contamination _),
+    "prep_outliers" -> (outlierFilter _),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
     "text_redact" -> (textRedact _))
 
@@ -257,6 +294,7 @@ object DataPipeline {
     "prep_mix" -> mixWeightedSql,
     "prep_pack" -> packSequencesSql(),
     "prep_contamination" -> contaminationSql,
+    "prep_outliers" -> outlierFilterSql,
     "text_chunks" -> textChunksSql(),
     "text_redact" -> textRedactSql)
 }

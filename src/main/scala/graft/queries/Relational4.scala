@@ -92,11 +92,48 @@ object Relational4 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Time-RANGE window frame: per customer, the rolling 30-day order total
+    * and count — frame bounds defined by the ORDER-BY VALUE (epoch seconds),
+    * not row offsets, so tied dates are peers and gaps shrink the frame.
+    * The ROWS-frame ops are covered by q08/q31; this pins the RANGE form,
+    * which is the one sliding-window analytics actually needs. One entity
+    * shuffle + in-partition sort, same cost envelope as any windowed scan.
+    * Sums are exact DECIMAL cast to double at the end (the repo's big-sum
+    * rule); both engines' frames are inclusive of the 30-days-ago instant.
+    * The order value is epoch-DAYS (orderdates are date-grained TIMESTAMP_NTZ
+    * midnights): a direct NTZ→epoch-seconds cast would route through the
+    * session timezone, whose DST shifts could move frame boundaries relative
+    * to the oracle's timezone-free interval arithmetic. */
+  def q36RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(datediff($"o_orderdate".cast("date"), lit("1970-01-01")))
+      .rangeBetween(-30L, 0L)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_date"),
+        sum($"o_totalprice".cast("decimal(12,2)")).over(w).cast("double").as("sum_30d"),
+        count(lit(1)).over(w).cast("long").as("n_30d"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_30d,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_minmax_by" -> (q34MinmaxBy _),
-    "q35_scd2" -> (q35Scd2 _))
+    "q35_scd2" -> (q35Scd2 _),
+    "q36_range_frame" -> (q36RangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q34_minmax_by" -> q34Sql,
-    "q35_scd2" -> q35Sql)
+    "q35_scd2" -> q35Sql,
+    "q36_range_frame" -> q36Sql)
 }

@@ -93,4 +93,27 @@ class DataPipelineSpec extends AnyFunSuite {
       .filter($"redacted".rlike("[0-9]")).count()
     assert(remaining == 0)
   }
+
+  test("outlier filter keeps exactly the rows above an independent p99 recompute") {
+    val res = DataPipeline.outlierFilter(spark, sf)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .as[(String, Long, Long)].collect().toSet
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber".cast("long"),
+        $"l_extendedprice")
+      .as[(String, Long, Long, Double)].collect()
+    // independent exact p99 (linear interpolation, the percentile/
+    // quantile_cont definition) per group
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+      val sorted = grp.map(_._4).sorted
+      val pos = 0.99 * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.ceil(pos).toInt))
+      val p99 = lo + (pos - pos.toInt) * (hi - lo)
+      grp.filter(_._4 > p99).map(r => (r._1, r._2, r._3)).toSeq
+    }.toSet
+    assert(res == expected,
+      s"missing=${(expected -- res).take(5)} extra=${(res -- expected).take(5)}")
+    assert(res.nonEmpty && res.size < rows.length / 50,
+      s"p99 filter kept ${res.size} of ${rows.length}")
+  }
 }

@@ -46,7 +46,14 @@ class PlanSpec extends AnyFunSuite {
       "prep_mix" -> Seq("text", "lang", "n_chars"),           // uses doc_id+source
       "prep_pack" -> Seq("lang", "n_chars"),                  // uses doc_id+source+text
       "text_chunks" -> Seq("lang", "source", "n_chars"),      // uses doc_id+text
-      "text_redact" -> Seq("user_id", "event_type", "value")) // uses event_id+props
+      "text_redact" -> Seq("user_id", "event_type", "value"), // uses event_id+props
+      "prep_contamination" -> Seq("lang", "source", "n_chars"), // uses doc_id+text
+      "text_tfidf" -> Seq("doc_id", "lang", "n_chars"),       // uses source+text
+      "sim_quantized_topk" -> Seq("label"),                   // uses vec_id+embedding
+      "q34_minmax_by" -> Seq("o_custkey", "o_orderdate", "o_orderstatus"),
+      "q35_scd2" -> Seq("o_orderstatus", "o_orderpriority"),
+      "q36_range_frame" -> Seq("o_orderstatus", "o_orderpriority"),
+      "prep_outliers" -> Seq("l_quantity", "l_discount", "l_tax", "l_shipdate"))
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
       assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
   }
@@ -102,6 +109,44 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"))
     assert(plan.contains("partial_command_reduce") || plan.contains("Partial"),
       s"command_reduce must pre-aggregate before the shuffle:\n$plan")
+  }
+
+  test("filtered vector search pushes the label predicate into the parquet scan") {
+    val plan = SparkEntry.queries("sim_filtered_topk")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // pre-filter semantics must reach the scan: at 100 TB with label-
+    // clustered layout this prunes whole files before any vector is read
+    assert(plan.contains("In(label, [1,3,5])"), plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q34 argmin/argmax is one partial+final hash aggregate (single shuffle)") {
+    val plan = planOf("q34_minmax_by")
+    assert(plan.contains("partial_max_by") || plan.contains("Partial"),
+      s"max_by must pre-aggregate map-side:\n$plan")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1, s"q34 should shuffle once, found $keyShuffles:\n$plan")
+  }
+
+  test("q35 SCD2 is one entity shuffle + one window (no self-join)") {
+    val plan = planOf("q35_scd2")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1, s"q35 should shuffle once on custkey, found $keyShuffles:\n$plan")
+    assert(!plan.contains("Join"), s"q35 must not self-join:\n$plan")
+  }
+
+  test("prep_outliers broadcasts the groups-sized cutoff agg (map-only filter pass)") {
+    val plan = planOf("prep_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoffs must broadcast back, not shuffle the fact rows:\n$plan")
+  }
+
+  test("q36 RANGE frame is one entity shuffle + one window") {
+    val plan = planOf("q36_range_frame")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1, s"q36 should shuffle once on custkey, found $keyShuffles:\n$plan")
+    assert(!plan.contains("Join"), s"q36 must not join:\n$plan")
   }
 
   test("native as-of join plans its own exchanges and sorts") {

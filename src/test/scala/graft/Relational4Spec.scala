@@ -31,6 +31,28 @@ class Relational4Spec extends AnyFunSuite {
     }
   }
 
+  test("q36 RANGE frame equals a brute-force 30-day rolling recompute") {
+    val res = Relational4.q36RangeFrame(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"sum_30d", $"n_30d")
+      .as[(Long, Long, Double, Long)].collect()
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01")).cast("long"),
+        $"o_totalprice")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(res.length.toLong == orders.values.map(_.length).sum.toLong)
+    res.foreach { case (cust, key, sum30, n30) =>
+      val grp = orders(cust)
+      val day = grp.find(_._2 == key).get._3
+      val inFrame = grp.filter(o => o._3 >= day - 30 && o._3 <= day)
+      assert(n30 == inFrame.length.toLong, s"cust $cust order $key n_30d")
+      // exact-decimal window sum vs cents-summed recompute
+      val cents = inFrame.map(o => math.round(o._4 * 100)).sum
+      assert(math.round(sum30 * 100) == cents, s"cust $cust order $key sum_30d")
+    }
+  }
+
   test("q35 SCD2 versions chain per customer: one current row, contiguous validity") {
     val res = Relational4.q35Scd2(spark, sf)
       .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to", $"is_current")
