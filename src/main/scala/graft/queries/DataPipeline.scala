@@ -253,9 +253,13 @@ object DataPipeline {
     * no row-level shuffle. Exact percentile materializes each group once in
     * the cutoff agg; at 100 TB swap `percentile` for `approx_percentile`
     * (the q25 sketch path) and keep the broadcast join-back unchanged.
-    * Comparing on the UNROUNDED cutoff is cross-engine safe: interpolated
-    * cutoffs never coincide with a 2-decimal price, and non-interpolated
-    * ones are picked (not computed) identically by both engines. */
+    * The cutoff is used AND emitted unrounded: the interpolation
+    * lo + frac·(hi−lo) is bitwise-identical across engines (pinned by the
+    * spec's independent recompute), while ROUNDING it is not — DuckDB's
+    * round(x, 4) does not return the nearest double of the 4-decimal value
+    * the way Spark's BigDecimal HALF_UP does (observed 1-ulp divergence at
+    * sf0.1), so a rounded cutoff column would hash-mismatch exactly when the
+    * raw one matches. */
   def outlierFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -265,8 +269,10 @@ object DataPipeline {
       .filter($"l_extendedprice" > $"p99")
       .select($"l_returnflag", $"l_orderkey",
         $"l_linenumber".cast("long").as("l_linenumber"),
-        $"l_extendedprice", round($"p99", 4).as("p99"))
-      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+        $"l_extendedprice", $"p99")
+      // the synthetic lineitem has a handful of duplicate (orderkey,
+      // linenumber) keys — price joins the sort so the output order is total
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
   }
 
   val outlierFilterSql: String =
@@ -275,10 +281,10 @@ object DataPipeline {
       |  FROM lineitem GROUP BY 1)
       |SELECT l.l_returnflag, l.l_orderkey,
       |  CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
-      |  l.l_extendedprice, round(c.p99, 4) AS p99
+      |  l.l_extendedprice, c.p99
       |FROM lineitem l JOIN cuts c USING (l_returnflag)
       |WHERE l.l_extendedprice > c.p99
-      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_split" -> (splitAssign _),
