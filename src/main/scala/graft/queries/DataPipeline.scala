@@ -222,7 +222,7 @@ object DataPipeline {
     Dedup.minhashCrossVerifiedPairs(testDocs, trainDocs,
         nBands = 8, rowsPerBand = 4, t = 0.8)
       .select($"doc_a".as("test_doc"), $"doc_b".as("train_doc"),
-        round($"jac", 4).as("jaccard"))
+        $"jac".as("jaccard"))
       .orderBy($"test_doc", $"train_doc")
   }
 
@@ -237,8 +237,8 @@ object DataPipeline {
        |    ${OracleFragments.splitCase("doc_id")} AS split
        |  FROM (SELECT doc_id, ${OracleFragments.tokens("text")} AS toks FROM documents))
        |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc,
-       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-       |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
        |FROM sh a JOIN sh b ON a.split = 'test' AND b.split = 'train'
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8

@@ -148,7 +148,7 @@ object Dedup {
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     minhashVerifiedPairs(shingledDocs(spark, dir), nBands = 8, rowsPerBand = 4, t = 0.8)
-      .select($"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -161,8 +161,8 @@ object Dedup {
       |          string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS toks
       |        FROM documents))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
@@ -269,12 +269,13 @@ object Dedup {
     import spark.implicits._
     val docs = shingledDocs(spark, dir, withSource = true)
     prefixFilterJaccardPairs(docs, tNum = 1, tDen = 2)
-      .select($"source", $"doc_a", $"doc_b", round($"jac", 4).as("jaccard"))
+      .select($"source", $"doc_a", $"doc_b", $"jac".as("jaccard"))
       .orderBy($"source", $"doc_a", $"doc_b")
   }
 
   // Jaccard = |∩|/|∪| of integer set sizes → identical doubles in both
-  // engines; round(…,4) is then reproducible. list_distinct before compare.
+  // engines, emitted RAW (rounding a double diverges cross-engine — DuckDB
+  // round is not nearest-double-of-decimal). list_distinct before compare.
   val dedupNgramJaccardSql: String =
     """WITH sh AS (
       |  SELECT source, doc_id,
@@ -284,8 +285,8 @@ object Dedup {
       |          string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' ') AS toks
       |        FROM documents))
       |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jaccard
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5

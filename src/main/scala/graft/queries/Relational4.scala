@@ -93,7 +93,7 @@ object Relational4 {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Time-RANGE window frame: per customer, the rolling 30-day order total
-    * and count — frame bounds defined by the ORDER-BY VALUE (epoch seconds),
+    * and count — frame bounds defined by the ORDER-BY VALUE (epoch days),
     * not row offsets, so tied dates are peers and gaps shrink the frame.
     * The ROWS-frame ops are covered by q08/q31; this pins the RANGE form,
     * which is the one sliding-window analytics actually needs. One entity

@@ -95,13 +95,13 @@ object Layout {
     val statsRows = df.select(
       zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
       .collect()
-    // empty input or an all-null column aggregates to null min/max — fail
-    // with the cause rather than an NPE out of Row.getDouble
-    val stats = statsRows.headOption.getOrElse(
-      throw new IllegalArgumentException("writeZOrdered: empty input"))
+    // a global aggregate always yields exactly one row — of NULLs when the
+    // input is empty or a column is all-null; fail with the cause rather
+    // than an NPE out of Row.getDouble
+    val stats = statsRows.head
     val ranges = zCols.zipWithIndex.map { case (c, i) =>
       require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
-        s"writeZOrdered: no non-null values for column '$c'")
+        s"writeZOrdered: no non-null values for column '$c' (empty input?)")
       (col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
     df.withColumn("__z", zValue(ranges))
