@@ -112,4 +112,38 @@ object Layout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
   }
+
+  /** Small-file compaction (the OPTIMIZE half of table maintenance):
+    * rewrite a parquet directory into `numFiles` files, re-clustered on
+    * `clusterCols` (empty = plain coalesce-style rewrite). Streaming
+    * micro-batch sinks and fine-grained appends leave thousands of KB-sized
+    * files whose per-file open/footer cost dominates the scan at 100 TB;
+    * compaction restores both file-size economics and min/max pruning.
+    *
+    * The rewrite CANNOT overwrite its own input (the lazy plan reads the
+    * source while the write runs), so it writes to a sibling `.compact`
+    * directory and promotes it with the same rename-aside-then-promote swap
+    * as the streaming upsert sink: the live data is in `path` or
+    * `path + ".old"` at every step boundary. On a real deployment a
+    * transactional table format replaces exactly the swap step. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int, clusterCols: Seq[String] = Nil): Unit = {
+    require(numFiles > 0)
+    val tmp = path + ".compact"
+    val df = spark.read.parquet(path)
+    if (clusterCols.nonEmpty) writeClustered(df, tmp, clusterCols, numFiles)
+    else df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val dir = new java.io.File(path)
+    val bak = new java.io.File(path + ".old")
+    if (bak.exists()) rm(bak)
+    if (!dir.renameTo(bak))
+      throw new java.io.IOException(s"could not move $path aside to $bak")
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"could not move $tmp to $path")
+    rm(bak)
+  }
 }

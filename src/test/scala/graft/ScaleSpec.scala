@@ -132,6 +132,40 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rewrites many small files into few clustered ones, losslessly") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    val src = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    // simulate a fine-grained-append history: 64 tiny files
+    src.repartition(64).write.parquet(dir)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(parts(dir).size >= 32, s"fixture should start fragmented: ${parts(dir).size}")
+    def multisetSum(p: String) = spark.read.parquet(p)
+      .agg(sum(xxhash64($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    val checksum = multisetSum(dir)
+    Layout.compact(spark, dir, numFiles = 4, clusterCols = Seq("l_orderkey"))
+    val after = parts(dir)
+    assert(after.size <= 4, s"still fragmented after compaction: $after")
+    assert(!new java.io.File(dir + ".old").exists() &&
+      !new java.io.File(dir + ".compact").exists(), "swap left temp dirs behind")
+    // lossless: same multiset of rows (order-insensitive checksum + count)
+    val df2 = spark.read.parquet(dir)
+    assert(df2.count() == src.count())
+    assert(multisetSum(dir) == checksum)
+    // and re-clustered: disjoint per-file orderkey ranges (pruning restored)
+    val ranges = after.map { f =>
+      val r = spark.read.parquet(f).agg(min($"l_orderkey"), max($"l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA <= loB, s"overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("csv, json, and text sources round-trip the documents table") {
     val base = Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
