@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("intersect_size_sorted",
         "intersect_size_sorted(a, b) - intersection size of two sorted arrays",
         exprs => IntersectSizeSorted(exprs(0), exprs(1))),
+      ("quantize_int8", "quantize_int8(v) - int8 scalar quantization of a double array",
+        exprs => QuantizeInt8(exprs.head)),
+      ("max_abs", "max_abs(v) - max absolute value of a double array",
+        exprs => MaxAbs(exprs.head)),
+      ("dot_int", "dot_int(a, b) - exact long dot product of two int arrays",
+        exprs => DotInt(exprs(0), exprs(1))),
       ("language_id", "language_id(text) - stopword-profile language guess",
         exprs => LanguageId(exprs.head)))
     fns.foreach { case (name, usage, builder) =>

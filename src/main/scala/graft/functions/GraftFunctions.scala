@@ -20,6 +20,12 @@ object GraftFunctions {
       "intersect_size_sorted",
       exprs => IntersectSizeSorted(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "quantize_int8", exprs => QuantizeInt8(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "max_abs", exprs => MaxAbs(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "dot_int", exprs => DotInt(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "command_reduce", { exprs =>
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String) =
           (if (e.foldable) e.eval() else null) match {

@@ -20,10 +20,16 @@ class FunctionsSpec extends AnyFunSuite {
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS cs,
         |  intersect_size_sorted(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS isz,
+        |  quantize_int8(array(1.0d, -0.5d)) AS q8,
+        |  max_abs(array(-3.0d, 2.0d)) AS ma,
+        |  dot_int(array(127, -64), array(127, -64)) AS di,
         |  size(shingle_hash_set('a b c d', 3)) AS nsh""".stripMargin).head()
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[Double]("cs") == 1.0)
     assert(row.getAs[Int]("isz") == 2)
+    assert(row.getSeq[Int](row.fieldIndex("q8")) == Seq(127, -64))
+    assert(row.getAs[Double]("ma") == 3.0)
+    assert(row.getAs[Long]("di") == 127L * 127 + 64L * 64)
     assert(row.getAs[Int]("nsh") == 2) // "a b c", "b c d"
     // SQL result equals the Column-API result
     val viaColumn = Seq(Seq("a", "b", "c")).toDF("t")
