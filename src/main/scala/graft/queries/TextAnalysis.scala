@@ -55,27 +55,12 @@ object TextAnalysis {
       .orderBy($"source", $"bucket")
   }
 
-  // The full quality formula transliterated; every term is a ratio of integer
-  // counts so both engines compute identical doubles (no accumulation).
+  // The full quality formula transliterated (shared fragment — see
+  // OracleFragments.quality for the bitwise-reproducibility argument).
   val textQualitySql: String =
-    raw"""WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT source, text,
-      |    greatest(least(
-      |      0.25 * (CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0
-      |                   WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END)
-      |      + 0.25 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-      |                / greatest(length(text), 1))
-      |      + 0.2 * least(4 * (CAST(len(list_filter(${OracleFragments.tokens("text")},
-      |                    t -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], t))) AS DOUBLE)
-      |               / greatest(${OracleFragments.tokenCount("text")}, 1)), 1.0)
-      |      + 0.3 * (CASE WHEN (CAST(length(${OracleFragments.norm("text")}) AS DOUBLE) + 1)
-      |                         / greatest(${OracleFragments.tokenCount("text")}, 1)
-      |                         BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
-      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-      |             / greatest(length(text), 1))
-      |      - 2 * (CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
-      |             / greatest(length(text), 1)),
-      |    1.0), 0.0) AS q
+      |    ${OracleFragments.quality("text")} AS q
       |  FROM documents)
       |SELECT source,
       |  CASE WHEN q >= 0.7 THEN 'high' WHEN q >= 0.4 THEN 'mid' ELSE 'low' END AS bucket,
@@ -103,28 +88,21 @@ object TextAnalysis {
   // matches LangIdUtil.predict: lower → split on runs of [ \t\n\x0B\f\r]
   // (Java's ASCII \s, spelled out because RE2's \s lacks \x0B). Degenerate
   // docs yield only empty/whitespace tokens, which hit no profile → 'und'.
-  val textLangidSql: String = {
-    val profileStructs = TF.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
-      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"{'hits': len(list_filter(t, x -> list_contains($arr, x))), 'code': '$code'}"
-    }.mkString(",\n      ")
+  val textLangidSql: String =
     s"""WITH toks AS (
        |  SELECT lang,
        |    ${OracleFragments.tokens("text")} AS t
        |  FROM documents),
        |best AS (
        |  SELECT lang,
-       |    list_max([
-       |      $profileStructs
-       |    ]) AS b
+       |    ${OracleFragments.langidBest("t")} AS b
        |  FROM toks)
        |SELECT lang,
-       |  CASE WHEN b['hits'] > 0 THEN b['code'] ELSE 'und' END AS predicted,
+       |  ${OracleFragments.langidPredicted("b")} AS predicted,
        |  count(*) AS n
        |FROM best
        |GROUP BY 1, 2
        |ORDER BY lang, predicted""".stripMargin
-  }
 
   /** Exact per-source heavy hitters: top-5 tokens by frequency, ties broken
     * to the lexicographically smaller token. The highest-cardinality shuffle
