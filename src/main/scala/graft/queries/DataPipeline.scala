@@ -286,12 +286,158 @@ object DataPipeline {
       |WHERE l.l_extendedprice > c.p99
       |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_extendedprice""".stripMargin
 
+  /** Quality screening: keep documents whose heuristic quality score clears
+    * the threshold — the filter step between dedup and mixing in a training
+    * pipeline. Pure scan + projection + filter (the score is a codegen'd
+    * column formula): zero shuffles at any scale, pushdown intact. The score
+    * is emitted RAW (the repo's rounding rule) and the oracle reproduces the
+    * full formula via [[OracleFragments.quality]], so the threshold
+    * comparison cannot diverge at the boundary. The 0.75 threshold sits
+    * inside this corpus' observed [0.63, 0.93] range (engine policy —
+    * chosen so the filter genuinely partitions the fixtures). */
+  def qualityScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"))
+      .filter($"quality" >= 0.75)
+      .orderBy($"doc_id")
+  }
+
+  val qualityScreenSql: String =
+    s"""SELECT doc_id, source,
+       |  ${OracleFragments.quality("text")} AS quality
+       |FROM documents
+       |WHERE ${OracleFragments.quality("text")} >= 0.75
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source dataset card: the summary statistics a training-mixture
+    * design reads off before setting weights — doc/token/char totals, length
+    * spread (exact p50), language diversity. ONE partial+final hash aggregate
+    * over the corpus; output is sources-sized. At 100 TB the exact median
+    * swaps for `approx_percentile` (the q25 sketch path) without changing
+    * the aggregate structure. `avg_chars` is the double division of two
+    * exact integers → bitwise reproducible cross-engine. */
+  def datacard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount($"text")).cast("long").as("total_tokens"),
+        sum(length($"text")).cast("long").as("total_chars"),
+        min(length($"text")).cast("long").as("min_chars"),
+        max(length($"text")).cast("long").as("max_chars"),
+        expr("percentile(length(text), 0.5)").as("p50_chars"),
+        countDistinct($"lang").as("n_langs"))
+      .withColumn("avg_chars", $"total_chars".cast("double") / $"n_docs")
+      .orderBy($"source")
+  }
+
+  val datacardSql: String =
+    s"""SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(${OracleFragments.tokenCount("text")}) AS BIGINT) AS total_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(min(length(text)) AS BIGINT) AS min_chars,
+       |  CAST(max(length(text)) AS BIGINT) AS max_chars,
+       |  quantile_cont(length(text), 0.5) AS p50_chars,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Deterministic stratified sample: exactly min(k, |source|) documents per
+    * source, chosen by md5 order (salt "strat:" decorrelates from the split
+    * and mix draws). Content-hash determinism again: the sample is
+    * reproducible across reruns and stable under repartitioning, and — unlike
+    * `df.stat.sampleBy` — the count per stratum is exact, not binomial.
+    *
+    * Scale shape: `row_number` + `rank <= k` lowers to WindowGroupLimit
+    * (PlanSpec-pinned), which keeps a running top-k per source BEFORE and
+    * after the shuffle — per-partition state is k rows per source, never the
+    * stratum itself, so a skewed source cannot blow an executor. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val draw = md5(concat_ws(":", lit("strat"), $"doc_id", $"source"))
+    val w = Window.partitionBy($"source").orderBy(draw, $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .orderBy($"source", $"rn")
+  }
+
+  def stratifiedSampleSql(k: Int = 5): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(concat_ws(':', 'strat', CAST(doc_id AS VARCHAR), source)),
+       |               doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source, rn FROM ranked
+       |WHERE rn <= $k
+       |ORDER BY source, rn""".stripMargin
+
+  /** Exact n-gram decontamination: train-split documents sharing any verbatim
+    * 8-gram with a test-split document — the standard exact-overlap
+    * decontamination check (the GPT-3 paper used 13-grams; 8 fits this
+    * corpus' ~60-token docs), complementing [[contamination]]'s near-dup
+    * screen: MinHash catches paraphrases, the n-gram join catches short
+    * verbatim splices whose whole-document Jaccard stays under any
+    * threshold.
+    *
+    * Scale shape: per-doc DISTINCT grams (projection, no shuffle) → one
+    * equi-join on the gram key → one train-doc-keyed aggregate. Gram keys are
+    * near-unique (few posting lists exceed 1), so the join shuffles ~corpus
+    * token volume with no hot keys. The join key here is the gram STRING so
+    * the oracle reproduces it; at 100 TB hash it to 8 bytes
+    * (`xxhash64(gram)`) — same plan, 5-10× less shuffle volume. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", splitCol($"doc_id").as("split"),
+        explode(array_distinct(TF.wordShingles($"text", 8))).as("g"))
+    val train = grams.filter($"split" === "train")
+      .select($"g", $"doc_id".as("train_doc"))
+    val test = grams.filter($"split" === "test")
+      .select($"g", $"doc_id".as("test_doc"))
+    train.join(test, "g")
+      .groupBy($"train_doc")
+      .agg(countDistinct($"test_doc").as("n_test_docs"),
+        count(lit(1)).as("n_collisions"))
+      .orderBy($"train_doc")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleFragments.tokens("text")} AS t,
+       |    ${OracleFragments.splitCase("doc_id")} AS split
+       |  FROM documents
+       |  WHERE length(${OracleFragments.norm("text")}) > 0),
+       |g AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+       |                          FOR i IN range(1, len(t) - 6)])) AS g
+       |  FROM toks)
+       |SELECT a.doc_id AS train_doc,
+       |  count(DISTINCT b.doc_id) AS n_test_docs,
+       |  count(*) AS n_collisions
+       |FROM g a JOIN g b USING (g)
+       |WHERE a.split = 'train' AND b.split = 'test'
+       |GROUP BY 1
+       |ORDER BY train_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "prep_contamination" -> (contamination _),
+    "prep_decontaminate" -> (decontaminate _),
     "prep_outliers" -> (outlierFilter _),
+    "prep_screen" -> (qualityScreen _),
+    "prep_datacard" -> (datacard _),
+    "prep_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
     "text_redact" -> (textRedact _))
 
@@ -300,7 +446,11 @@ object DataPipeline {
     "prep_mix" -> mixWeightedSql,
     "prep_pack" -> packSequencesSql(),
     "prep_contamination" -> contaminationSql,
+    "prep_decontaminate" -> decontaminateSql,
     "prep_outliers" -> outlierFilterSql,
+    "prep_screen" -> qualityScreenSql,
+    "prep_datacard" -> datacardSql,
+    "prep_stratified" -> stratifiedSampleSql(),
     "text_chunks" -> textChunksSql(),
     "text_redact" -> textRedactSql)
 }

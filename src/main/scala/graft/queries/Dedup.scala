@@ -386,6 +386,18 @@ object Dedup {
   private def dedupClustersImpl(spark: SparkSession, dir: String,
       reliableCheckpoint: Boolean): DataFrame = {
     import spark.implicits._
+    ccLabels(spark, dir, reliableCheckpoint)
+      .groupBy($"label".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"cluster_rep")
+  }
+
+  /** The min-label-propagation loop of [[dedupClusters]], exposed as the
+    * (id, label) assignment so downstream operators ([[dedupCanonical]]) can
+    * consume cluster membership without re-deriving it. */
+  private[graft] def ccLabels(spark: SparkSession, dir: String,
+      reliableCheckpoint: Boolean): DataFrame = {
+    import spark.implicits._
     if (reliableCheckpoint)
       require(spark.sparkContext.getCheckpointDir.isDefined,
         "reliable checkpoint mode needs sc.setCheckpointDir(...)")
@@ -423,10 +435,64 @@ object Dedup {
       checksum = nextSum
       labels = next
     }
-    labels.groupBy($"label".as("cluster_rep"))
-      .agg(count(lit(1)).as("n_members"))
+    labels
+  }
+
+  /** Canonical-document selection: within each near-dup cluster, keep the
+    * HIGHEST-quality member (ties to the smaller doc_id) instead of
+    * [[dedupClusters]]' min-id representative — "dedup keeping the best
+    * copy", the form a curation pipeline actually ships. Selection is a
+    * `max_by` over a (quality, −doc_id) struct — one partial+final hash
+    * aggregate over the labels; nothing but (label, doc_id, quality) crosses
+    * the wire, and the quality column is a codegen'd projection on the
+    * document scan. Oracle: the same recursive-CTE closure as
+    * dedup_clusters + a rank-1 window with the identical tie-break (DuckDB
+    * arg_max cannot order by a struct). */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = Tables.documents(spark, dir)
+      .select($"doc_id", TF.qualityScore($"text").as("q"))
+    ccLabels(spark, dir, reliableCheckpoint = false)
+      .join(quality, $"id" === $"doc_id")
+      .groupBy($"label".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by($"doc_id", struct($"q".as("q"), (-$"doc_id").as("negid")))
+          .as("canonical_doc"),
+        max($"q").as("best_quality"))
       .orderBy($"cluster_rep")
   }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+      |  FROM (SELECT doc_id, ${OracleFragments.tokens("text")} AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a, doc_b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+      |labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+      |q AS (SELECT doc_id, ${OracleFragments.quality("text")} AS q FROM documents),
+      |ranked AS (
+      |  SELECT l.label, q.doc_id, q.q,
+      |    row_number() OVER (PARTITION BY l.label
+      |                       ORDER BY q.q DESC, q.doc_id ASC) AS r
+      |  FROM labels l JOIN q ON l.id = q.doc_id)
+      |SELECT label AS cluster_rep, count(*) AS n_members,
+      |  max(CASE WHEN r = 1 THEN doc_id END) AS canonical_doc,
+      |  max(q) AS best_quality
+      |FROM ranked
+      |GROUP BY label
+      |ORDER BY cluster_rep""".stripMargin
 
   val dedupClustersSql: String =
     """WITH RECURSIVE sh AS (
@@ -455,6 +521,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -463,6 +530,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)

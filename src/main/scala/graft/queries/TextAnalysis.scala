@@ -211,12 +211,87 @@ object TextAnalysis {
        |FROM ranked WHERE rank <= 3
        |ORDER BY source, rank""".stripMargin
 
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    * use line/paragraph/n-gram repetition fractions as quality filters; this
+    * corpus is single-line, so the word-level pair applies):
+    *   - top_token_frac: occurrences of the most frequent token / all tokens
+    *     ("most common word" filter);
+    *   - dup_trigram_frac: 1 − distinct 3-grams / total 3-grams (duplicated
+    *     n-gram mass).
+    * A doc is flagged `repetitive` past either threshold (0.2 / 0.05 —
+    * engine policy, chosen to split this corpus' observed range).
+    *
+    * Scale shape: the trigram side is a pure projection (shingle + distinct
+    * per row, no shuffle). The token side is the same explode →
+    * (doc_id, token) partial-agg shuffle as [[textTopTokens]], collapsed to
+    * one row per doc by a second doc-keyed agg; both aggs combine map-side,
+    * and nothing wider than (doc_id, token, count) crosses the wire. The
+    * fractions are int/int doubles emitted RAW (the repo's rounding rule:
+    * Spark and DuckDB round doubles differently at the last ulp). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val topTok = docs
+      .select($"doc_id", explode(TF.wordTokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_cnt"), sum($"c").as("n_toks"))
+    val tri = docs.select($"doc_id", TF.wordShingles($"text", 3).as("g"))
+      .select($"doc_id", size($"g").as("n_tri"),
+        size(array_distinct($"g")).as("n_tri_distinct"))
+    // left join: a zero-token doc has no (doc_id, token) rows → fractions 0
+    tri.join(topTok, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_toks", lit(0L)).cast("long").as("n_tokens"),
+        coalesce($"top_cnt".cast("double") / $"n_toks", lit(0.0))
+          .as("top_token_frac"),
+        when($"n_tri" > 0,
+            lit(1.0) - $"n_tri_distinct".cast("double") / $"n_tri")
+          .otherwise(0.0).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        $"top_token_frac" > 0.2 || $"dup_trigram_frac" > 0.05)
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleFragments.tokens("text")} AS t,
+       |    length(${OracleFragments.norm("text")}) AS n_norm
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks WHERE n_norm > 0)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_toks FROM cnt GROUP BY 1),
+       |tri AS (
+       |  SELECT doc_id,
+       |    len([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS n_tri,
+       |    len(list_distinct([array_to_string(t[i:i+2], ' ')
+       |                       FOR i IN range(1, len(t) - 1)])) AS n_tri_distinct
+       |  FROM toks WHERE n_norm > 0
+       |  UNION ALL
+       |  SELECT doc_id, 0, 0 FROM toks WHERE n_norm = 0),
+       |joined AS (
+       |  SELECT tri.doc_id,
+       |    coalesce(CAST(top.n_toks AS BIGINT), 0) AS n_tokens,
+       |    coalesce(CAST(top.top_cnt AS DOUBLE) / top.n_toks, 0.0) AS top_token_frac,
+       |    CASE WHEN tri.n_tri > 0
+       |         THEN 1.0 - CAST(tri.n_tri_distinct AS DOUBLE) / tri.n_tri
+       |         ELSE 0.0 END AS dup_trigram_frac
+       |  FROM tri LEFT JOIN top ON tri.doc_id = top.doc_id)
+       |SELECT doc_id, n_tokens, top_token_frac, dup_trigram_frac,
+       |  (top_token_frac > 0.2 OR dup_trigram_frac > 0.05) AS repetitive
+       |FROM joined
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_top_tokens" -> (textTopTokens _),
     "text_tfidf" -> (textTfidf _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +300,6 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_top_tokens" -> textTopTokensSql,
     "text_tfidf" -> textTfidfSql,
+    "text_repetition" -> textRepetitionSql,
     "text_fingerprint" -> textFingerprintSql)
 }

@@ -154,4 +154,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("AsOfJoin"))
     assert(plan.contains("Exchange hashpartitioning"))
   }
+
+  test("prep_stratified gets rank-limit pushdown (WindowGroupLimit)") {
+    // the per-source sample must never materialize a stratum: the rank<=k
+    // filter lowers to WindowGroupLimit, bounding per-partition state at k
+    val plan = planOf("prep_stratified")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push into the window sort:\n$plan")
+  }
+
+  test("prep_screen is a zero-shuffle scan with column pruning") {
+    val plan = SparkEntry.queries("prep_screen")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quality screening must not shuffle:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"screen must read only doc_id/source/text: $readSchema")
+  }
+
+  test("prep_decontaminate joins on the gram key (no cartesian, no broadcast of the corpus)") {
+    val plan = planOf("prep_decontaminate")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join must be an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
+  }
+
+  test("text_repetition pre-aggregates tokens map-side; trigram side stays shuffle-free") {
+    val plan = planOf("text_repetition")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"token counts must combine before the shuffle:\n$plan")
+    // doc_id-keyed agg + final join: the trigram projection must not add a
+    // third key shuffle beyond (doc_id, token) and doc_id
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles <= 3, s"unexpected extra shuffles ($keyShuffles):\n$plan")
+  }
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF}
+import graft.queries.{DataPipeline, Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-5 prep/text operators: properties sharper than (or inexpressible
+  * by) the DuckDB hash check — independent recomputes from raw text,
+  * structural invariants, and cross-operator consistency. */
+class PrepOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tokensOf(text: String): Seq[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.isEmpty) Seq.empty else norm.split(' ').toSeq
+  }
+
+  test("text_repetition matches a driver-side recompute from raw text") {
+    val got = TextAnalysis.textRepetition(spark, sf)
+      .select($"doc_id", $"n_tokens", $"top_token_frac", $"dup_trigram_frac",
+        $"repetitive")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    val raw = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length == raw.size, "one row per document")
+    got.foreach { case (id, nTok, topFrac, dupFrac, rep) =>
+      val toks = tokensOf(raw(id))
+      assert(nTok == toks.length, s"doc $id token count")
+      val expTop = if (toks.isEmpty) 0.0
+        else toks.groupBy(identity).values.map(_.size).max.toDouble / toks.length
+      val tris = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val expDup = if (tris.isEmpty) 0.0
+        else 1.0 - tris.distinct.length.toDouble / tris.length
+      assert(topFrac == expTop, s"doc $id top-token fraction")
+      assert(dupFrac == expDup, s"doc $id dup-trigram fraction")
+      assert(rep == (expTop > 0.2 || expDup > 0.05), s"doc $id flag")
+    }
+    // thresholds must split the corpus, or the flag pins nothing
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "fixture corpus should contain both repetitive and clean docs")
+  }
+
+  test("prep_screen keeps exactly the docs clearing the quality threshold") {
+    val kept = DataPipeline.qualityScreen(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val scored = Tables.documents(spark, sf)
+      .select($"doc_id", TF.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect()
+    val expect = scored.filter(_._2 >= 0.75).map(_._1).toSet
+    assert(kept == expect, "screen output != engine-scored threshold set")
+    assert(kept.nonEmpty && kept.size < scored.length,
+      "threshold should be strictly inside the corpus quality range")
+  }
+
+  test("prep_datacard agrees with text_stats aggregated per source") {
+    val card = DataPipeline.datacard(spark, sf)
+      .select($"source", $"n_docs", $"total_tokens", $"total_chars")
+      .as[(String, Long, Long, Long)].collect().toMap2
+    val fromStats = Tables.documents(spark, sf)
+      .select($"source", length($"text").cast("long").as("nc"),
+        TF.tokenCount($"text").cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)), sum($"nt"), sum($"nc"))
+      .as[(String, Long, Long, Long)].collect().toMap2
+    assert(card == fromStats, "datacard totals diverge from per-doc stats")
+  }
+
+  test("prep_stratified: exact-k per source, deterministic, members exist") {
+    val k = 5
+    val sample = DataPipeline.stratifiedSample(spark, sf, k)
+      .select($"doc_id", $"source", $"rn").as[(Long, String, Long)].collect()
+    val sizes = Tables.documents(spark, sf).groupBy($"source")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    sample.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == math.min(k, sizes(src).toInt),
+        s"$src sample size != min(k, stratum size)")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$src ranks are not 1..n")
+    }
+    val again = DataPipeline.stratifiedSample(spark, sf, k)
+      .select($"doc_id", $"source", $"rn").as[(Long, String, Long)].collect()
+    assert(sample.sortBy(r => (r._2, r._3)).toSeq ==
+      again.sortBy(r => (r._2, r._3)).toSeq, "sample changed between runs")
+  }
+
+  test("prep_decontaminate matches a driver-side 8-gram intersection") {
+    val got = DataPipeline.decontaminate(spark, sf)
+      .select($"train_doc", $"n_test_docs", $"n_collisions")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def split(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val b = f"${d(0) & 0xff}%02x"
+      if (b < "cc") "train" else if (b < "e6") "val" else "test"
+    }
+    def grams(text: String): Set[String] =
+      tokensOf(text).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val train = docs.filter(d => split(d._1) == "train")
+      .map(d => d._1 -> grams(d._2))
+    val test = docs.filter(d => split(d._1) == "test")
+      .map(d => d._1 -> grams(d._2))
+    val expect = train.flatMap { case (tid, tg) =>
+      val hits = test.map { case (sid, sg) => sid -> (tg & sg).size }
+        .filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else Some(tid -> ((hits.length.toLong, hits.map(_._2).sum.toLong)))
+    }.toMap
+    assert(got == expect, "decontamination set diverges from brute force")
+    assert(got.nonEmpty, "fixtures should contain cross-split leakage")
+  }
+
+  test("dedup_canonical: same clusters as dedup_clusters, argmax member") {
+    val canon = Dedup.dedupCanonical(spark, sf)
+      .select($"cluster_rep", $"n_members", $"canonical_doc", $"best_quality")
+      .as[(Long, Long, Long, Double)].collect()
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .select($"cluster_rep", $"n_members").as[(Long, Long)].collect().toMap
+    assert(canon.map(c => c._1 -> c._2).toMap == clusters,
+      "canonical clustering differs from dedup_clusters")
+    val labels = Dedup.ccLabels(spark, sf, reliableCheckpoint = false)
+      .select($"id", $"label").as[(Long, Long)].collect()
+    val quality = Tables.documents(spark, sf)
+      .select($"doc_id", TF.qualityScore($"text")).as[(Long, Double)]
+      .collect().toMap
+    val members = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    canon.foreach { case (rep, _, doc, bestQ) =>
+      val ms = members(rep)
+      assert(ms.contains(doc), s"cluster $rep canonical $doc not a member")
+      val expect = ms.map(m => (quality(m), m))
+        .maxBy { case (q, m) => (q, -m) }
+      assert((bestQ, doc) == expect, s"cluster $rep argmax mismatch")
+    }
+    // at least one cluster must pick a canonical that ISN'T the min id,
+    // otherwise this operator is indistinguishable from dedup_clusters
+    assert(canon.exists { case (rep, n, doc, _) => n > 1 && doc != rep },
+      "no cluster exercises the quality-based (non-min-id) selection")
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
