@@ -20,6 +20,12 @@ object GraftFunctions {
       "intersect_size_sorted",
       exprs => IntersectSizeSorted(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "quality_score", exprs => QualityScore(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "language_id", exprs => LanguageId(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "top_token_count", exprs => TopTokenCount(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "quantize_int8", exprs => QuantizeInt8(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "max_abs", exprs => MaxAbs(exprs.head), "scala_udf")

@@ -39,6 +39,13 @@ object TextFunctions {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
+  /** Occurrence count of the doc's most frequent token — codegen'd
+    * [[TopTokenCount]] kernel (per-row hashmap; tokenization matches
+    * [[wordTokens]]). */
+  def topTokenCount(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TopTokenCount(org.apache.spark.sql.GraftBridge.expression(c)))
+
   /** Fraction of characters matching a regex character class (e.g. "[a-z]"). */
   def charClassRatio(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("double") /
@@ -88,8 +95,20 @@ object TextFunctions {
     * text, real word lengths, stopword presence; penalizes digits/punct soup.
     * Weights are engine policy (no reference analog). All terms are ratios of
     * integer counts, so the double arithmetic is bitwise reproducible in any
-    * engine that evaluates the same formula. */
-  def qualityScore(c: Column): Column = {
+    * engine that evaluates the same formula. Backed by the codegen'd
+    * [[QualityScore]] kernel (one char walk + one tokenization, vs ~10
+    * full-text regex passes for the Column tree — and a pushed-down filter
+    * on the score doubles the Column tree's cost); FunctionsSpec pins the
+    * two forms bitwise-equal over the fixture corpus. */
+  def qualityScore(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      QualityScore(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** The Column-composition form of [[qualityScore]] — the differential
+    * reference for the native kernel (and the documentation of the formula
+    * in Catalyst terms; [[graft.queries.OracleFragments.quality]] is its SQL
+    * transliteration). */
+  private[graft] def qualityScoreComposed(c: Column): Column = {
     val nChars = length(c)
     val lengthTerm = when(nChars >= 100 && nChars <= 10000, 1.0)
       .when(nChars >= 20, 0.5).otherwise(0.0)

@@ -390,14 +390,17 @@ object DataPipeline {
     * Scale shape: per-doc DISTINCT grams (projection, no shuffle) → one
     * equi-join on the gram key → one train-doc-keyed aggregate. Gram keys are
     * near-unique (few posting lists exceed 1), so the join shuffles ~corpus
-    * token volume with no hot keys. The join key here is the gram STRING so
-    * the oracle reproduces it; at 100 TB hash it to 8 bytes
-    * (`xxhash64(gram)`) — same plan, 5-10× less shuffle volume. */
+    * token volume with no hot keys. Grams travel as the codegen'd 64-bit
+    * hashed-shingle set (`shingleHashSet(text, 8)`) rather than strings —
+    * 8-byte join keys instead of ~50-char grams, and only COUNTS reach the
+    * output, so the oracle (which joins on gram strings) still matches
+    * exactly w.h.p. — the dedup_minhash_pairs collision argument
+    * (P ≈ 1e-15 at these set sizes). */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", splitCol($"doc_id").as("split"),
-        explode(array_distinct(TF.wordShingles($"text", 8))).as("g"))
+        explode(graft.functions.VectorFunctions.shingleHashSet($"text", 8)).as("g"))
     val train = grams.filter($"split" === "train")
       .select($"g", $"doc_id".as("train_doc"))
     val test = grams.filter($"split" === "test")

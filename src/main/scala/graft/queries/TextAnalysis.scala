@@ -221,30 +221,31 @@ object TextAnalysis {
     * A doc is flagged `repetitive` past either threshold (0.2 / 0.05 —
     * engine policy, chosen to split this corpus' observed range).
     *
-    * Scale shape: the trigram side is a pure projection (shingle + distinct
-    * per row, no shuffle). The token side is the same explode →
-    * (doc_id, token) partial-agg shuffle as [[textTopTokens]], collapsed to
-    * one row per doc by a second doc-keyed agg; both aggs combine map-side,
-    * and nothing wider than (doc_id, token, count) crosses the wire. The
-    * fractions are int/int doubles emitted RAW (the repo's rounding rule:
-    * Spark and DuckDB round doubles differently at the last ulp). */
+    * Scale shape: every metric here is a PER-DOCUMENT statistic, so the
+    * whole operator is one map-only projection of codegen'd kernels — no
+    * explode, no shuffle, no join (the first formulation paid two
+    * corpus-wide shuffles to compute a per-row reduction; 13 s → sub-second
+    * at sf0.1). Total trigrams is arithmetic on the token count; DISTINCT
+    * trigrams is `size(shingleHashSet(text, 3))`; the top-token count is the
+    * [[graft.functions.TopTokenCount]] kernel (per-row hashmap bounded by
+    * the doc's own vocabulary). Hash-distinct equals string-distinct
+    * w.h.p. — the dedup_minhash_pairs 64-bit-collision argument
+    * (P ≈ 1e-15 at these set sizes). The fractions are int/int doubles
+    * emitted RAW (the repo's rounding rule: Spark and DuckDB round doubles
+    * differently at the last ulp). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val topTok = docs
-      .select($"doc_id", explode(TF.wordTokens($"text")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(max($"c").as("top_cnt"), sum($"c").as("n_toks"))
-    val tri = docs.select($"doc_id", TF.wordShingles($"text", 3).as("g"))
-      .select($"doc_id", size($"g").as("n_tri"),
-        size(array_distinct($"g")).as("n_tri_distinct"))
-    // left join: a zero-token doc has no (doc_id, token) rows → fractions 0
-    tri.join(topTok, Seq("doc_id"), "left")
+    Tables.documents(spark, dir)
       .select($"doc_id",
-        coalesce($"n_toks", lit(0L)).cast("long").as("n_tokens"),
-        coalesce($"top_cnt".cast("double") / $"n_toks", lit(0.0))
-          .as("top_token_frac"),
+        TF.tokenCount($"text").cast("long").as("n_toks"),
+        TF.topTokenCount($"text").as("top_cnt"),
+        greatest(TF.tokenCount($"text") - 2, lit(0)).as("n_tri"),
+        size(graft.functions.VectorFunctions.shingleHashSet($"text", 3))
+          .as("n_tri_distinct"))
+      .select($"doc_id",
+        $"n_toks".as("n_tokens"),
+        when($"n_toks" > 0, $"top_cnt".cast("double") / $"n_toks")
+          .otherwise(0.0).as("top_token_frac"),
         when($"n_tri" > 0,
             lit(1.0) - $"n_tri_distinct".cast("double") / $"n_tri")
           .otherwise(0.0).as("dup_trigram_frac"))

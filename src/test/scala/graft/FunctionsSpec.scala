@@ -37,6 +37,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaColumn)
   }
 
+  test("native quality_score is bitwise-equal to the Column-tree formula") {
+    // the codegen'd kernel must reproduce the composed form EXACTLY —
+    // a last-ulp divergence would flip prep_screen's threshold filter and
+    // break the oracle hash; compare over the whole fixture corpus plus
+    // adversarial edges (empty, whitespace-only, control chars, unicode)
+    val corpus = graft.sources.Tables.documents(spark, sf).select($"text")
+      .as[String].collect() ++ Seq("", "   ", "\t\n\f\r", "ab",
+        "ümläut ÉTÉ 北京 the and of", "x" * 15000, "1234567890!!!###",
+        "the a and of to in is it")
+    val df = corpus.toSeq.toDF("text")
+    val rows = df.select(
+      graft.functions.TextFunctions.qualityScore($"text").as("native"),
+      graft.functions.TextFunctions.qualityScoreComposed($"text").as("composed"))
+      .as[(Double, Double)].collect()
+    rows.zip(corpus).foreach { case ((n, c), t) =>
+      assert(n == c, s"quality divergence on ${t.take(60)}: native=$n composed=$c")
+    }
+    // and via SQL registration
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT quality_score('the quick brown fox')").head().getDouble(0)
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextFunctions.qualityScore($"t")).head().getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
   test("typed MeanVariance aggregator merges associatively across partitions") {
     val values = (1 to 1000).map(_.toDouble)
     val ds = spark.createDataset(values).repartition(7)

@@ -182,13 +182,13 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
   }
 
-  test("text_repetition pre-aggregates tokens map-side; trigram side stays shuffle-free") {
+  test("text_repetition is a map-only projection (no shuffle, no join)") {
+    // every repetition metric is per-document: the plan must be scan →
+    // codegen'd projection (+ the output sort), never an explode/agg/join
     val plan = planOf("text_repetition")
-    assert(plan.contains("partial_count") || plan.contains("Partial"),
-      s"token counts must combine before the shuffle:\n$plan")
-    // doc_id-keyed agg + final join: the trigram projection must not add a
-    // third key shuffle beyond (doc_id, token) and doc_id
-    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(keyShuffles <= 3, s"unexpected extra shuffles ($keyShuffles):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc metrics must not shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"per-doc metrics must not join or explode:\n$plan")
   }
 }
