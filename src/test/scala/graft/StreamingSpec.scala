@@ -326,6 +326,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming prep pipeline: quality screen + exact dedup over a document file stream") {
+    // the LLM-prep operators compose in Structured Streaming unchanged: the
+    // codegen'd quality/fingerprint kernels are stateless projections, so
+    // readStream -> screen -> dropDuplicates(fp) is the incremental face of
+    // (prep_screen + dedup_exact). AvailableNow bounds the dedup state to
+    // this drain; an unbounded deployment would use
+    // dropDuplicatesWithinWatermark (pinned two tests up).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    import graft.functions.{TextFunctions => TF}
+    val dir = Files.createTempDirectory("graft_docs_stream_")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TF.fingerprintMd5($"text").as("fp"),
+        TF.qualityScore($"text").as("quality"))
+      .filter($"quality" >= 0.75)
+    val q = prep(spark.readStream.schema(schema).parquet(dir.toString))
+      .dropDuplicates("fp")
+      .writeStream.outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("prep_stream_out").start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("prep_stream_out")
+        .select($"fp", $"quality").as[(String, Double)].collect()
+      val batch = prep(spark.read.schema(schema).parquet(dir.toString))
+        .dropDuplicates("fp")
+        .select($"fp", $"quality").as[(String, Double)].collect()
+      // keeper choice within a duplicate group is arrival-order-dependent
+      // (same fingerprint can carry different raw-text quality), so compare
+      // the screened fingerprint SET, which is not
+      assert(streamed.map(_._1).toSet == batch.map(_._1).toSet)
+      assert(streamed.length == streamed.map(_._1).distinct.length,
+        "streaming dedup emitted a duplicate fingerprint")
+      assert(streamed.forall(_._2 >= 0.75))
+      assert(streamed.nonEmpty && streamed.length <
+        spark.read.schema(schema).parquet(dir.toString).count(),
+        "screen+dedup should strictly shrink the corpus")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggregations agree on the same data") {
     implicit val sql = spark.sqlContext
     val data = Seq(
