@@ -335,7 +335,15 @@ object Dedup {
     * what banding theory predicts (~50% at the threshold boundary). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val threshold = 0.4
+    embeddingCosinePairs(spark, dir, threshold = 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The banded-LSH + exact-cosine pair generator behind
+    * [[dedupEmbeddingCosine]] (unordered), shared with [[dedupSemantic]]. */
+  private[graft] def embeddingCosinePairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
     val banded = vecs
@@ -356,7 +364,30 @@ object Dedup {
       .select($"id_a", $"id_b",
         round(VectorFunctions.cosineSim($"v_a", $"v_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
-      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): connected
+    * components over high-cosine EMBEDDING pairs instead of lexical-shingle
+    * pairs — clusters paraphrases and re-encodings that share no n-grams,
+    * keeping the min-id representative per semantic cluster. Reuses
+    * [[embeddingCosinePairs]] (banded sign-LSH candidates → codegen'd exact
+    * cosine) for edges and the generic [[connectedComponents]] loop; the
+    * same 100 TB bounds apply (ids-only candidate join on uniform band
+    * keys, O(diameter) label rounds, one action per round). Rows-only
+    * driver check — LSH candidate recall is probabilistic by design (the
+    * [[dedupEmbeddingCosine]] oracle-infeasibility argument); the spec pins
+    * label consistency (every emitted edge's endpoints share a cluster) and
+    * member conservation instead. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val verts = Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id"), $"vec_id".as("label"))
+    val pairs = embeddingCosinePairs(spark, dir, threshold = 0.4)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+    connectedComponents(verts, pairs, _.localCheckpoint())
+      .groupBy($"label".as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"cluster_rep")
   }
 
   /** The end-to-end dedup step: connected components over near-dup pairs,
@@ -403,24 +434,33 @@ object Dedup {
         "reliable checkpoint mode needs sc.setCheckpointDir(...)")
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    val pairs = minhashVerifiedPairs(shingledDocs(spark, dir),
-      nBands = 8, rowsPerBand = 4, t = 0.8)
-      .select($"doc_a", $"doc_b")
+    connectedComponents(
+      Tables.documents(spark, dir).select($"doc_id".as("id"), $"doc_id".as("label")),
+      minhashVerifiedPairs(shingledDocs(spark, dir),
+        nBands = 8, rowsPerBand = 4, t = 0.8).select($"doc_a", $"doc_b"),
+      cut)
+  }
+
+  /** Generic distributed connected components: min-label propagation over
+    * undirected `pairs` (doc_a, doc_b) starting from `vertices` (id,
+    * label = id), returning the fixpoint (id, label) assignment. Labels only
+    * decrease, so the label-sum is a strictly-monotone convergence measure
+    * (one agg per round instead of a change-detecting join); the checksum
+    * rides the eager checkpoint job as an observed metric — exactly ONE
+    * driver action per round (plus the checkpoint write job in reliable
+    * mode), not a checkpoint job plus a separate agg job. `cut` truncates
+    * each round's lineage (localCheckpoint for bench; `Dataset.checkpoint`
+    * for cluster fault tolerance). */
+  private[graft] def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      cut: DataFrame => DataFrame): DataFrame = {
+    import vertices.sparkSession.implicits._
     val edges = cut(pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
-    // min-label propagation to fixpoint; labels only decrease, so the
-    // label-sum is a strictly-monotone convergence measure (one agg per
-    // round instead of a change-detecting join). The checksum rides the
-    // eager checkpoint job as an observed metric — exactly ONE driver
-    // action per round (plus the checkpoint write job in reliable mode),
-    // not a checkpoint job plus a separate agg job.
     def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(tag)
       val cp = cut(df.observe(obs, sum($"label").as("s")))
       (cp, obs.get("s").asInstanceOf[Long])
     }
-    var (labels, checksum) = checkpointWithSum(
-      Tables.documents(spark, dir).select($"doc_id".as("id"), $"doc_id".as("label")),
-      "cc_init")
+    var (labels, checksum) = checkpointWithSum(vertices, "cc_init")
     var converged = false
     var round = 0
     while (!converged) {
@@ -428,9 +468,20 @@ object Dedup {
       val neighborMin = edges
         .join(labels, $"doc_a" === $"id")
         .select($"doc_b".as("id"), $"label")
-      val (next, nextSum) = checkpointWithSum(
-        labels.union(neighborMin).groupBy($"id").agg(min($"label").as("label")),
-        s"cc_round_$round")
+      val propagated = labels.union(neighborMin)
+        .groupBy($"id").agg(min($"label").as("label"))
+      // pointer jumping: label(x) ← label(label(x)). Every label value is
+      // itself a vertex id (labels only shrink toward component minima), so
+      // the self-join is total; jumping halves the remaining path length
+      // each round — O(log diameter) rounds instead of O(diameter), which
+      // is the difference between 4 and 40 driver actions on a chain-shaped
+      // component (per-round job overhead dominates at bench scale; at
+      // 100 TB the saved rounds are saved full-data shuffles).
+      val jumped = propagated
+        .join(propagated.select($"id".as("jid"), $"label".as("jlabel")),
+          $"label" === $"jid")
+        .select($"id", $"jlabel".as("label"))
+      val (next, nextSum) = checkpointWithSum(jumped, s"cc_round_$round")
       converged = nextSum == checksum
       checksum = nextSum
       labels = next
@@ -526,7 +577,8 @@ object Dedup {
     "dedup_minhash_pairs" -> (dedupMinhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,

@@ -143,6 +143,36 @@ class PrepOpsSpec extends AnyFunSuite {
       "no cluster exercises the quality-based (non-min-id) selection")
   }
 
+  test("dedup_semantic: clusters close over cosine edges, members conserved") {
+    val clusters = Dedup.dedupSemantic(spark, sf)
+      .select($"cluster_rep", $"n_members").as[(Long, Long)].collect()
+    val ids = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id").as[Long].collect()
+    assert(clusters.map(_._2).sum == ids.length,
+      "every vector in exactly one cluster")
+    assert(clusters.map(_._1).distinct.length == clusters.length)
+    // edge consistency: both endpoints of every emitted cosine edge must
+    // land in the same cluster (the transitive closure actually closed)
+    val pairs = Dedup.embeddingCosinePairs(spark, sf, threshold = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixtures should yield at least one cosine edge")
+    // recompute labels by driver-side union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.length.toLong
+    }
+    assert(clusters.toMap == expected, "CC labels diverge from union-find")
+    assert(clusters.exists(_._2 > 1), "no multi-member semantic cluster")
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
