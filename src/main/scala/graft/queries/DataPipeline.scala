@@ -76,31 +76,42 @@ object DataPipeline {
     * so sampling does not bias the split. Pure projection + filter — the
     * 100 TB shape is a single scan that emits the mixed corpus with no
     * shuffle and no driver state. */
-  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // try_element_at: a source outside the rate map yields NULL, the filter
-    // drops the row — same as the oracle CASE's NULL. Plain element_at would
-    // THROW under Spark 4's default ANSI mode, diverging from the oracle the
-    // moment the corpus grows a new source.
+  /** The mixture-keep predicate of [[mixWeighted]], exposed so compositions
+    * ([[prepCorpus]]) apply the exact same draw. try_element_at: a source
+    * outside the rate map yields NULL, the predicate is NULL, the filter
+    * drops the row — same as the oracle CASE's NULL. Plain element_at would
+    * THROW under Spark 4's default ANSI mode, diverging from the oracle the
+    * moment the corpus grows a new source. */
+  private[queries] def mixKeep(docId: Column, source: Column): Column = {
     val thr = try_element_at(
       map(mixRates.flatMap { case (s, r) => Seq(lit(s), lit(rateThreshold(r))) }: _*),
-      $"source")
+      source)
+    md5Prefix(concat_ws(":", lit("mix"), docId, source), 4) < thr
+  }
+
+  /** SQL mirror of [[mixKeep]] — the WHERE fragment both mix oracles
+    * interpolate, GENERATED from the same rate map. */
+  private def mixKeepSql(docIdExpr: String, sourceExpr: String): String = {
+    val cases = mixRates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${rateThreshold(r)}'"
+    }.mkString("\n      |    ", "\n      |    ", "").stripMargin
+    s"""substring(md5(concat_ws(':', 'mix', CAST($docIdExpr AS VARCHAR), $sourceExpr)), 1, 4)
+       |      < CASE $sourceExpr $cases END""".stripMargin
+  }
+
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .filter(md5Prefix(concat_ws(":", lit("mix"), $"doc_id", $"source"), 4) < thr)
+      .filter(mixKeep($"doc_id", $"source"))
       .select($"doc_id", $"source")
       .orderBy($"doc_id")
   }
 
-  val mixWeightedSql: String = {
-    val cases = mixRates.map { case (s, r) =>
-      s"WHEN '$s' THEN '${rateThreshold(r)}'"
-    }.mkString("\n      |    ", "\n      |    ", "").stripMargin
+  val mixWeightedSql: String =
     s"""SELECT doc_id, source
        |FROM documents
-       |WHERE substring(md5(concat_ws(':', 'mix', CAST(doc_id AS VARCHAR), source)), 1, 4)
-       |      < CASE source $cases END
+       |WHERE ${mixKeepSql("doc_id", "source")}
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Sequence packing: concatenate documents (in doc_id order, per source)
     * into fixed token-budget packs of `budget` tokens. Pack assignment is the
@@ -431,7 +442,78 @@ object DataPipeline {
        |GROUP BY 1
        |ORDER BY train_doc""".stripMargin
 
+  /** The END-TO-END curation pipeline as one oracle-checked query — the
+    * composition a training-data team actually ships, stitched from the
+    * operators above with zero redefinition:
+    *   1. near-dup clusters → keep the highest-quality member
+    *      ([[Dedup.dedupCanonical]]'s selection over shared CC labels);
+    *   2. quality screen at 0.75 ([[qualityScreen]]'s threshold);
+    *   3. deterministic split, keep the train slice ([[splitCol]]);
+    *   4. weighted mixture sample ([[mixKeep]]).
+    * Every stage reuses the SAME column definition as its standalone
+    * operator, and the oracle interpolates the same shared fragments — so
+    * this query pins that the operators compose without drift, not just
+    * that each works alone.
+    *
+    * Scale shape: stages 2-4 are pure filters over the canonical-survivor
+    * join (no new shuffles beyond dedup's own); the expensive stage is the
+    * dedup family's banded candidate join + O(log d) label rounds, already
+    * bounded (see [[Dedup.connectedComponents]]). */
+  def prepCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"))
+    val canonical = Dedup.ccLabels(spark, dir, reliableCheckpoint = false)
+      .join(quality.select($"doc_id", $"quality"), $"id" === $"doc_id")
+      .groupBy($"label")
+      .agg(max_by($"doc_id", struct($"quality".as("q"), (-$"doc_id").as("negid")))
+        .as("doc_id"))
+      .select($"doc_id")
+    canonical.join(quality, "doc_id")
+      .filter($"quality" >= 0.75)
+      .filter(splitCol($"doc_id") === "train")
+      .filter(mixKeep($"doc_id", $"source"))
+      .select($"doc_id", $"source", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val prepCorpusSql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+       |  FROM (SELECT doc_id, ${OracleFragments.tokens("text")} AS toks
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+       |edges AS (SELECT doc_a, doc_b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a),
+       |labels AS (SELECT src AS id, min(dst) AS label FROM reach GROUP BY src),
+       |q AS (SELECT doc_id, source,
+       |        ${OracleFragments.quality("text")} AS quality
+       |      FROM documents),
+       |ranked AS (
+       |  SELECT l.label, q.doc_id, q.source, q.quality,
+       |    row_number() OVER (PARTITION BY l.label
+       |                       ORDER BY q.quality DESC, q.doc_id ASC) AS r
+       |  FROM labels l JOIN q ON l.id = q.doc_id)
+       |SELECT doc_id, source, quality
+       |FROM ranked
+       |WHERE r = 1
+       |  AND quality >= 0.75
+       |  AND ${OracleFragments.splitCase("doc_id")} = 'train'
+       |  AND ${mixKeepSql("doc_id", "source")}
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_corpus" -> (prepCorpus _),
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -445,6 +527,7 @@ object DataPipeline {
     "text_redact" -> (textRedact _))
 
   val oracles: Map[String, String] = Map(
+    "prep_corpus" -> prepCorpusSql,
     "prep_split" -> splitAssignSql,
     "prep_mix" -> mixWeightedSql,
     "prep_pack" -> packSequencesSql(),

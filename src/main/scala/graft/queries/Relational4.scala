@@ -127,13 +127,54 @@ object Relational4 {
       |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** EXISTS / IN / NOT EXISTS predicate subqueries in one query (the TPC-H
+    * Q4 shape plus an IN and an anti clause) — exercised through the SQL
+    * front end so the subquery-to-join REWRITES are what is being pinned:
+    * Catalyst plans EXISTS as a left-semi join, NOT EXISTS as a left-anti
+    * join, and the uncorrelated IN as a semi join on the build side — no
+    * per-row re-execution of the inner query anywhere (that driver-side
+    * shape wouldn't survive any scale). The Column-API faces of these plans
+    * are q04/q05; this pins the SQL path. */
+  def q37ExistsIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q37")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q37")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q37")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_q37 o
+        |WHERE EXISTS (SELECT 1 FROM lineitem_q37 l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_q37
+        |                    WHERE c_acctbal > 5000)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_q37 r
+        |                  WHERE r.l_orderkey = o.o_orderkey
+        |                    AND r.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_acctbal > 5000)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem r
+      |                  WHERE r.l_orderkey = o.o_orderkey
+      |                    AND r.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_minmax_by" -> (q34MinmaxBy _),
     "q35_scd2" -> (q35Scd2 _),
-    "q36_range_frame" -> (q36RangeFrame _))
+    "q36_range_frame" -> (q36RangeFrame _),
+    "q37_exists_in" -> (q37ExistsIn _))
 
   val oracles: Map[String, String] = Map(
     "q34_minmax_by" -> q34Sql,
     "q35_scd2" -> q35Sql,
-    "q36_range_frame" -> q36Sql)
+    "q36_range_frame" -> q36Sql,
+    "q37_exists_in" -> q37Sql)
 }

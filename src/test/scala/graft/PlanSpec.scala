@@ -182,6 +182,18 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$plan")
   }
 
+  test("q37 EXISTS/IN/NOT EXISTS rewrite to semi/anti joins") {
+    // the SQL front end must decorrelate: EXISTS/IN -> left-semi joins,
+    // NOT EXISTS -> left-anti; a subquery re-executed per outer row would
+    // appear as a nested-loop or In-subquery expression surviving to the
+    // physical plan
+    val plan = planOf("q37_exists_in")
+    assert(plan.contains("LeftSemi"), s"EXISTS/IN must plan as semi joins:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback:\n$plan")
+  }
+
   test("text_repetition is a map-only projection (no shuffle, no join)") {
     // every repetition metric is per-document: the plan must be scan →
     // codegen'd projection (+ the output sort), never an explode/agg/join

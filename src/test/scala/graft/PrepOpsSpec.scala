@@ -143,6 +143,23 @@ class PrepOpsSpec extends AnyFunSuite {
       "no cluster exercises the quality-based (non-min-id) selection")
   }
 
+  test("prep_corpus is exactly the intersection of its standalone stages") {
+    val corpus = DataPipeline.prepCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val canonical = Dedup.dedupCanonical(spark, sf)
+      .select($"canonical_doc").as[Long].collect().toSet
+    val screened = DataPipeline.qualityScreen(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val train = DataPipeline.splitAssign(spark, sf)
+      .filter($"split" === "train").select($"doc_id").as[Long].collect().toSet
+    val mixed = DataPipeline.mixWeighted(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(corpus == (canonical & screened & train & mixed),
+      "composed pipeline diverges from the standalone operators")
+    assert(corpus.nonEmpty && corpus.size < canonical.size,
+      "each stage should strictly filter at this sf")
+  }
+
   test("dedup_semantic: clusters close over cosine edges, members conserved") {
     val clusters = Dedup.dedupSemantic(spark, sf)
       .select($"cluster_rep", $"n_members").as[(Long, Long)].collect()
