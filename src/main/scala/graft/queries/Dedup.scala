@@ -390,6 +390,59 @@ object Dedup {
       .orderBy($"cluster_rep")
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs: levenshtein(normalized texts)
+    * ≤ 4 — catches character-level corruption (OCR noise, encoding damage,
+    * single-word edits) that token-level Jaccard under-weights. Candidate
+    * generation is LOSSLESS length-band blocking: |len_a − len_b| ≤ k is
+    * necessary for distance ≤ k, so side A explodes into the ⌈(2k+1)/B⌉+1
+    * buckets its ±k window covers and side B keys by ⌊len/B⌋ — every true
+    * pair meets in exactly one bucket (B's single key), no dedup needed.
+    * Candidates travel as ids+lengths only; texts rejoin for ONE verify per
+    * pair, using the THRESHOLDED levenshtein kernel (returns −1 past k, so
+    * the DP exits early on the ~everything that doesn't match).
+    *
+    * Scale note: within a length band the candidate join is quadratic; the
+    * corpus' length distribution bounds band sizes here, and the published
+    * escape hatch when bands are large is PassJoin-style segment filtering
+    * (Li et al., VLDB'12: partition into k+1 segments; pigeonhole forces an
+    * exact segment match) layered on the same ids-only join — the banding
+    * stays, the band join gains a second lossless filter. */
+  def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(spark, dir, k = 4, bucketWidth = 8)
+
+  private[graft] def fuzzyPairs(spark: SparkSession, dir: String,
+      k: Int, bucketWidth: Int): DataFrame = {
+    import spark.implicits._
+    val n = Tables.documents(spark, dir)
+      .select($"doc_id", TF.normalizeText($"text").as("t"))
+      .withColumn("len", length($"t"))
+    val aIdx = n.select($"doc_id".as("doc_a"), $"len".as("len_a"),
+      explode(sequence(floor(($"len" - k) / bucketWidth),
+        floor(($"len" + k) / bucketWidth))).as("bucket"))
+    val bIdx = n.select($"doc_id".as("doc_b"), $"len".as("len_b"),
+      floor($"len" / bucketWidth).as("bucket"))
+    val cand = aIdx.join(bIdx, "bucket")
+      .filter($"doc_a" < $"doc_b")
+      .filter(abs($"len_a" - $"len_b") <= k)
+      .select($"doc_a", $"doc_b")
+    cand
+      .join(n.select($"doc_id".as("doc_a"), $"t".as("t_a")), "doc_a")
+      .join(n.select($"doc_id".as("doc_b"), $"t".as("t_b")), "doc_b")
+      .withColumn("distance", levenshtein($"t_a", $"t_b", k))
+      .filter($"distance" >= 0)
+      .select($"doc_a", $"doc_b", $"distance".cast("long").as("distance"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupFuzzySql: String =
+    s"""WITH n AS (
+      |  SELECT doc_id, ${OracleFragments.norm("text")} AS t FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS distance
+      |FROM n a JOIN n b ON a.doc_id < b.doc_id
+      |WHERE abs(len(a.t) - len(b.t)) <= 4 AND levenshtein(a.t, b.t) <= 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The end-to-end dedup step: connected components over near-dup pairs,
     * keeping one representative (the min doc_id) per cluster. Components via
     * distributed min-label propagation — the standard scale-out CC loop
@@ -578,12 +631,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "dedup_semantic" -> (dedupSemantic _))
+    "dedup_semantic" -> (dedupSemantic _),
+    "dedup_fuzzy" -> (dedupFuzzy _))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_fuzzy" -> dedupFuzzySql)
 }

@@ -160,6 +160,34 @@ class PrepOpsSpec extends AnyFunSuite {
       "each stage should strictly filter at this sf")
   }
 
+  test("dedup_fuzzy matches a driver-side brute-force edit distance") {
+    val got = Dedup.dedupFuzzy(spark, sf)
+      .select($"doc_a", $"doc_b", $"distance").as[(Long, Long, Long)]
+      .collect().toSet
+    val norms = Tables.documents(spark, sf)
+      .select($"doc_id", TF.normalizeText($"text")).as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val expect = (for {
+      (ida, ta) <- norms; (idb, tb) <- norms
+      if ida < idb && math.abs(ta.length - tb.length) <= 4
+      d = lev(ta, tb) if d <= 4
+    } yield (ida, idb, d.toLong)).toSet
+    assert(got == expect, "fuzzy pairs diverge from brute force")
+    assert(got.nonEmpty, "fixtures should contain edit-distance near-dups")
+  }
+
   test("dedup_semantic: clusters close over cosine edges, members conserved") {
     val clusters = Dedup.dedupSemantic(spark, sf)
       .select($"cluster_rep", $"n_members").as[(Long, Long)].collect()
