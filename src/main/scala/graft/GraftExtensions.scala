@@ -44,7 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("dot_int", "dot_int(a, b) - exact long dot product of two int arrays",
         exprs => DotInt(exprs(0), exprs(1))),
       ("language_id", "language_id(text) - stopword-profile language guess",
-        exprs => LanguageId(exprs.head)))
+        exprs => LanguageId(exprs.head)),
+      ("quality_score", "quality_score(text) - heuristic [0,1] document quality",
+        exprs => QualityScore(exprs.head)),
+      ("top_token_count", "top_token_count(text) - count of the most frequent token",
+        exprs => TopTokenCount(exprs.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -32,12 +32,16 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |       dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d)) AS d,
         |       language_id('the cat and the dog was here') AS l,
-        |       dot_int(quantize_int8(array(1.0d, -0.5d)), array(1, 1)) AS q""".stripMargin)
+        |       dot_int(quantize_int8(array(1.0d, -0.5d)), array(1, 1)) AS q,
+        |       top_token_count('a b a c a') AS t,
+        |       quality_score('') AS qs""".stripMargin)
       .head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 23.0)
     assert(r.getString(2) == "en")
     assert(r.getLong(3) == 63L) // 127 + (-64)
+    assert(r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.0)
   }
 
   test("as-of strategy is planned without calling AsOf.register") {
