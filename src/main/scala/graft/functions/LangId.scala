@@ -13,6 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation: duplicates count, ties break to the lexicographically larger
   * code, zero hits → "und". */
 object LangIdUtil {
+  // compiled once — String.split("\\s+") re-compiles the pattern per row
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   // profiles sorted by code so tie-breaking is deterministic
   private val profiles: Array[(String, java.util.HashSet[String])] =
     TextFunctions.stopwords.toArray.sortBy(_._1).map { case (code, words) =>
@@ -27,7 +30,7 @@ object LangIdUtil {
     // control chars that are not \s), which would diverge from the
     // regex-normalized oracle tokenization; a leading-empty token from
     // split on untrimmed text hits no vocab, so it's harmless.
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = WsRun.split(text.toString.toLowerCase(java.util.Locale.ROOT))
     var bestHits = 0
     var bestCode = "und"
     var p = 0

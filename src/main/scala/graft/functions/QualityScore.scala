@@ -22,6 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   ((((0.25·L + 0.25·A) + 0.2·S) + 0.3·W) − D) − P, clamped to [0, 1].
   */
 object QualityScoreUtil {
+  // compiled once: String.replaceAll/split with a multi-char regex would
+  // re-compile the pattern on EVERY row
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   private val enStop: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     TextFunctions.stopwords("en").foreach(s.add)
@@ -49,7 +53,8 @@ object QualityScoreUtil {
     // normalizeText: lower (Locale.ROOT = Catalyst lower()) → collapse \s+
     // runs to ' ' → trim SPACES ONLY (Catalyst trim(); String.trim would
     // also strip non-\s control chars and diverge — see LangIdUtil note)
-    val collapsed = s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val collapsed =
+      WsRun.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
     var lo = 0; var hi = collapsed.length
     while (lo < hi && collapsed.charAt(lo) == ' ') lo += 1
     while (hi > lo && collapsed.charAt(hi - 1) == ' ') hi -= 1

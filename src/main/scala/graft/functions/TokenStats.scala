@@ -18,12 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * empties), so `topTokenCount(text) / tokenCount(text)` is the same
   * integer ratio the agg formulation produces. */
 object TokenStatsUtil {
+  // compiled once — String.split("\\s+") re-compiles the pattern per row
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def topTokenCount(text: UTF8String): Long = {
     // no String.trim: it strips non-\s control chars at the edges and would
     // diverge from the regex normalization (the LangIdUtil note). split on
     // \s+ leaves at most one leading "" (for ws-prefixed text) — skip
     // empties instead.
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = WsRun.split(text.toString.toLowerCase(java.util.Locale.ROOT))
     val counts = new java.util.HashMap[String, Int](Math.min(toks.length * 2, 1 << 16))
     var best = 0
     var i = 0

@@ -31,10 +31,13 @@ object VectorOps {
     * but ~1000× cheaper: the HOF formulation is interpreted per evaluation
     * AND gets re-evaluated by pushed-down constraint filters and join
     * branches (measured: the HOF chain dominated dedup at sf0.1). */
+  // compiled once — String.split("\\s+") re-compiles the pattern per row
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def shingleHashSet(text: UTF8String, k: Int): ArrayData = {
     // Locale.ROOT: default-locale lowercasing diverges from Catalyst lower()
     // under e.g. tr_TR (dotless i) and would break oracle parity
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val toks = WsRun.split(text.toString.toLowerCase(java.util.Locale.ROOT).trim)
     if (toks.length < k || (toks.length == 1 && toks(0).isEmpty))
       return ArrayData.toArrayData(Array.emptyLongArray)
     val n = toks.length - k + 1
