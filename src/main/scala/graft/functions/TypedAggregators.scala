@@ -53,4 +53,63 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Count-Min sketch over string keys (Cormode & Muthukrishnan 2005):
+    * `depth` independent hash rows × `width` counters; point estimate =
+    * min over rows. Completes the engine's sketch family (HLL cardinality
+    * q20, KLL percentiles q25, CMS frequencies here): frequency estimation
+    * in O(depth × width) memory per group REGARDLESS of key cardinality —
+    * the bounded-state stand-in for the exact (source, token) heavy-hitters
+    * shuffle when the vocabulary itself no longer fits.
+    *
+    * Guarantees (pinned by FunctionsSpec): estimate ≥ true count always
+    * (counters only over-count); estimate ≤ true + εN with probability
+    * 1−δ where ε = e/width, δ = e^−depth. Merge = cell-wise add (same
+    * seeds), so partial aggregation works like any built-in. Hashes are
+    * seeded deterministically — two sketches of the same data are
+    * identical, keeping reruns reproducible. */
+  case class CmsBuf(n: Long, cells: Array[Long])
+
+  class CountMinSketch(depth: Int = 4, width: Int = 1024)
+      extends Aggregator[String, CmsBuf, CmsBuf] {
+    require(depth >= 1 && width >= 2)
+    override def zero: CmsBuf = CmsBuf(0L, new Array[Long](depth * width))
+    override def reduce(b: CmsBuf, x: String): CmsBuf = {
+      var r = 0
+      while (r < depth) {
+        b.cells(r * width + CountMinSketch.cell(x, r, width)) += 1L
+        r += 1
+      }
+      CmsBuf(b.n + 1, b.cells)
+    }
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < a.cells.length) { a.cells(i) += b.cells(i); i += 1 }
+      CmsBuf(a.n + b.n, a.cells)
+    }
+    override def finish(r: CmsBuf): CmsBuf = r
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  }
+
+  object CountMinSketch {
+    /** Row-seeded cell index for a key (MurmurHash3 of the string, mixed
+      * with the row seed). */
+    def cell(key: String, row: Int, width: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c + row)
+      java.lang.Math.floorMod(h, width)
+    }
+
+    /** Point-estimate a key's frequency from a finished sketch. */
+    def estimate(sketch: CmsBuf, key: String, depth: Int, width: Int): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch.cells(r * width + cell(key, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      if (best == Long.MaxValue) 0L else best
+    }
+  }
 }

@@ -62,6 +62,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("CountMinSketch: never under-counts, bounded over-count, partition-invariant") {
+    import graft.functions.TypedAggregators.{CountMinSketch, CmsBuf}
+    val depth = 4; val width = 1024
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.wordTokens($"text")).as("t"))
+      .as[String]
+    val agg = new CountMinSketch(depth, width).toColumn
+    val sketch: CmsBuf = toks.repartition(7).select(agg).head()
+    val exact = toks.groupBy($"t").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    assert(sketch.n == n)
+    val epsN = math.ceil(math.E / width * n).toLong
+    exact.foreach { case (tok, c) =>
+      val est = CountMinSketch.estimate(sketch, tok, depth, width)
+      assert(est >= c, s"CMS under-counted '$tok': $est < $c")
+      // ε-bound holds w.p. 1−e^-depth per key; with fixed seeds this corpus
+      // is deterministic — a generous 2εN margin keeps the pin non-flaky
+      assert(est <= c + 2 * epsN, s"CMS over-counted '$tok': $est vs $c (+$epsN)")
+    }
+    // unseen keys may collide into occupied cells but stay within the bound
+    assert(CountMinSketch.estimate(sketch, "never-seen-token", depth, width) <= 2 * epsN)
+    // partition layout must not change the sketch (same seeds, + commutes)
+    val single: CmsBuf = toks.repartition(1).select(agg).head()
+    assert(single.cells.sameElements(sketch.cells))
+  }
+
   test("typed MeanVariance aggregator merges associatively across partitions") {
     val values = (1 to 1000).map(_.toDouble)
     val ds = spark.createDataset(values).repartition(7)
