@@ -101,6 +101,62 @@ object Relational3 {
       .orderBy($"l_returnflag")
   }
 
+  /** Per-group least-squares regression of price on quantity: slope,
+    * intercept, r² — the `regr_slope`/`regr_intercept`/`regr_r2` family,
+    * lowered through the same exact-DECIMAL moment sums as [[q30StatsMoments]]
+    * (the native regr_* aggregates accumulate doubles in partition order, so
+    * their last ulp is not reproducible across engines; decimal sums are
+    * exact, and the closed-form combination of six exact numbers is the
+    * same IEEE expression on both sides). One partial+final hash aggregate —
+    * the moment sums ARE the partial state, so this costs exactly one
+    * shuffle of 7 numbers per group at any scale. RelationalSpec cross-checks
+    * the lowering against native regr_slope/regr_intercept to 1e-9. */
+  def q38Regression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(decQty).cast("double").as("sx"),
+        sum(decPrice).cast("double").as("sy"),
+        sum(decQty * decQty).cast("double").as("sxx"),
+        sum(decPrice * decPrice).cast("double").as("syy"),
+        sum(decQty * decPrice).cast("double").as("sxy"))
+    val covNum = $"n" * $"sxy" - $"sx" * $"sy"
+    val varNumX = $"n" * $"sxx" - $"sx" * $"sx"
+    val varNumY = $"n" * $"syy" - $"sy" * $"sy"
+    // slope/intercept need var(x) > 0; r² additionally var(y) > 0 — the
+    // NULL-on-degenerate convention both engines share (vs NaN/Inf doubles)
+    m.select($"l_returnflag",
+      $"n".cast("long").as("n"),
+      when(varNumX > 0, covNum / varNumX).as("slope"),
+      when(varNumX > 0, ($"sy" - (covNum / varNumX) * $"sx") / $"n").as("intercept"),
+      when(varNumX > 0 && varNumY > 0, (covNum * covNum) / (varNumX * varNumY))
+        .as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q38Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(n AS BIGINT) AS n,
+      |  CASE WHEN (n * sxx - sx * sx) > 0
+      |       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+      |  CASE WHEN (n * sxx - sx * sx) > 0
+      |       THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |       THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin
+
   val q30Sql: String =
     """WITH m AS (
       |  SELECT l_returnflag,
@@ -225,7 +281,8 @@ object Relational3 {
     "q30_stats_moments" -> (q30StatsMoments _),
     "q31_window_extras" -> (q31WindowExtras _),
     "q32_bloom_join" -> (q32BloomJoin _),
-    "q33_date_arith" -> (q33DateArith _))
+    "q33_date_arith" -> (q33DateArith _),
+    "q38_regression" -> (q38Regression _))
 
   val oracles: Map[String, String] = Map(
     "q27_pivot" -> q27Sql,
@@ -233,5 +290,6 @@ object Relational3 {
     "q30_stats_moments" -> q30Sql,
     "q31_window_extras" -> q31Sql,
     "q32_bloom_join" -> q32Sql,
-    "q33_date_arith" -> q33Sql)
+    "q33_date_arith" -> q33Sql,
+    "q38_regression" -> q38Sql)
 }

@@ -28,6 +28,28 @@ class Relational3Spec extends AnyFunSuite {
     }
   }
 
+  test("exact-moment regression agrees with native regr_slope/intercept/r2") {
+    val exact = Relational3.q38Regression(spark, sf)
+      .select($"l_returnflag", $"slope", $"intercept", $"r2")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(native.nonEmpty)
+    native.foreach { case (flag, s, i, r) =>
+      val (es, ei, er) = exact(flag)
+      assert(math.abs(es - s) < 1e-9 * math.max(1, math.abs(s)),
+        s"$flag slope exact=$es native=$s")
+      assert(math.abs(ei - i) < 1e-9 * math.max(1, math.abs(i)),
+        s"$flag intercept exact=$ei native=$i")
+      assert(math.abs(er - r) < 1e-9, s"$flag r2 exact=$er native=$r")
+    }
+  }
+
   test("pivot with enumerated values plans a single aggregate, no value-discovery job") {
     val plan = Relational3.q27Pivot(spark, sf).queryExecution.optimizedPlan.toString
     // enumerated pivot lowers to exactly two chained Aggregates ((flag,status)
