@@ -61,15 +61,21 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
       else SparkEntry.queries
+    // per-query untimed warmup: run 1 of a cold query pays Janino codegen +
+    // JIT compilation of ITS generated classes (measured 1.5-3× on the heavy
+    // dedup queries: 6.9s first run vs 2.0s steady for dedup_canonical), which
+    // is one-time cost on a real cluster, not plan cost — burn it before the
+    // timed runs so medians report steady state
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { i =>
+      val times = (1 - warmup to runs).flatMap { i =>
         // queries that persist intermediates must not get warm-cache medians
         // while everything else measures cold
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          if (i >= 1) Some((System.nanoTime() - t0) / 1e9) else None
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
           None

@@ -102,6 +102,11 @@ object TypedAggregators {
 
     /** Point-estimate a key's frequency from a finished sketch. */
     def estimate(sketch: CmsBuf, key: String, depth: Int, width: Int): Long = {
+      // dims are caller-supplied; a mismatch with the building aggregator's
+      // geometry silently mis-indexes (or throws AIOOBE mid-scan) — fail fast
+      require(depth * width == sketch.cells.length,
+        s"sketch geometry mismatch: depth*width = ${depth * width}, " +
+          s"cells = ${sketch.cells.length}")
       var best = Long.MaxValue
       var r = 0
       while (r < depth) {

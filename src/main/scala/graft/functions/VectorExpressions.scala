@@ -36,11 +36,16 @@ object VectorOps {
 
   def shingleHashSet(text: UTF8String, k: Int): ArrayData = {
     // Locale.ROOT: default-locale lowercasing diverges from Catalyst lower()
-    // under e.g. tr_TR (dotless i) and would break oracle parity
-    val toks = WsRun.split(text.toString.toLowerCase(java.util.Locale.ROOT).trim)
-    if (toks.length < k || (toks.length == 1 && toks(0).isEmpty))
-      return ArrayData.toArrayData(Array.emptyLongArray)
-    val n = toks.length - k + 1
+    // under e.g. tr_TR (dotless i) and would break oracle parity.
+    // No String.trim: it strips non-\s control chars (u0000-u001F) at the
+    // edges, diverging from the \s+ tokenization the oracle and the other
+    // kernels (TokenStatsUtil, LangIdUtil) use. Pattern.split drops trailing
+    // empties, so ws-prefixed text leaves at most one leading "" — skip it.
+    val toks = WsRun.split(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val off = if (toks.length > 0 && toks(0).isEmpty) 1 else 0
+    val m = toks.length - off
+    if (m < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val n = m - k + 1
     val hs = new Array[Long](n)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -49,7 +54,7 @@ object VectorOps {
       var j = 0
       while (j < k) {
         if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
+        sb.append(toks(off + i + j))
         j += 1
       }
       hs(i) = SimHash64Util.fnv1a64(sb.toString.getBytes("UTF-8"))

@@ -401,21 +401,86 @@ object Dedup {
     * pair, using the THRESHOLDED levenshtein kernel (returns −1 past k, so
     * the DP exits early on the ~everything that doesn't match).
     *
-    * Scale note: within a length band the candidate join is quadratic; the
-    * corpus' length distribution bounds band sizes here, and the published
-    * escape hatch when bands are large is PassJoin-style segment filtering
-    * (Li et al., VLDB'12: partition into k+1 segments; pigeonhole forces an
-    * exact segment match) layered on the same ids-only join — the banding
-    * stays, the band join gains a second lossless filter. */
+    * Candidate generation is PassJoin segment filtering (Li et al.,
+    * VLDB'12; kernel contract in [[graft.functions.PassJoinUtil]]): the
+    * shorter side of a pair partitions into k+1 segments, ≥ 1 of which an
+    * edit script of ≤ k ops must leave intact — so candidates are an
+    * EQUI-JOIN on hashed (length, segment, content) keys, ids only. Per-doc
+    * key fan-out is a constant in k ((k+1) index keys, ≤ (k+1)³ probe keys),
+    * so candidate volume is linear in corpus size regardless of the length
+    * distribution — unlike length-band blocking, whose within-band join goes
+    * quadratic when a real corpus concentrates into few bands (the r5 scale
+    * gap). [[bandFuzzyPairs]] keeps the band form as the differential
+    * cross-check. */
   def dedupFuzzy(spark: SparkSession, dir: String): DataFrame =
-    fuzzyPairs(spark, dir, k = 4, bucketWidth = 8)
+    fuzzyPairs(spark, dir, k = 4)
 
-  private[graft] def fuzzyPairs(spark: SparkSession, dir: String,
-      k: Int, bucketWidth: Int): DataFrame = {
+  private def normalizedDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id", TF.normalizeText($"text").as("t"))
       .withColumn("len", length($"t"))
+  }
+
+  /** Exact thresholded-levenshtein verify of ids-only candidate pairs:
+    * texts rejoin for ONE DP per pair (kernel returns −1 past k, so the DP
+    * exits early on the ~everything that doesn't match). */
+  private def verifyLevenshtein(cand: DataFrame, n: DataFrame, k: Int): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(n.select($"doc_id".as("doc_a"), $"t".as("t_a")), "doc_a")
+      .join(n.select($"doc_id".as("doc_b"), $"t".as("t_b")), "doc_b")
+      .withColumn("distance", levenshtein($"t_a", $"t_b", k))
+      .filter($"distance" >= 0)
+      .select($"doc_a", $"doc_b", $"distance".cast("long").as("distance"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private[graft] def fuzzyPairs(spark: SparkSession, dir: String, k: Int): DataFrame =
+    passJoinPairs(normalizedDocs(spark, dir), k)
+
+  /** PassJoin candidate generation + exact verify over a normalized
+    * (doc_id, t, len) frame — split from [[fuzzyPairs]] so specs can drive
+    * it with adversarial fixtures. */
+  private[graft] def passJoinPairs(n: DataFrame, k: Int): DataFrame = {
+    import n.sparkSession.implicits._
+    import graft.functions.PassJoinFunctions
+    val longEnough = n.filter($"len" > k) // k+1 non-empty segments need len ≥ k+1
+    val segs = longEnough.select($"doc_id".as("id_s"),
+      explode(PassJoinFunctions.segKeys($"t", k)).as("key"))
+    val subs = longEnough.select($"doc_id".as("id_p"),
+      explode(PassJoinFunctions.subKeys($"t", k)).as("key"))
+    // probe keys cover shorter lengths la ∈ [lb−k, lb] only, so orientation
+    // (index = shorter) is enforced by the key itself; equal-length pairs
+    // match in both directions and self-pairs at Δ=0 always match → exclude
+    // self, normalize to doc_a < doc_b, distinct
+    val candSeg = segs.join(subs, "key")
+      .filter($"id_s" =!= $"id_p")
+      .select(least($"id_s", $"id_p").as("doc_a"),
+        greatest($"id_s", $"id_p").as("doc_b"))
+    // strings under k+1 code points have no non-empty segmentation: pair the
+    // tiny block (shorter ≤ k ⇒ longer ≤ 2k) directly — a join both of whose
+    // sides hold only near-empty docs, broadcastable at any corpus scale
+    val tiny = n.filter($"len" <= k)
+      .select($"doc_id".as("id_s"), $"len".as("len_s"))
+    val small = n.filter($"len" <= 2 * k)
+      .select($"doc_id".as("id_p"), $"len".as("len_p"))
+    val candTiny = broadcast(tiny).join(small,
+        abs($"len_s" - $"len_p") <= k && $"id_s" =!= $"id_p")
+      .select(least($"id_s", $"id_p").as("doc_a"),
+        greatest($"id_s", $"id_p").as("doc_b"))
+    val cand = candSeg.union(candTiny).distinct()
+    verifyLevenshtein(cand, n, k)
+  }
+
+  /** Length-band blocking form (the pre-PassJoin default): lossless —
+    * |len_a − len_b| ≤ k is necessary for distance ≤ k, side A explodes into
+    * the buckets its ±k window covers, side B keys by ⌊len/B⌋, every true
+    * pair meets in exactly one bucket — but the within-band join is
+    * quadratic. Kept as the independent implementation DedupSpec
+    * cross-checks [[fuzzyPairs]] against; not the scale default. */
+  private[graft] def bandFuzzyPairs(n: DataFrame, k: Int, bucketWidth: Int): DataFrame = {
+    import n.sparkSession.implicits._
     val aIdx = n.select($"doc_id".as("doc_a"), $"len".as("len_a"),
       explode(sequence(floor(($"len" - k) / bucketWidth),
         floor(($"len" + k) / bucketWidth))).as("bucket"))
@@ -425,13 +490,7 @@ object Dedup {
       .filter($"doc_a" < $"doc_b")
       .filter(abs($"len_a" - $"len_b") <= k)
       .select($"doc_a", $"doc_b")
-    cand
-      .join(n.select($"doc_id".as("doc_a"), $"t".as("t_a")), "doc_a")
-      .join(n.select($"doc_id".as("doc_b"), $"t".as("t_b")), "doc_b")
-      .withColumn("distance", levenshtein($"t_a", $"t_b", k))
-      .filter($"distance" >= 0)
-      .select($"doc_a", $"doc_b", $"distance".cast("long").as("distance"))
-      .orderBy($"doc_a", $"doc_b")
+    verifyLevenshtein(cand, n, k)
   }
 
   val dedupFuzzySql: String =

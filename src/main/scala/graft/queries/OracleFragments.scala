@@ -38,6 +38,13 @@ object OracleFragments {
     * same left-to-right order as the engine's expression tree, so the double
     * is bitwise reproducible (validated at the bucket boundaries by
     * text_quality and emitted raw by prep_screen / dedup_canonical). */
+  /** The 'en' stopword profile, generated from the same
+    * TextFunctions.stopwords map the engine's quality kernel uses — an edit
+    * to the profile cannot drift the oracle (same rule as [[langidBest]]). */
+  private val enStopwordsSql: String =
+    graft.functions.TextFunctions.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ",", "]")
+
   def quality(c: String): String =
     raw"""greatest(least(
       |      0.25 * (CASE WHEN length($c) BETWEEN 100 AND 10000 THEN 1.0
@@ -45,7 +52,7 @@ object OracleFragments {
       |      + 0.25 * (CAST(length($c) - length(regexp_replace($c, '[A-Za-z]', '', 'g')) AS DOUBLE)
       |                / greatest(length($c), 1))
       |      + 0.2 * least(4 * (CAST(len(list_filter(${tokens(c)},
-      |                    t -> list_contains(['the','a','and','of','to','in','is','it','you','that','was','for','on','are','with','as'], t))) AS DOUBLE)
+      |                    t -> list_contains($enStopwordsSql, t))) AS DOUBLE)
       |               / greatest(${tokenCount(c)}, 1)), 1.0)
       |      + 0.3 * (CASE WHEN (CAST(length(${norm(c)}) AS DOUBLE) + 1)
       |                         / greatest(${tokenCount(c)}, 1)

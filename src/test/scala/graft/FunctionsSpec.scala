@@ -37,13 +37,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaColumn)
   }
 
+  test("shingleHashSet keeps non-\\s edge control chars (no String.trim)") {
+    import graft.functions.{SimHash64Util, VectorFunctions}
+    def sh(s: String): Seq[Long] = Seq(s).toDF("t")
+      .select(VectorFunctions.shingleHashSet($"t", 3)).head().getSeq[Long](0)
+    // \\u0001 is not \s: it stays inside the first token, exactly as the
+    // oracle's regex tokenizer and the other kernels (TokenStatsUtil,
+    // LangIdUtil) treat it — String.trim would have stripped it
+    assert(sh("\u0001a b c") !== sh("a b c"))
+    assert(sh("\u0001a b c") === Seq(SimHash64Util.fnv1a64("\u0001a b c".getBytes("UTF-8"))))
+    // \s edge runs still never create an empty or phantom token
+    assert(sh("  a b c \t\n") === sh("a b c"))
+    assert(sh("") === Seq.empty)
+    assert(sh(" \t ") === Seq.empty)
+  }
+
   test("native quality_score is bitwise-equal to the Column-tree formula") {
     // the codegen'd kernel must reproduce the composed form EXACTLY —
     // a last-ulp divergence would flip prep_screen's threshold filter and
     // break the oracle hash; compare over the whole fixture corpus plus
     // adversarial edges (empty, whitespace-only, control chars, unicode)
     val corpus = graft.sources.Tables.documents(spark, sf).select($"text")
-      .as[String].collect() ++ Seq("", "   ", "\t\n\f\r", "ab",
+      .as[String].collect() ++ Seq("", "   ", "\t\n\f\r", "\u0001ab\u0001",
         "ümläut ÉTÉ 北京 the and of", "x" * 15000, "1234567890!!!###",
         "the a and of to in is it")
     val df = corpus.toSeq.toDF("text")

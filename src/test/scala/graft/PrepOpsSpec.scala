@@ -188,6 +188,42 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixtures should contain edit-distance near-dups")
   }
 
+  test("PassJoin ≡ band-join fuzzy pairs on adversarial edit fixtures") {
+    // every structural position the segment filter must survive: head/tail
+    // edits, pure inserts at Δ=k, equal-length substitutions, edits straddling
+    // segment boundaries, tiny strings (< k+1 chars incl. empty), astral
+    // code points (code-point vs UTF-16 offset desync), exact duplicates
+    val base = "the quick brown fox jumps over the lazy dog by the river bank"
+    val fixtures = Seq(
+      0L -> base,
+      1L -> base.drop(2),                                 // head deletion ×2
+      2L -> (base + " ok!"),                              // tail insert ×4 (= k)
+      3L -> base.updated(5, 'x').updated(45, 'y'),        // spread substitutions
+      4L -> (base.take(31) + "__" + base.drop(33)),       // mid-boundary edit
+      5L -> base,                                         // exact dup of 0
+      6L -> "abc", 7L -> "abcd", 8L -> "", 9L -> "zzzzzzz", // tiny block
+      10L -> "😀😀 abc def 😀", // astral
+      11L -> "😀 abc def 😀",         // astral, Δ=2 cp
+      12L -> base.reverse)                                // no pair expected
+    val n = fixtures.toDF("doc_id", "text")
+      .select($"doc_id", TF.normalizeText($"text").as("t"))
+      .withColumn("len", length($"t"))
+    for (k <- Seq(2, 4)) {
+      val pass = Dedup.passJoinPairs(n, k)
+        .as[(Long, Long, Long)].collect().toSet
+      val band = Dedup.bandFuzzyPairs(n, k, bucketWidth = 8)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pass == band,
+        s"k=$k: passjoin=${pass.diff(band)} band-only=${band.diff(pass)}")
+      assert(pass.exists(_._3 == 0) && pass.exists(_._3 > 0),
+        s"k=$k: fixtures should produce both exact and near pairs")
+    }
+    // the plan really is the segment equi-join, not a cartesian/band join
+    val plan = Dedup.passJoinPairs(n, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "PassJoin candidate generation must not plan a cartesian product")
+  }
+
   test("dedup_semantic: clusters close over cosine edges, members conserved") {
     val clusters = Dedup.dedupSemantic(spark, sf)
       .select($"cluster_rep", $"n_members").as[(Long, Long)].collect()
