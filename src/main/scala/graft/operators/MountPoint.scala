@@ -24,6 +24,12 @@ import java.nio.file.{Files, Path}
   * the bind-mount target; under the subprocess runner it resolves relative to a
   * per-task sandbox directory (leading '/' stripped), so `TextFile("/in.txt")`
   * is read by the command as `in.txt` in its cwd.
+  *
+  * The reference's `appendPartitionToHostPath` (MountPoint.scala:34-39 —
+  * re-open the host file and append records batch-by-batch) is subsumed by
+  * [[writePartition]]'s single streaming pass: it drains the whole partition
+  * iterator through one buffered writer, so there is never a second batch to
+  * append and the append contract needs no separate surface here.
   */
 sealed trait MountPoint[T] extends Serializable {
   def containerPath: String

@@ -459,11 +459,18 @@ object DataPipeline {
     * join (no new shuffles beyond dedup's own); the expensive stage is the
     * dedup family's banded candidate join + O(log d) label rounds, already
     * bounded (see [[Dedup.connectedComponents]]). */
-  def prepCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def prepCorpus(spark: SparkSession, dir: String): DataFrame =
+    prepCorpusFromLabels(spark, dir,
+      Dedup.ccLabels(spark, dir, reliableCheckpoint = false))
+
+  /** [[prepCorpus]] from a precomputed (id, label) frame (see
+    * [[SharedDedupLabels]]). */
+  private[queries] def prepCorpusFromLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     import spark.implicits._
     val quality = Tables.documents(spark, dir)
       .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"))
-    val canonical = Dedup.ccLabels(spark, dir, reliableCheckpoint = false)
+    val canonical = labels
       .join(quality.select($"doc_id", $"quality"), $"id" === $"doc_id")
       .groupBy($"label")
       .agg(max_by($"doc_id", struct($"quality".as("q"), (-$"doc_id").as("negid")))

@@ -527,9 +527,13 @@ object Dedup {
     dedupClustersImpl(spark, dir, reliableCheckpoint = true)
 
   private def dedupClustersImpl(spark: SparkSession, dir: String,
-      reliableCheckpoint: Boolean): DataFrame = {
-    import spark.implicits._
-    ccLabels(spark, dir, reliableCheckpoint)
+      reliableCheckpoint: Boolean): DataFrame =
+    clustersFromLabels(ccLabels(spark, dir, reliableCheckpoint))
+
+  /** Cluster membership counts from a precomputed (id, label) frame. */
+  private[queries] def clustersFromLabels(labels: DataFrame): DataFrame = {
+    import labels.sparkSession.implicits._
+    labels
       .groupBy($"label".as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy($"cluster_rep")
@@ -563,9 +567,15 @@ object Dedup {
     * mode), not a checkpoint job plus a separate agg job. `cut` truncates
     * each round's lineage (localCheckpoint for bench; `Dataset.checkpoint`
     * for cluster fault tolerance). */
+  /** Count of full CC-loop executions in this JVM — lets the shared-labels
+    * spec pin "one computation served N consumers" without listener
+    * machinery. Driver-side, incremented once per loop, zero hot-path cost. */
+  private[graft] val ccComputations = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       cut: DataFrame => DataFrame): DataFrame = {
     import vertices.sparkSession.implicits._
+    ccComputations.incrementAndGet()
     val edges = cut(pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
     def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(tag)
@@ -611,11 +621,16 @@ object Dedup {
     * document scan. Oracle: the same recursive-CTE closure as
     * dedup_clusters + a rank-1 window with the identical tie-break (DuckDB
     * arg_max cannot order by a struct). */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalFromLabels(spark, dir, ccLabels(spark, dir, reliableCheckpoint = false))
+
+  /** Canonical selection from a precomputed (id, label) frame. */
+  private[queries] def canonicalFromLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     import spark.implicits._
     val quality = Tables.documents(spark, dir)
       .select($"doc_id", TF.qualityScore($"text").as("q"))
-    ccLabels(spark, dir, reliableCheckpoint = false)
+    labels
       .join(quality, $"id" === $"doc_id")
       .groupBy($"label".as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"),
@@ -700,4 +715,42 @@ object Dedup {
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_fuzzy" -> dedupFuzzySql)
+}
+
+/** Explicitly-scoped shared CC labels for composed dedup pipelines.
+  *
+  * `dedup_clusters`, `dedup_canonical` and `prep_corpus` each derive from
+  * the same (id, label) connected-components fixpoint; standalone they
+  * recompute it (the honest per-query cost the bench reports). A session
+  * that runs several of them over ONE corpus should pay for the CC loop
+  * once: this handle computes the labels eagerly at construction, persists
+  * them for its own lifetime, and serves every consumer from the persisted
+  * frame. Deliberately NOT a global/implicit cache — the caller owns the
+  * scope (`close()` unpersists), so two handles over different dirs can
+  * never serve each other stale labels.
+  *
+  * {{{
+  * val shared = new SharedDedupLabels(spark, dir)
+  * try {
+  *   shared.clusters ...; shared.canonical ...; shared.corpus ...
+  * } finally shared.close()
+  * }}}
+  */
+final class SharedDedupLabels(spark: SparkSession, dir: String) extends AutoCloseable {
+  /** The (id, label) fixpoint — one CC computation, persisted. The CC loop
+    * itself runs eagerly (driver-side convergence loop), so construction
+    * pays the full cost and every consumer below is loop-free. */
+  val labels: DataFrame = Dedup.ccLabels(spark, dir, reliableCheckpoint = false)
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[Dedup.dedupClusters]] over the shared labels. */
+  def clusters: DataFrame = Dedup.clustersFromLabels(labels)
+
+  /** [[Dedup.dedupCanonical]] over the shared labels. */
+  def canonical: DataFrame = Dedup.canonicalFromLabels(spark, dir, labels)
+
+  /** [[DataPipeline.prepCorpus]] over the shared labels. */
+  def corpus: DataFrame = DataPipeline.prepCorpusFromLabels(spark, dir, labels)
+
+  override def close(): Unit = { labels.unpersist(); () }
 }

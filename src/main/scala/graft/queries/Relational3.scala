@@ -212,15 +212,26 @@ object Relational3 {
     * all numbers are integer counts — nothing floats. */
   def q33DateArith(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
+    // Two-level rollup instead of countDistinct-beside-other-aggs: the mixed
+    // distinct agg planned an Expand that doubled every scan row before the
+    // shuffle. Pre-aggregating to the month grain (one ~#months-key hash agg,
+    // map-side partials do the heavy lifting) makes the distinct a plain
+    // count and shrinks the second agg to ~#months rows. Every output
+    // decomposes through the month: last_day and date_add(·, 30) are monotone
+    // in d, so max/min commute with them, and yyyy-MM-dd strings order like
+    // their dates.
+    val monthly = Tables.lineitem(spark, dir)
       .select($"l_shipdate".cast("date").as("d"))
-      .groupBy(year($"d").cast("long").as("yr"),
-        quarter($"d").cast("long").as("qtr"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(trunc($"d", "month")).as("n_months"),
-        datediff(max($"d"), min($"d")).cast("long").as("day_span"),
-        max(date_format(last_day($"d"), "yyyy-MM-dd")).as("max_month_end"),
-        min(date_format(date_add($"d", 30), "yyyy-MM-dd")).as("min_plus30"))
+      .groupBy(trunc($"d", "month").as("mo"))
+      .agg(count(lit(1)).as("n_m"), max($"d").as("mx"), min($"d").as("mn"))
+    monthly
+      .groupBy(year($"mo").cast("long").as("yr"),
+        quarter($"mo").cast("long").as("qtr"))
+      .agg(sum($"n_m").as("n"),
+        count(lit(1)).as("n_months"),
+        datediff(max($"mx"), min($"mn")).cast("long").as("day_span"),
+        date_format(last_day(max($"mx")), "yyyy-MM-dd").as("max_month_end"),
+        date_format(date_add(min($"mn"), 30), "yyyy-MM-dd").as("min_plus30"))
       .orderBy($"yr", $"qtr")
   }
 

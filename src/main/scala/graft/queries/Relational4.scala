@@ -166,15 +166,47 @@ object Relational4 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** The q31 distribution-window family at HIGH partition-key cardinality:
+    * partitioned by o_custkey (≈ |customers| keys) instead of 5 priorities,
+    * so the window sort parallelizes with the data — the shape q31's scale
+    * note prescribes for 100 TB (rank-family windows need each partition
+    * sorted whole; parallelism = key cardinality, so pick an entity key).
+    * Same uniqueness argument as q31: (totalprice, orderkey) ordering makes
+    * peer groups singletons, so the rank-ratio doubles are identical integer
+    * ratios in both engines. One hash shuffle on custkey + in-partition
+    * sort; no global sort until the presentation ORDER BY. */
+  def q39WindowHicard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q39Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_minmax_by" -> (q34MinmaxBy _),
     "q35_scd2" -> (q35Scd2 _),
     "q36_range_frame" -> (q36RangeFrame _),
-    "q37_exists_in" -> (q37ExistsIn _))
+    "q37_exists_in" -> (q37ExistsIn _),
+    "q39_window_hicard" -> (q39WindowHicard _))
 
   val oracles: Map[String, String] = Map(
     "q34_minmax_by" -> q34Sql,
     "q35_scd2" -> q35Sql,
     "q36_range_frame" -> q36Sql,
-    "q37_exists_in" -> q37Sql)
+    "q37_exists_in" -> q37Sql,
+    "q39_window_hicard" -> q39Sql)
 }

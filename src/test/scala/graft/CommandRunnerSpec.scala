@@ -85,4 +85,37 @@ class CommandRunnerSpec extends AnyFunSuite {
     val byVerb = fake.calls.map(c => c._1(1) -> c._2).toMap
     assert(byVerb == Map("image" -> true, "pull" -> false, "run" -> false))
   }
+
+  test("DockerRunner against a LIVE daemon (env-gated; cancels without one)") {
+    // Opt-in integration mirror of the reference's live-daemon tests
+    // (DockerHelperTest.scala:31-91): real pull-if-absent, bind-mounted I/O,
+    // force-pull, and the non-zero-exit contract, through the default
+    // cliExec instead of a fake. The build sandbox has no daemon and no
+    // egress, so `assume` cancels the test cleanly there; on any host with a
+    // working `docker` (honoring DOCKER_HOST/DOCKER_TLS_VERIFY like the
+    // reference client config, DockerHelper.scala:23-34) it runs for real.
+    // Override the image with GRAFT_DOCKER_TEST_IMAGE.
+    import java.nio.file.Files
+    def quietly(argv: String*): Int = scala.util.Try(
+      sys.process.Process(argv).!(sys.process.ProcessLogger(_ => ()))
+    ).getOrElse(127)
+    assume(quietly("docker", "info") == 0,
+      "no reachable Docker daemon — set DOCKER_HOST or install docker to enable")
+    val image = sys.env.getOrElse("GRAFT_DOCKER_TEST_IMAGE", "busybox:1.36")
+    // start absent so the pull-if-absent branch genuinely pulls
+    quietly("docker", "rmi", "-f", image)
+    val in = Files.createTempDirectory("graft_docker_in_")
+    val out = Files.createTempDirectory("graft_docker_out_")
+    Files.write(in.resolve("in.txt"), "alpha\nbeta\ngamma\n".getBytes("UTF-8"))
+    val runner = DockerRunner(image)
+    runner.run("wc -l < /data/in.txt | tr -d ' ' > /out/n.txt",
+      Seq(in.toFile -> "/data", out.toFile -> "/out"))
+    assert(new String(Files.readAllBytes(out.resolve("n.txt")), "UTF-8").trim == "3")
+    // image now present: pull-if-absent skips the pull; forcePull re-pulls
+    DockerRunner(image).run("true", Seq())
+    DockerRunner(image, forcePull = true).run("true", Seq())
+    // non-zero container exit surfaces as RuntimeException with the status
+    val e = intercept[RuntimeException] { runner.run("exit 7", Seq()) }
+    assert(e.getMessage.contains("7"))
+  }
 }

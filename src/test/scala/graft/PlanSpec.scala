@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q36 must not join:\n$plan")
   }
 
+  test("q39 high-cardinality window is one entity shuffle + one window") {
+    val plan = planOf("q39_window_hicard")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1, s"q39 should shuffle once on custkey, found $keyShuffles:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"window parallelism must come from the entity key:\n$plan")
+    assert(!plan.contains("Join"), s"q39 must not join:\n$plan")
+  }
+
   test("native as-of join plans its own exchanges and sorts") {
     val plan = planOf("events_asof_native")
     assert(plan.contains("AsOfJoin"))

@@ -188,6 +188,26 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixtures should contain edit-distance near-dups")
   }
 
+  test("SharedDedupLabels: ONE CC computation serves clusters/canonical/corpus") {
+    import graft.queries.SharedDedupLabels
+    val before = Dedup.ccComputations.get()
+    val shared = new SharedDedupLabels(spark, sf)
+    try {
+      val clusters = shared.clusters.collect().toSeq
+      val canonical = shared.canonical.collect().toSeq
+      val corpus = shared.corpus.collect().toSeq
+      // all three consumers drained, exactly one CC loop ran
+      assert(Dedup.ccComputations.get() - before == 1,
+        "shared handle must compute connected components exactly once")
+      // and each output is identical to its standalone query's
+      assert(clusters == Dedup.dedupClusters(spark, sf).collect().toSeq)
+      assert(canonical == Dedup.dedupCanonical(spark, sf).collect().toSeq)
+      assert(corpus == DataPipeline.prepCorpus(spark, sf).collect().toSeq)
+      // the standalone queries each paid their own loop (scoped, not global)
+      assert(Dedup.ccComputations.get() - before == 4)
+    } finally shared.close()
+  }
+
   test("PassJoin ≡ band-join fuzzy pairs on adversarial edit fixtures") {
     // every structural position the segment filter must survive: head/tail
     // edits, pure inserts at Δ=k, equal-length substitutions, edits straddling
