@@ -576,7 +576,14 @@ object Dedup {
       cut: DataFrame => DataFrame): DataFrame = {
     import vertices.sparkSession.implicits._
     ccComputations.incrementAndGet()
-    val edges = cut(pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))))
+    // edges are static across rounds and always join on doc_a: materialize
+    // them ALREADY HASH-PARTITIONED on doc_a (the lineage cut preserves
+    // outputPartitioning through LogicalRDD), so each round's propagate join
+    // shuffles only the labels side — at 100 TB that's one edge-set shuffle
+    // total instead of one per round
+    val edges = cut(pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .repartition($"doc_a"))
     def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(tag)
       val cp = cut(df.observe(obs, sum($"label").as("s")))
