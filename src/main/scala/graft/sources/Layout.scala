@@ -35,6 +35,30 @@ object Layout {
       .parquet(path)
   }
 
+  /** Hive-layout partitioned write: `partitionCols` become directory keys
+    * (`path/col=value/…`) — the coarse-grained sibling of [[writeClustered]]'s
+    * file-level clustering, and the layout that makes partition-key predicates
+    * free at 100 TB. Directory partitioning enables BOTH pruning modes:
+    * static (a literal filter on the key never even lists non-matching
+    * directories) and DYNAMIC partition pruning (a join against a filtered
+    * dimension prunes fact partitions at runtime from the broadcast dim
+    * values — Catalyst's PlanDynamicPruningFilters; pinned by the layout
+    * spec). Rows are pre-shuffled on the partition keys so each task writes
+    * one directory's files — without that, every task holds an open writer
+    * per partition value it encounters, the classic small-files/OOM failure
+    * of dynamic writes. Pick keys of bounded cardinality (dates, sources):
+    * directories are metadata, and millions of them move the bottleneck to
+    * listing. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty)
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** Morton bit-spread: the low `bits` bits of `v` spaced to every `stride`-th
     * bit position (bit i → bit i·stride). Composed entirely from builtin
     * shift/mask functions so the whole z-value stays inside whole-stage

@@ -53,4 +53,44 @@ class ZOrderSpec extends AnyFunSuite {
     val zP = avg(zBoxes.map(_._1))
     assert(zP < 0.6, s"z avg partkey range $zP not bounded")
   }
+
+  test("partitioned layout: static AND dynamic partition pruning both fire") {
+    // hive-layout fact partitioned by order year; a 100 TB fact table's
+    // partition-key predicates must never touch non-matching directories
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_").toString + "/t"
+    val fact = Tables.orders(spark, sf)
+      .withColumn("o_yr", year($"o_orderdate").cast("int"))
+    Layout.writePartitioned(fact, dir, Seq("o_yr"))
+    val factR = spark.read.parquet(dir)
+    val years = fact.select($"o_yr").distinct().as[Int].collect().sorted
+    assert(years.length > 1, "fixture should span multiple years")
+
+    // STATIC pruning: a literal partition-key filter reads one directory
+    val static = factR.filter($"o_yr" === years.head)
+    val staticScan = static.queryExecution.executedPlan.toString
+    assert(staticScan.contains("PartitionFilters"), staticScan)
+    assert(static.count() == fact.filter($"o_yr" === years.head).count())
+
+    // DYNAMIC pruning: joining against a FILTERED dim on the partition key
+    // must inject a runtime dynamicpruning predicate into the fact scan —
+    // the dim's surviving keys prune fact directories before the join reads
+    // them (Catalyst PlanDynamicPruningFilters + broadcast reuse)
+    // the dim must be a real SCAN with a surviving Filter: a filtered
+    // in-memory relation constant-folds to a bare LocalRelation
+    // (ConvertToLocalRelation), leaving no selective predicate for DPP's
+    // heuristic to see — exactly why a literal IN list doesn't get DPP but
+    // a filtered dimension table does. The filter is a comparison on a
+    // NON-join column (bare boolean attrs also fail isLikelySelective).
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim_").toString + "/d"
+    years.toSeq.toDF("yr")
+      .withColumn("tag", when($"yr" === years.head, "focus").otherwise("other"))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = factR.join(broadcast(dim.filter($"tag" === "focus")),
+      factR("o_yr") === $"yr")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition-pruning predicate:\n$plan")
+    assert(joined.count() == fact.filter($"o_yr" === years.head).count())
+  }
 }
