@@ -46,6 +46,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftBridge.column(
       TopTokenCount(org.apache.spark.sql.GraftBridge.expression(c)))
 
+  /** All five text_stats counters in one codegen'd code-point walk:
+    * [n_tokens, n_bpe_tokens, n_alpha, n_digit, n_ws] — see
+    * [[TextScanStats]] for the per-field contracts. */
+  def textScanStats(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TextScanStats(org.apache.spark.sql.GraftBridge.expression(c)))
+
   /** Fraction of characters matching a regex character class (e.g. "[a-z]"). */
   def charClassRatio(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("double") /

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,6 +40,70 @@ object TokenStatsUtil {
     }
     best.toLong
   }
+}
+
+/** All five text_stats counters in ONE code-point walk:
+  * [n_tokens, n_bpe_tokens, n_alpha, n_digit, n_ws].
+  *
+  * Replaces ~8 interpreted regex passes per document (tokenCount's
+  * normalize, bpeTokenCount's regexp_extract_all — which materializes every
+  * token string just to count them — and a regexp_replace pair per ratio).
+  * Semantics are pinned bitwise to the Column-tree formulas by a
+  * differential spec:
+  *  - n_tokens: maximal runs of non-\s code points (≡ tokenCount: split of
+  *    the \s-collapsed, trimmed text; 0 when all-whitespace/empty);
+  *  - n_bpe_tokens: the BPE pre-tokenizer alternation
+  *    [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s] — letter runs and digit runs count
+  *    once, every other non-\s CODE POINT counts alone (RE2/Java agree:
+  *    one code point per negated-class match, so astral chars are 1, not 2);
+  *  - n_alpha / n_digit / n_ws: ASCII class member counts, the numerators of
+  *    the length−length(regexp_replace) ratio idiom.
+  * \s is Java's ASCII set [ \t\n\x0B\f\r] — identical to the oracle's
+  * spelled-out class. */
+object TextScanStatsUtil {
+  def scan(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var i = 0
+    var nTok = 0; var nBpe = 0; var nAlpha = 0; var nDigit = 0; var nWs = 0
+    var inTok = false
+    var run = 0 // 1 = in alpha run, 2 = in digit run, 0 = neither
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r') {
+        nWs += 1; inTok = false; run = 0
+      } else {
+        if (!inTok) { nTok += 1; inTok = true }
+        if (cp >= 'A' && cp <= 'Z' || cp >= 'a' && cp <= 'z') {
+          if (run != 1) { nBpe += 1; run = 1 }
+          nAlpha += 1
+        } else if (cp >= '0' && cp <= '9') {
+          if (run != 2) { nBpe += 1; run = 2 }
+          nDigit += 1
+        } else { nBpe += 1; run = 0 }
+      }
+      i += Character.charCount(cp)
+    }
+    ArrayData.toArrayData(Array(nTok, nBpe, nAlpha, nDigit, nWs))
+  }
+}
+
+case class TextScanStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "text_scan_stats"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    TextScanStatsUtil.scan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScanStatsUtil.scan($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextScanStats =
+    copy(child = newChild)
 }
 
 case class TopTokenCount(child: Expression) extends UnaryExpression {

@@ -12,18 +12,23 @@ import graft.sources.Tables
 object TextAnalysis {
 
   /** Per-document token/char statistics. All counts are integers; ratios are
-    * int/int doubles → bitwise reproducible in the oracle. */
+    * int/int doubles → bitwise reproducible in the oracle. All five counters
+    * come from ONE codegen'd code-point walk ([[TF.textScanStats]] —
+    * bitwise-pinned to the Column-tree formulas by FunctionsSpec); the
+    * composed form cost ~8 interpreted regex passes per document. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val st = TF.textScanStats($"text")
+    val len = greatest(length($"text"), lit(1)).cast("double")
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
         length($"text").cast("long").as("n_chars"),
-        TF.tokenCount($"text").cast("long").as("n_tokens"),
-        TF.bpeTokenCount($"text").cast("long").as("n_bpe_tokens"),
-        round(TF.alphaRatio($"text"), 6).as("alpha_ratio"),
-        round(TF.digitRatio($"text"), 6).as("digit_ratio"),
-        round(TF.whitespaceRatio($"text"), 6).as("ws_ratio"))
+        st.getItem(0).cast("long").as("n_tokens"),
+        st.getItem(1).cast("long").as("n_bpe_tokens"),
+        round(st.getItem(2).cast("double") / len, 6).as("alpha_ratio"),
+        round(st.getItem(3).cast("double") / len, 6).as("digit_ratio"),
+        round(st.getItem(4).cast("double") / len, 6).as("ws_ratio"))
       .orderBy($"doc_id")
   }
 

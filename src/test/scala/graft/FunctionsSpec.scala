@@ -77,6 +77,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("textScanStats kernel equals the Column-tree formulas on corpus + edges") {
+    import graft.functions.{TextFunctions => TF}
+    val corpus = graft.sources.Tables.documents(spark, sf).select($"text")
+      .as[String].collect() ++ Seq("", "   ", "\t\n\f\r", "a", "1",
+        "abc123!!x", "a1b2 c3", "😀😀 ab 12 😀!", "\u0001ctrl\u0001 edge",
+        "ümläut ÉTÉ 北京 the and", "x" * 5000, "!@#$%^&*()", " lead", "trail ")
+    val df = corpus.toSeq.toDF("text")
+    val st = TF.textScanStats($"text")
+    val rows = df.select(
+      st.getItem(0).as("k_tok"), TF.tokenCount($"text").as("c_tok"),
+      st.getItem(1).as("k_bpe"), TF.bpeTokenCount($"text").as("c_bpe"),
+      st.getItem(2).as("k_alpha"),
+      (length($"text") - length(regexp_replace($"text", "[A-Za-z]", ""))).as("c_alpha"),
+      st.getItem(3).as("k_digit"),
+      (length($"text") - length(regexp_replace($"text", "[0-9]", ""))).as("c_digit"),
+      st.getItem(4).as("k_ws"),
+      (length($"text") - length(regexp_replace($"text", "\\s", ""))).as("c_ws"))
+      .collect()
+    rows.zip(corpus).foreach { case (r, t) =>
+      for (i <- 0 until 10 by 2)
+        assert(r.getInt(i) == r.getInt(i + 1),
+          s"field ${r.schema(i).name} diverged on '${t.take(50)}': " +
+            s"kernel=${r.getInt(i)} composed=${r.getInt(i + 1)}")
+    }
+  }
+
   test("CountMinSketch: never under-counts, bounded over-count, partition-invariant") {
     import graft.functions.TypedAggregators.{CountMinSketch, CmsBuf}
     val depth = 4; val width = 1024
