@@ -64,6 +64,27 @@ object GraftFunctions {
         }
       }, "scala_udf")
     registry.createOrReplaceTempFunction(
+      "text_scan_stats", exprs => TextScanStats(exprs.head), "scala_udf")
+    def intK(k: org.apache.spark.sql.catalyst.expressions.Expression,
+        fn: String): Int = k.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+    registry.createOrReplaceTempFunction(
+      "passjoin_seg_keys", {
+        case Seq(text, k) => PassJoinSegKeys(text, intK(k, "passjoin_seg_keys"))
+        case exprs => throw new IllegalArgumentException(
+          s"passjoin_seg_keys expects (text, k), got ${exprs.length} args")
+      }, "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "passjoin_sub_keys", {
+        case Seq(text, k) => PassJoinSubKeys(text, intK(k, "passjoin_sub_keys"))
+        case exprs => throw new IllegalArgumentException(
+          s"passjoin_sub_keys expects (text, k), got ${exprs.length} args")
+      }, "scala_udf")
+    registry.createOrReplaceTempFunction(
       "shingle_hash_set", {
         case Seq(text) => ShingleHashSet(text, 3)
         case Seq(text, k) =>

@@ -23,7 +23,11 @@ class FunctionsSpec extends AnyFunSuite {
         |  quantize_int8(array(1.0d, -0.5d)) AS q8,
         |  max_abs(array(-3.0d, 2.0d)) AS ma,
         |  dot_int(array(127, -64), array(127, -64)) AS di,
-        |  size(shingle_hash_set('a b c d', 3)) AS nsh""".stripMargin).head()
+        |  size(shingle_hash_set('a b c d', 3)) AS nsh,
+        |  text_scan_stats('ab 12 !') AS tss,
+        |  size(passjoin_seg_keys('abcdefghij', 4)) AS npj,
+        |  arrays_overlap(passjoin_seg_keys('abcdefghij', 4),
+        |    passjoin_sub_keys('abcdefghijx', 4)) AS pjhit""".stripMargin).head()
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[Double]("cs") == 1.0)
     assert(row.getAs[Int]("isz") == 2)
@@ -31,6 +35,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ma") == 3.0)
     assert(row.getAs[Long]("di") == 127L * 127 + 64L * 64)
     assert(row.getAs[Int]("nsh") == 2) // "a b c", "b c d"
+    assert(row.getSeq[Int](row.fieldIndex("tss")) == Seq(3, 3, 2, 2, 2))
+    assert(row.getAs[Int]("npj") == 5) // k+1 segments
+    assert(row.getAs[Boolean]("pjhit")) // 1 append-edit ⇒ a segment matches
     // SQL result equals the Column-API result
     val viaColumn = Seq(Seq("a", "b", "c")).toDF("t")
       .select(graft.functions.SimHash.simhash64($"t")).head().getLong(0)

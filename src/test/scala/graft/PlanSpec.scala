@@ -149,6 +149,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q36 must not join:\n$plan")
   }
 
+  test("dedup_fuzzy candidates are a PassJoin key equi-join, never cartesian") {
+    val plan = planOf("dedup_fuzzy")
+    // the segment-filter candidate generator must plan as an equi-join on
+    // the hashed (length, segment, content) key — a cartesian or band-join
+    // candidate stage would be the quadratic shape PassJoin replaces
+    assert(plan.contains("passjoin_seg_keys") && plan.contains("passjoin_sub_keys"),
+      s"candidates must come from the PassJoin kernels:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy dedup must not plan a cartesian product:\n$plan")
+  }
+
   test("q39 high-cardinality window is one entity shuffle + one window") {
     val plan = planOf("q39_window_hicard")
     val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
