@@ -53,6 +53,27 @@ class Relational4Spec extends AnyFunSuite {
     }
   }
 
+  test("q39 rank ratios are per-customer consistent at entity-key cardinality") {
+    val rows = Relational4.q39WindowHicard(spark, sf)
+      .select($"o_custkey", $"quartile", $"pct_rank", $"cume")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, q, pr, cd) =>
+      assert(q >= 1 && q <= 4, s"cust $c quartile $q out of range")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+    }
+    val byCust = rows.groupBy(_._1)
+    byCust.foreach { case (c, rs) =>
+      // a unique ordering makes cume_dist hit exactly i/n and percent_rank
+      // (i-1)/(n-1); the max of each must close at 1.0
+      assert(rs.map(_._4).max == 1.0, s"cust $c cume must reach 1.0")
+      if (rs.length > 1) assert(rs.map(_._3).max == 1.0)
+    }
+    // parallelism claim: the partition count equals the customer count scale,
+    // not a handful of priorities — every customer forms its own window group
+    assert(byCust.size > 100, s"expected high-cardinality keys, got ${byCust.size}")
+  }
+
   test("q35 SCD2 versions chain per customer: one current row, contiguous validity") {
     val res = Relational4.q35Scd2(spark, sf)
       .select($"o_custkey", $"o_orderkey", $"valid_from", $"valid_to", $"is_current")
