@@ -126,7 +126,9 @@ object DataPipeline {
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
-      .select($"source", $"doc_id", TF.tokenCount($"text").cast("long").as("n_tokens"))
+      // kernel token count ≡ tokenCount (FunctionsSpec differential)
+      .select($"source", $"doc_id",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .withColumn("pack_id", expr(s"cum_before div $budget"))
       .groupBy($"source", $"pack_id")
@@ -334,7 +336,8 @@ object DataPipeline {
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(TF.tokenCount($"text")).cast("long").as("total_tokens"),
+        // kernel token count ≡ tokenCount (FunctionsSpec differential)
+        sum(TF.textScanStats($"text").getItem(0)).cast("long").as("total_tokens"),
         sum(length($"text")).cast("long").as("total_chars"),
         min(length($"text")).cast("long").as("min_chars"),
         max(length($"text")).cast("long").as("max_chars"),

@@ -150,7 +150,8 @@ object TextAnalysis {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", TF.fingerprintMd5($"text").as("fp"),
-        TF.tokenCount($"text").cast("long").as("n_tokens"))
+        // kernel token count ≡ tokenCount (FunctionsSpec differential)
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
       .orderBy($"doc_id")
   }
 
@@ -240,11 +241,12 @@ object TextAnalysis {
     * differently at the last ulp). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val nt = TF.textScanStats($"text").getItem(0)
     Tables.documents(spark, dir)
       .select($"doc_id",
-        TF.tokenCount($"text").cast("long").as("n_toks"),
+        nt.cast("long").as("n_toks"),
         TF.topTokenCount($"text").as("top_cnt"),
-        greatest(TF.tokenCount($"text") - 2, lit(0)).as("n_tri"),
+        greatest(nt - 2, lit(0)).as("n_tri"),
         size(graft.functions.VectorFunctions.shingleHashSet($"text", 3))
           .as("n_tri_distinct"))
       .select($"doc_id",
