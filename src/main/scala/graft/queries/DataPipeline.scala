@@ -31,7 +31,7 @@ object DataPipeline {
     * [[OracleFragments.splitCase]]) shared by [[splitAssign]] and
     * [[contamination]] — a boundary change here cannot leave a consumer
     * checking against the old split. */
-  private[queries] def splitCol(id: Column): Column = {
+  private[graft] def splitCol(id: Column): Column = {
     val bucket = md5Prefix(id, 2)
     when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
   }
@@ -445,6 +445,53 @@ object DataPipeline {
        |GROUP BY 1
        |ORDER BY train_doc""".stripMargin
 
+  /** Fuzzy eval-set decontamination: train documents within edit distance 4
+    * of ANY test document, with the match count and closest distance per
+    * flagged doc. Completes the contamination triad: MinHash
+    * ([[contamination]]) catches whole-document paraphrase overlap, the
+    * exact 8-gram join ([[decontaminate]]) catches verbatim splices, and
+    * this catches character-level corruption (OCR noise, encoding damage,
+    * whitespace mangling) that shifts every n-gram without changing the
+    * document.
+    *
+    * Scale shape: candidates via [[Dedup.fuzzyCrossPairs]] (PassJoin keys,
+    * ids-only equi-join, constant per-doc fan-out in k); the test split is
+    * orders of magnitude smaller than train, so at 100 TB its two key
+    * indexes are the broadcast side and train is never shuffled. The same
+    * generator applied per micro-batch (foreachBatch) is the streaming
+    * ingestion guard — state-free, pinned streaming ≡ batch by
+    * StreamingSpec. */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.documents(spark, dir)
+      .select($"doc_id", splitCol($"doc_id").as("split"),
+        TF.normalizeText($"text").as("t"))
+      .withColumn("len", length($"t"))
+    val train = n.filter($"split" === "train").select($"doc_id", $"t", $"len")
+    val test = n.filter($"split" === "test").select($"doc_id", $"t", $"len")
+    Dedup.fuzzyCrossPairs(train, test, k = 4)
+      .groupBy($"id_a".as("train_doc"))
+      .agg(count(lit(1)).as("n_matches"), min($"distance").as("min_distance"))
+      .orderBy($"train_doc")
+  }
+
+  val fuzzyDecontaminateSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, ${OracleFragments.norm("text")} AS t,
+       |    ${OracleFragments.splitCase("doc_id")} AS split
+       |  FROM documents),
+       |tr AS (SELECT doc_id, t FROM n WHERE split = 'train'),
+       |te AS (SELECT doc_id, t FROM n WHERE split = 'test'),
+       |m AS (
+       |  SELECT tr.doc_id AS d, levenshtein(tr.t, te.t) AS dist
+       |  FROM tr JOIN te ON abs(len(tr.t) - len(te.t)) <= 4
+       |  WHERE levenshtein(tr.t, te.t) <= 4)
+       |SELECT d AS train_doc, count(*) AS n_matches,
+       |  CAST(min(dist) AS BIGINT) AS min_distance
+       |FROM m
+       |GROUP BY d
+       |ORDER BY train_doc""".stripMargin
+
   /** The END-TO-END curation pipeline as one oracle-checked query — the
     * composition a training-data team actually ships, stitched from the
     * operators above with zero redefinition:
@@ -529,6 +576,7 @@ object DataPipeline {
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "prep_contamination" -> (contamination _),
     "prep_decontaminate" -> (decontaminate _),
+    "prep_fuzzy_decontam" -> (fuzzyDecontaminate _),
     "prep_outliers" -> (outlierFilter _),
     "prep_screen" -> (qualityScreen _),
     "prep_datacard" -> (datacard _),
@@ -543,6 +591,7 @@ object DataPipeline {
     "prep_pack" -> packSequencesSql(),
     "prep_contamination" -> contaminationSql,
     "prep_decontaminate" -> decontaminateSql,
+    "prep_fuzzy_decontam" -> fuzzyDecontaminateSql,
     "prep_outliers" -> outlierFilterSql,
     "prep_screen" -> qualityScreenSql,
     "prep_datacard" -> datacardSql,

@@ -473,6 +473,41 @@ object Dedup {
     verifyLevenshtein(cand, n, k)
   }
 
+  /** PassJoin candidates ACROSS two corpora: every (a, b) pair with
+    * editDistance(a.t, b.t) ≤ k, ids in separate namespaces (no self-pair
+    * or ordering concerns — a is not b). Same kernels and bounds as
+    * [[passJoinPairs]]; orientation is by length, so A-segments probe
+    * B-substrings for len_a ≤ len_b and A-substrings probe B-segments for
+    * the converse; equal lengths match in both directions and collapse in
+    * the distinct. Inputs are normalized (doc_id, t, len) frames. Backs
+    * fuzzy eval-set decontamination — batch and its per-micro-batch
+    * streaming face (state-free: no keys ever persist across batches). */
+  private[graft] def fuzzyCrossPairs(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import a.sparkSession.implicits._
+    import graft.functions.PassJoinFunctions
+    def seg(n: DataFrame, idAs: String) = n.filter($"len" > k).select(
+      $"doc_id".as(idAs), explode(PassJoinFunctions.segKeys($"t", k)).as("key"))
+    def sub(n: DataFrame, idAs: String) = n.filter($"len" > k).select(
+      $"doc_id".as(idAs), explode(PassJoinFunctions.subKeys($"t", k)).as("key"))
+    val segCand = seg(a, "id_a").join(sub(b, "id_b"), "key").select($"id_a", $"id_b")
+    val subCand = sub(a, "id_a").join(seg(b, "id_b"), "key").select($"id_a", $"id_b")
+    // pairs whose SHORTER side is under k+1 code points (no non-empty
+    // segmentation): both sides are then ≤ 2k — a near-empty-docs block,
+    // broadcastable at any corpus scale
+    val tinyA = a.filter($"len" <= 2 * k).select($"doc_id".as("id_a"), $"len".as("len_a"))
+    val tinyB = b.filter($"len" <= 2 * k).select($"doc_id".as("id_b"), $"len".as("len_b"))
+    val tinyCand = broadcast(tinyA).join(tinyB,
+        abs($"len_a" - $"len_b") <= k && least($"len_a", $"len_b") <= k)
+      .select($"id_a", $"id_b")
+    val cand = segCand.union(subCand).union(tinyCand).distinct()
+    cand
+      .join(a.select($"doc_id".as("id_a"), $"t".as("t_a")), "id_a")
+      .join(b.select($"doc_id".as("id_b"), $"t".as("t_b")), "id_b")
+      .withColumn("distance", levenshtein($"t_a", $"t_b", k))
+      .filter($"distance" >= 0)
+      .select($"id_a", $"id_b", $"distance".cast("long").as("distance"))
+  }
+
   /** Length-band blocking form (the pre-PassJoin default): lossless —
     * |len_a − len_b| ≤ k is necessary for distance ≤ k, side A explodes into
     * the buckets its ±k window covers, side B keys by ⌊len/B⌋, every true

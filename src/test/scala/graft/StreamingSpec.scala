@@ -372,6 +372,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy contamination guard (foreachBatch) equals the batch cross-join") {
+    // ingestion-time fuzzy decontamination: each arriving micro-batch of
+    // documents is PassJoin-probed against a STATIC reference corpus (the
+    // test split) with the same batch generator prep_fuzzy_decontam uses —
+    // foreachBatch applies Dedup.fuzzyCrossPairs per batch, so the guard is
+    // STATE-FREE (no keys survive a batch; nothing accumulates) and its
+    // output over any arrival partitioning equals the one-shot batch run.
+    implicit val sql = spark.sqlContext
+    import graft.functions.{TextFunctions => TF}
+    import graft.queries.{DataPipeline, Dedup}
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TF.normalizeText($"text").as("t"))
+      .withColumn("len", length($"t"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val split = docs.select($"doc_id", $"text",
+      DataPipeline.splitCol($"doc_id").as("split"))
+    val reference = norm(split.filter($"split" === "test")
+      .select($"doc_id", $"text"))
+    val incoming = split.filter($"split" === "train")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Dedup.fuzzyCrossPairs(norm(batch), reference, k = 4)
+          .as[(Long, Long, Long)].collect(); ()
+      }.start()
+    try {
+      // two uneven batches: a true pair must be found regardless of which
+      // batch its train side arrives in
+      val (b1, b2) = incoming.splitAt(incoming.length / 3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val batchRun = Dedup.fuzzyCrossPairs(
+        norm(split.filter($"split" === "train").select($"doc_id", $"text")),
+        reference, k = 4).as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet == batchRun,
+        s"stream-only=${got.toSet.diff(batchRun)} batch-only=${batchRun.diff(got.toSet)}")
+      assert(batchRun.nonEmpty, "fixtures should contain cross-split near-dups")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggregations agree on the same data") {
     implicit val sql = spark.sqlContext
     val data = Seq(
