@@ -455,9 +455,12 @@ object DataPipeline {
     * document.
     *
     * Scale shape: candidates via [[Dedup.fuzzyCrossPairs]] (PassJoin keys,
-    * ids-only equi-join, constant per-doc fan-out in k); the test split is
-    * orders of magnitude smaller than train, so at 100 TB its two key
-    * indexes are the broadcast side and train is never shuffled. The same
+    * ids-only equi-join, constant per-doc fan-out in k). This fixture's
+    * reference is the hash-split test slice (~10% of the corpus), so the
+    * key join shuffles hashes on both sides — still linear, never
+    * quadratic; in the production shape the reference is a benchmark suite
+    * (MBs against a 100 TB train side), and its two key indexes become the
+    * broadcast side so train is never shuffled at all. The same
     * generator applied per micro-batch (foreachBatch) is the streaming
     * ingestion guard — state-free, pinned streaming ≡ batch by
     * StreamingSpec. */

@@ -218,6 +218,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas, null-fills, still prunes") {
+    // 100 TB tables drift: later ingest batches add columns. mergeSchema
+    // must union footer schemas across files, null-fill the column for old
+    // files, and keep predicate pushdown working on the late column.
+    val dir = Files.createTempDirectory("graft_evolve_").toString + "/t"
+    Tables.documents(spark, sf).select($"doc_id", $"text")
+      .write.parquet(dir) // batch 1: two columns
+    Tables.documents(spark, sf).select($"doc_id", $"text", $"lang")
+      .write.mode("append").parquet(dir) // batch 2: adds lang
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val total = Tables.documents(spark, sf).count()
+    assert(merged.count() == 2 * total)
+    // old files surface the late column as null; new files keep real values
+    assert(merged.filter($"lang".isNull).count() == total)
+    val q = merged.filter($"lang" === "en").select($"doc_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"late-column predicate must reach the scan:\n$scan")
+    assert(q.count() ==
+      Tables.documents(spark, sf).filter($"lang" === "en").count())
+    // and column pruning reads only what the projection needs
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"pruned read schema expected:\n$scan")
+  }
+
   test("custom record delimiter reads multi-line records (SDF-style)") {
     val dir = Files.createTempDirectory("graft_sdf_").toString
     val records = Seq("mol1\nATOM 1\nATOM 2", "mol2\nATOM 3", "mol3")
