@@ -607,6 +607,11 @@ object Dedup {
     * machinery. Driver-side, incremented once per loop, zero hot-path cost. */
   private[graft] val ccComputations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Rounds the most recent CC loop took to converge (driver-side, set once
+    * per run) — lets the spec pin the pointer-jumping O(log diameter) bound
+    * on an adversarial chain graph instead of trusting the comment. */
+  private[graft] val ccLastRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       cut: DataFrame => DataFrame): DataFrame = {
     import vertices.sparkSession.implicits._
@@ -650,6 +655,7 @@ object Dedup {
       checksum = nextSum
       labels = next
     }
+    ccLastRounds.set(round)
     labels
   }
 

@@ -55,6 +55,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"cluster membership $clustered != brute-force near-dup docs $bruteDocs")
   }
 
+  test("connectedComponents converges in O(log diameter) rounds on a chain") {
+    // a 128-vertex path graph is the adversarial case for plain min-label
+    // propagation (O(diameter) = 127 rounds); pointer jumping must close it
+    // in ~log2(128) = 7 rounds. The bound below allows +3 slack (init round,
+    // convergence-detection round, off-by-one) — a regression to linear
+    // propagation would blow far past it.
+    val n = 128
+    val verts = (0 until n).map(i => (i.toLong, i.toLong))
+      .toDF("id", "label")
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(verts, chain, _.localCheckpoint())
+      .as[(Long, Long)].collect()
+    assert(labels.length == n && labels.forall(_._2 == 0L),
+      "chain must collapse to one component labeled by its minimum")
+    val rounds = Dedup.ccLastRounds.get()
+    assert(rounds <= 10, s"pointer jumping should need ~log2($n)=7 rounds, took $rounds")
+  }
+
   test("dedupClusters reliable-checkpoint mode returns identical clusters") {
     // the durability mode (reliable Dataset.checkpoint lineage cuts instead
     // of localCheckpoint) must be a pure execution-strategy toggle: byte-for-
