@@ -136,17 +136,72 @@ object SimilaritySearch {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Cell-assignment scores against an inlined codebook: one codegen'd
+    * cosine per centroid, as an array of (score, cell) structs. */
+  private def cellScoresFor(codebook: Array[Array[Double]])(
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array(
+    codebook.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosineSim(v, array(c.map(lit).toSeq: _*)).as("s"),
+        lit(i).as("cell"))
+    }.toSeq: _*)
+
+  /** Spherical k-means codebook trained IN the engine: deterministic
+    * first-`nCells` seed, then `iters` Lloyd rounds — assign every vector to
+    * its max-cosine centroid (codegen'd projection over inlined literals),
+    * take per-cell per-dimension means via posexplode + hash aggregate
+    * (partial aggregation collapses each executor's contribution to
+    * nCells×dim cells, so shuffle volume is O(executors × nCells × dim)
+    * regardless of corpus size), L2-normalize the means (the spherical
+    * step — cosine argmax against a normalized centroid ≡ dot-product
+    * argmax). Driver state per round is ONE nCells×dim collect, the same
+    * bounded footprint as loading an offline codebook; empty cells keep
+    * their previous centroid. Lloyd monotonicity (mean max-cosine never
+    * decreases) is spec-pinned. [[simIvfTopk]] itself inlines the seed
+    * codebook so its bench line stays training-free — the production shape
+    * trains out-of-band (this function, or offline) and broadcasts. */
+  private[graft] def trainIvfCodebook(spark: SparkSession, dir: String,
+      nCells: Int, iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    // train on L2-NORMALIZED vectors: cosine assignment is scale-invariant,
+    // but the update step's optimum for the spherical objective is the
+    // normalized mean of normalized members — averaging raw vectors would
+    // weight members by their norms and break Lloyd monotonicity
+    val raw = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("r"))
+    val norm = sqrt(VectorFunctions.dotProduct($"r", $"r"))
+    val vecs = raw.select($"vec_id",
+      when(norm > 0, transform($"r", x => x / norm)).otherwise($"r").as("v"))
+    var codebook = vecs.filter($"vec_id" < nCells).orderBy($"vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val cell = array_max(cellScoresFor(codebook)($"v")).getField("cell")
+      val means = vecs
+        .select(cell.as("cell"), posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val next = codebook.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      codebook = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n > 0) c.map(_ / n) else c
+      }
+    }
+    codebook
+  }
+
   /** IVF-style ANN: a coarse codebook partitions vectors into inverted cells
     * (assignment = nearest centroid, one codegen'd cosine per centroid);
     * queries probe only their `nprobe` nearest cells. The other classic
     * scale path next to sign-LSH: cells bound candidate counts regardless of
     * corpus size, and the cell id is an equi-join key (one shuffle).
     *
-    * The codebook here is the first `nCells` vectors (deterministic stand-in
-    * for an offline-trained k-means codebook — at 100 TB the codebook is
-    * always trained out-of-band and broadcast, exactly as done here).
-    * Rows-only driver check; LlmOpsSpec pins exact scores + recall vs brute
-    * force.
+    * The codebook here is the first `nCells` vectors — the deterministic
+    * SEED of [[trainIvfCodebook]], inlined untrained so the bench line
+    * prices the query, not the training. At 100 TB the codebook is trained
+    * out-of-band (that function in-engine, or offline) and broadcast,
+    * exactly the shape used here. Rows-only driver check; LlmOpsSpec pins
+    * exact scores + recall vs brute force, and Lloyd monotonicity for the
+    * trainer.
     *
     * Timing note (round-3 median 2.79 s vs min 1.30 s at sf0.1): the spread
     * is first-run codegen/JIT, not plan cost — per-run times at sf0.1 are
@@ -167,11 +222,7 @@ object SimilaritySearch {
     val codebook = vecs.filter($"vec_id" < nCells)
       .orderBy($"vec_id").collect()
       .map(r => r.getSeq[Double](1).toArray)
-    def cellScores(v: org.apache.spark.sql.Column) = array(
-      codebook.zipWithIndex.map { case (c, i) =>
-        struct(VectorFunctions.cosineSim(v, array(c.map(lit).toSeq: _*)).as("s"),
-          lit(i).as("cell"))
-      }.toSeq: _*)
+    def cellScores(v: org.apache.spark.sql.Column) = cellScoresFor(codebook)(v)
     val assigned = vecs.withColumn("cell",
       array_max(cellScores($"v")).getField("cell"))
     val queryProbes = vecs.filter($"vec_id" < NQueries)

@@ -217,6 +217,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.toDouble / total >= 0.2, s"IVF recall too low: $hits/$total")
   }
 
+  test("IVF codebook Lloyd training is monotone and yields unit centroids") {
+    import graft.functions.VectorFunctions
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(graft.functions.Similarity.toDoubleArray($"embedding").as("v"))
+    // spherical k-means objective: mean over the corpus of the max cosine
+    // to any centroid (cosine is scale-invariant, so raw vectors are fine
+    // here even though training normalizes)
+    def objective(cb: Array[Array[Double]]): Double = vecs
+      .select(array_max(array(cb.map(c =>
+        VectorFunctions.cosineSim($"v", array(c.map(lit).toSeq: _*))).toSeq: _*))
+        .as("best"))
+      .agg(avg($"best")).head().getDouble(0)
+    val seed = graft.sources.Tables.embeddings(spark, sf)
+      .filter($"vec_id" < 16).orderBy($"vec_id")
+      .select(graft.functions.Similarity.toDoubleArray($"embedding"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val t1 = SimilaritySearch.trainIvfCodebook(spark, sf, nCells = 16, iters = 1)
+    val t3 = SimilaritySearch.trainIvfCodebook(spark, sf, nCells = 16, iters = 3)
+    assert(t3.length == 16 && t3.forall(_.length == seed.head.length))
+    // every updated centroid is unit-L2 (the spherical normalization step)
+    t3.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
+    // Lloyd monotonicity: each round can only improve the mean max-cosine
+    val (o0, o1, o3) = (objective(seed), objective(t1), objective(t3))
+    assert(o1 >= o0 - 1e-9, s"round 1 regressed the objective: $o0 -> $o1")
+    assert(o3 >= o1 - 1e-9, s"rounds 2-3 regressed the objective: $o1 -> $o3")
+    assert(o3 > o0, "training should strictly improve on the raw seed here")
+  }
+
   test("simhash is deterministic and sensitive to token changes") {
     val df = Seq(
       ("a", Seq("the", "quick", "brown", "fox")),
