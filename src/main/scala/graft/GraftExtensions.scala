@@ -48,7 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("quality_score", "quality_score(text) - heuristic [0,1] document quality",
         exprs => QualityScore(exprs.head)),
       ("top_token_count", "top_token_count(text) - count of the most frequent token",
-        exprs => TopTokenCount(exprs.head)))
+        exprs => TopTokenCount(exprs.head)),
+      ("text_scan_stats",
+        "text_scan_stats(text) - [n_tokens, n_bpe_tokens, n_alpha, n_digit, n_ws] in one pass",
+        exprs => TextScanStats(exprs.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
