@@ -130,6 +130,52 @@ object VectorOps {
     s
   }
 
+  /** Cosine of `v` against every codebook row, then the `nTop` best cell ids
+    * ordered by (score DESC, cell id DESC) — the exact ordering of a
+    * descending struct-sort over (score, cell), so this is a drop-in for the
+    * literal-inlined `array_sort(array(struct(cos, cell)...))` formulation.
+    * Per-row accumulation order matches [[cosine]] exactly, so scores (and
+    * therefore the selected cells) are bitwise-identical to scoring each
+    * centroid with the standalone kernel. Selection is O(nCells · nTop) —
+    * both small (nTop = nprobe ≤ ~32 even when nCells is 4096). */
+  def topCells(v: ArrayData, codebook: Array[Array[Double]], nTop: Int): ArrayData = {
+    val xs = v.toDoubleArray()
+    val n = codebook.length
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val ys = codebook(i)
+      val m = math.min(xs.length, ys.length)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < m) {
+        dot += xs(j) * ys(j); na += xs(j) * xs(j); nb += ys(j) * ys(j); j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      scores(i) = if (denom == 0.0) 0.0 else dot / denom
+      i += 1
+    }
+    val k = math.min(nTop, n)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](n)
+    var t = 0
+    while (t < k) {
+      var best = -1
+      i = 0
+      while (i < n) {
+        // >= : among equal scores the larger cell id wins (struct-sort parity)
+        if (!taken(i) && (best < 0 || scores(i) >= scores(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(t) = best
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toDoubleArray()
     val ys = b.toDoubleArray()
@@ -280,6 +326,41 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Top-`nTop` codebook cells for an array<double> vector, by cosine.
+  *
+  * The codebook rides along as plan METADATA, not as literal expressions: at
+  * codegen time it is installed once via `ctx.addReferenceObj` and the
+  * generated code is a single static call — so the generated method size is
+  * CONSTANT in nCells. The previous formulation (one inlined
+  * `cosine(v, array(lit...))` per centroid) generated O(nCells · dim) code
+  * and would cross Janino's 64 KB method limit around nCells ≈ 100; this one
+  * is the broadcast-codebook shape a real IVF (nCells 256–4096) needs. On a
+  * cluster the codebook is serialized once per task binary, like any
+  * reference object in the plan. */
+case class CodebookTopCells(child: Expression, codebook: Array[Array[Double]], nTop: Int)
+    extends UnaryExpression {
+  require(nTop >= 1, s"nTop must be >= 1, got $nTop")
+  require(codebook.nonEmpty, "codebook must be non-empty")
+  override def prettyName: String = "codebook_top_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double>, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.topCells(input.asInstanceOf[ArrayData], codebook, nTop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.topCells($c, $cbRef, $nTop)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CodebookTopCells =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd sorted-distinct shingle-hash set of a text column. */
   def shingleHashSet(text: Column, k: Int): Column =
@@ -309,4 +390,10 @@ object VectorFunctions {
   /** Codegen'd exact integer dot product of two array<int> columns. */
   def dotInt(a: Column, b: Column): Column =
     GraftBridge.column(DotInt(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd top-`nTop` codebook cell ids (cosine, score DESC / cell DESC)
+    * with the codebook attached as a plan reference object — generated code
+    * size is constant in nCells (see [[CodebookTopCells]]). */
+  def codebookTopCells(v: Column, codebook: Array[Array[Double]], nTop: Int): Column =
+    GraftBridge.column(CodebookTopCells(GraftBridge.expression(v), codebook, nTop))
 }

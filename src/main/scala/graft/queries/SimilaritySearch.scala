@@ -136,9 +136,14 @@ object SimilaritySearch {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
-  /** Cell-assignment scores against an inlined codebook: one codegen'd
-    * cosine per centroid, as an array of (score, cell) structs. */
-  private def cellScoresFor(codebook: Array[Array[Double]])(
+  /** LITERAL-INLINED cell scores: one codegen'd cosine per centroid, the
+    * codebook expanded into the expression tree as `array(lit...)`. Retained
+    * ONLY as the reference implementation for the differential spec — the
+    * production path is [[VectorFunctions.codebookTopCells]], which attaches
+    * the codebook as a plan reference object so generated-code size is
+    * constant in nCells. This form generates O(nCells · dim) code and would
+    * cross Janino's 64 KB method limit around nCells ≈ 100. */
+  private[graft] def cellScoresFor(codebook: Array[Array[Double]])(
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = array(
     codebook.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.cosineSim(v, array(c.map(lit).toSeq: _*)).as("s"),
@@ -147,7 +152,8 @@ object SimilaritySearch {
 
   /** Spherical k-means codebook trained IN the engine: deterministic
     * first-`nCells` seed, then `iters` Lloyd rounds — assign every vector to
-    * its max-cosine centroid (codegen'd projection over inlined literals),
+    * its max-cosine centroid (one codegen'd codebook kernel per row,
+    * [[graft.functions.CodebookTopCells]]),
     * take per-cell per-dimension means via posexplode + hash aggregate
     * (partial aggregation collapses each executor's contribution to
     * nCells×dim cells, so shuffle volume is O(executors × nCells × dim)
@@ -174,7 +180,8 @@ object SimilaritySearch {
     var codebook = vecs.filter($"vec_id" < nCells).orderBy($"vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
-      val cell = array_max(cellScoresFor(codebook)($"v")).getField("cell")
+      val cell = element_at(
+        VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1)
       val means = vecs
         .select(cell.as("cell"), posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
@@ -190,46 +197,44 @@ object SimilaritySearch {
   }
 
   /** IVF-style ANN: a coarse codebook partitions vectors into inverted cells
-    * (assignment = nearest centroid, one codegen'd cosine per centroid);
-    * queries probe only their `nprobe` nearest cells. The other classic
-    * scale path next to sign-LSH: cells bound candidate counts regardless of
-    * corpus size, and the cell id is an equi-join key (one shuffle).
+    * (assignment = nearest centroid); queries probe only their `nprobe`
+    * nearest cells. The other classic scale path next to sign-LSH: cells
+    * bound candidate counts regardless of corpus size, and the cell id is an
+    * equi-join key (one shuffle).
     *
     * The codebook here is the first `nCells` vectors — the deterministic
-    * SEED of [[trainIvfCodebook]], inlined untrained so the bench line
-    * prices the query, not the training. At 100 TB the codebook is trained
-    * out-of-band (that function in-engine, or offline) and broadcast,
-    * exactly the shape used here. Rows-only driver check; LlmOpsSpec pins
-    * exact scores + recall vs brute force, and Lloyd monotonicity for the
-    * trainer.
+    * SEED of [[trainIvfCodebook]], untrained so the bench line prices the
+    * query, not the training. Assignment and probing use ONE codegen'd
+    * kernel ([[graft.functions.CodebookTopCells]]) that carries the codebook
+    * as a plan reference object — generated-code size is constant in nCells,
+    * so a production codebook (nCells 256–4096) compiles exactly like this
+    * 16-cell one (spec-pinned at nCells = 256 in LlmOpsSpec). At 100 TB the
+    * codebook is trained out-of-band (in-engine via [[trainIvfCodebook]], or
+    * offline) and rides the serialized plan to executors, exactly the shape
+    * used here. Rows-only driver check; LlmOpsSpec pins exact scores, recall
+    * vs brute force, kernel-vs-literal-path equivalence, and Lloyd
+    * monotonicity for the trainer.
     *
-    * Timing note (round-3 median 2.79 s vs min 1.30 s at sf0.1): the spread
-    * is first-run codegen/JIT, not plan cost — per-run times at sf0.1 are
-    * [4.46, 2.06, 2.30, 2.85, 2.40] s (bench `queries_runs`), i.e. run 1 is
-    * ~2× steady state because the two projections inlining the 16×64-double
-    * codebook are large generated methods the JIT compiles on first use.
-    * Note the 16 cell cosines are NOT evaluated twice over the corpus: the
-    * probe branch filters to the NQueries query rows before scoring; only
-    * those ~50 rows are scored in both branches. */
+    * Note the per-row cell scoring is NOT evaluated twice over the corpus:
+    * the probe branch filters to the NQueries query rows before scoring;
+    * only those ~50 rows are scored in both branches. */
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nCells = 16
     val nprobe = 4
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
-    // coarse codebook: collected once, tiny (16x64 doubles), inlined as
-    // literals so assignment is pure map-side projection
+    // coarse codebook: collected once, tiny (nCells x 64 doubles), attached
+    // to the scoring kernel as a reference object — assignment stays a pure
+    // map-side projection with constant-size generated code
     val codebook = vecs.filter($"vec_id" < nCells)
       .orderBy($"vec_id").collect()
       .map(r => r.getSeq[Double](1).toArray)
-    def cellScores(v: org.apache.spark.sql.Column) = cellScoresFor(codebook)(v)
     val assigned = vecs.withColumn("cell",
-      array_max(cellScores($"v")).getField("cell"))
+      element_at(VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1))
     val queryProbes = vecs.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"),
-        explode(transform(
-          slice(reverse(array_sort(cellScores($"v"))), 1, nprobe),
-          s => s.getField("cell"))).as("cell"))
+        explode(VectorFunctions.codebookTopCells($"v", codebook, nprobe)).as("cell"))
     val candIds = assigned.select($"cell", $"vec_id")
       .join(broadcast(queryProbes), "cell")
       .filter($"vec_id" =!= $"query_id")

@@ -217,6 +217,67 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.toDouble / total >= 0.2, s"IVF recall too low: $hits/$total")
   }
 
+  test("codebook kernel matches the literal-inlined scoring path at nCells=64") {
+    import graft.functions.VectorFunctions
+    val nCells = 64
+    val nprobe = 4
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.Similarity.toDoubleArray($"embedding").as("v"))
+    val codebook = vecs.filter($"vec_id" < nCells).orderBy($"vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    // literal path: one inlined cosine per centroid, struct-sorted (the
+    // pre-round-7 production formulation, retained as reference impl)
+    val lit64 = SimilaritySearch.cellScoresFor(codebook)(_)
+    val viaLiteral = vecs.select($"vec_id",
+      array_max(lit64($"v")).getField("cell").as("cell"),
+      transform(slice(reverse(array_sort(lit64($"v"))), 1, nprobe),
+        s => s.getField("cell")).as("probes"))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+    // kernel path: codebook as reference object, constant-size codegen
+    val viaKernel = vecs.select($"vec_id",
+      element_at(VectorFunctions.codebookTopCells($"v", codebook, 1), 1).as("cell"),
+      VectorFunctions.codebookTopCells($"v", codebook, nprobe).as("probes"))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+    assert(viaKernel.length == viaLiteral.length && viaKernel.nonEmpty)
+    viaKernel.zip(viaLiteral).foreach { case (k, l) =>
+      assert(k == l, s"kernel/literal divergence at vec_id ${k._1}: $k vs $l")
+    }
+  }
+
+  test("codebook kernel compiles and runs at nCells=256 (past the Janino ceiling)") {
+    import graft.functions.VectorFunctions
+    // 256 distinct synthetic centroids; the literal-inlined path at this size
+    // would generate O(nCells * dim) code and trip method-size limits — the
+    // kernel's generated code is one static call regardless
+    val dim = 64
+    val codebook = Array.tabulate(256, dim)((c, d) => math.sin(c * dim + d + 1.0))
+    val assigned = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.Similarity.toDoubleArray($"embedding").as("v"))
+      .select($"vec_id",
+        element_at(VectorFunctions.codebookTopCells($"v", codebook, 1), 1).as("cell"),
+        VectorFunctions.codebookTopCells($"v", codebook, 8).as("probes"))
+      .as[(Long, Int, Seq[Int])].collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { case (id, cell, probes) =>
+      assert(cell >= 0 && cell < 256, s"cell $cell out of range for vec $id")
+      assert(probes.length == 8 && probes.head == cell, s"probe head != cell for $id")
+      assert(probes.distinct.length == 8, s"duplicate probes for $id")
+    }
+  }
+
+  test("codebook kernel ordering: score desc, ties broken by higher cell id") {
+    import graft.functions.VectorFunctions
+    // centroids 0 and 2 are identical -> equal scores; struct-sort parity
+    // demands the HIGHER cell id first among ties
+    val cb = Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0), Array(-1.0, 0.0))
+    val out = Seq(Tuple1(Seq(1.0, 0.1)))
+      .toDF("v")
+      .select(VectorFunctions.codebookTopCells($"v", cb, 4).as("cells"))
+      .as[Seq[Int]].head()
+    assert(out == Seq(2, 0, 1, 3), s"unexpected order $out")
+  }
+
   test("IVF codebook Lloyd training is monotone and yields unit centroids") {
     import graft.functions.VectorFunctions
     val vecs = graft.sources.Tables.embeddings(spark, sf)
