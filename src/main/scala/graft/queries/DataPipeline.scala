@@ -264,20 +264,34 @@ object DataPipeline {
     * Scale shape: the cutoffs aggregate is GROUPS-sized (here 3 rows) and
     * broadcast back, so the filter pass is a pure map over the fact scan —
     * no row-level shuffle. Exact percentile materializes each group once in
-    * the cutoff agg; at 100 TB swap `percentile` for `approx_percentile`
-    * (the q25 sketch path) and keep the broadcast join-back unchanged.
-    * The cutoff is used AND emitted unrounded: the interpolation
+    * the cutoff agg; the 100 TB form passes `approx = true`, which swaps in
+    * `approx_percentile` (the q25 GK-sketch path — constant memory per
+    * group, mergeable partials) with the broadcast join-back unchanged.
+    * PrepOpsSpec bounds the approx cutoff's deviation from the exact one
+    * and the resulting row-set drift. The driver-facing `prep_outliers`
+    * entry stays on the exact form (hash-matched against DuckDB
+    * quantile_cont). The cutoff is used AND emitted unrounded: the interpolation
     * lo + frac·(hi−lo) is bitwise-identical across engines (pinned by the
     * spec's independent recompute), while ROUNDING it is not — DuckDB's
     * round(x, 4) does not return the nearest double of the 4-decimal value
     * the way Spark's BigDecimal HALF_UP does (observed 1-ulp divergence at
     * sf0.1), so a rounded cutoff column would hash-mismatch exactly when the
     * raw one matches. */
-  def outlierFilter(spark: SparkSession, dir: String): DataFrame = {
+  def outlierFilter(spark: SparkSession, dir: String): DataFrame =
+    outlierFilterTuned(spark, dir, approx = false)
+
+  /** `approx = true`: sketch-based cutoffs via `approx_percentile` at
+    * accuracy 10000 (rank error ≤ n/10000 per group) — the form to run at
+    * 100 TB, where an exact per-group percentile would materialize each
+    * group's full value multiset in the cutoff aggregate. */
+  def outlierFilterTuned(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     import spark.implicits._
+    val pct =
+      if (approx) expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+      else expr("percentile(l_extendedprice, 0.99)")
     val li = Tables.lineitem(spark, dir)
     val cuts = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .agg(pct.as("p99"))
     li.join(broadcast(cuts), "l_returnflag")
       .filter($"l_extendedprice" > $"p99")
       .select($"l_returnflag", $"l_orderkey",
@@ -326,12 +340,23 @@ object DataPipeline {
   /** Per-source dataset card: the summary statistics a training-mixture
     * design reads off before setting weights — doc/token/char totals, length
     * spread (exact p50), language diversity. ONE partial+final hash aggregate
-    * over the corpus; output is sources-sized. At 100 TB the exact median
-    * swaps for `approx_percentile` (the q25 sketch path) without changing
-    * the aggregate structure. `avg_chars` is the double division of two
+    * over the corpus; output is sources-sized. The 100 TB form passes
+    * `approx = true`, swapping the exact median for `approx_percentile`
+    * (the q25 GK-sketch path — constant memory per group, mergeable
+    * partials) without changing the aggregate structure; PrepOpsSpec bounds
+    * its deviation from the exact median. The driver-facing `prep_datacard`
+    * entry stays on the exact form (hash-matched against DuckDB).
+    * `avg_chars` is the double division of two
     * exact integers → bitwise reproducible cross-engine. */
-  def datacard(spark: SparkSession, dir: String): DataFrame = {
+  def datacard(spark: SparkSession, dir: String): DataFrame =
+    datacardTuned(spark, dir, approx = false)
+
+  /** See [[datacard]]; `approx = true` is the sketch-median 100 TB form. */
+  def datacardTuned(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     import spark.implicits._
+    val p50 =
+      if (approx) expr("approx_percentile(length(text), 0.5, 10000)").cast("double")
+      else expr("percentile(length(text), 0.5)")
     Tables.documents(spark, dir)
       .groupBy($"source")
       .agg(
@@ -341,7 +366,7 @@ object DataPipeline {
         sum(length($"text")).cast("long").as("total_chars"),
         min(length($"text")).cast("long").as("min_chars"),
         max(length($"text")).cast("long").as("max_chars"),
-        expr("percentile(length(text), 0.5)").as("p50_chars"),
+        p50.as("p50_chars"),
         countDistinct($"lang").as("n_langs"))
       .withColumn("avg_chars", $"total_chars".cast("double") / $"n_docs")
       .orderBy($"source")

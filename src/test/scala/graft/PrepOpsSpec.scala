@@ -56,6 +56,50 @@ class PrepOpsSpec extends AnyFunSuite {
       "threshold should be strictly inside the corpus quality range")
   }
 
+  test("approx outlier cutoffs stay within 2% of exact and drift few rows") {
+    // the stated 100 TB swap (approx_percentile, accuracy 10000) must exist
+    // in code AND be bounded: per-group cutoff within 2% relative of the
+    // exact p99, and the selected row set within 10% symmetric difference
+    val exact = DataPipeline.outlierFilter(spark, sf)
+    val approx = DataPipeline.outlierFilterTuned(spark, sf, approx = true)
+    val exactCuts = exact.select($"l_returnflag", $"p99").distinct()
+      .as[(String, Double)].collect().toMap
+    val approxCuts = approx.select($"l_returnflag", $"p99").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(exactCuts.keySet == approxCuts.keySet)
+    exactCuts.foreach { case (flag, e) =>
+      val a = approxCuts(flag)
+      assert(math.abs(a - e) / e <= 0.02, s"cutoff drift for $flag: $e vs $a")
+    }
+    val eRows = exact.select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+      $"l_extendedprice").as[(String, Long, Long, Double)].collect().toSet
+    val aRows = approx.select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+      $"l_extendedprice").as[(String, Long, Long, Double)].collect().toSet
+    val drift = ((eRows -- aRows) ++ (aRows -- eRows)).size.toDouble
+    assert(drift / eRows.size <= 0.10, s"row drift ${drift.toInt}/${eRows.size}")
+  }
+
+  test("approx datacard median within 2% of exact; all other columns equal") {
+    val exact = DataPipeline.datacard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = DataPipeline.datacardTuned(spark, sf, approx = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (source, e) =>
+      val a = approx(source)
+      // same aggregate structure: every exact column except the median is
+      // untouched by the swap
+      Seq("n_docs", "total_tokens", "total_chars", "min_chars", "max_chars",
+        "n_langs", "avg_chars").foreach { c =>
+        assert(e.getAs[Any](c) == a.getAs[Any](c), s"$source.$c diverged")
+      }
+      val ep50 = e.getAs[Double]("p50_chars")
+      val ap50 = a.getAs[Double]("p50_chars")
+      assert(math.abs(ap50 - ep50) / ep50 <= 0.02,
+        s"$source median drift: $ep50 vs $ap50")
+    }
+  }
+
   test("prep_datacard agrees with text_stats aggregated per source") {
     val card = DataPipeline.datacard(spark, sf)
       .select($"source", $"n_docs", $"total_tokens", $"total_chars")
