@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// one forked JVM, suites sequential: process-global test counters (e.g.
+// Dedup.ccComputations) are asserted with exact deltas — see Dedup.scala
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked main's stdout through verbatim instead of re-logging each
 // line with an "[info] " prefix: Bench/Verify print a contractual JSON line

@@ -66,11 +66,18 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "text_scan_stats", exprs => TextScanStats(exprs.head), "scala_udf")
     def intK(k: org.apache.spark.sql.catalyst.expressions.Expression,
-        fn: String): Int = k.eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"$fn: k must be an integer literal, got $other")
+        fn: String): Int = {
+      // foldable gate first: eval() on a non-foldable arg (e.g. a column
+      // reference) would surface as an opaque unresolved/NPE internal error
+      // instead of this message
+      if (!k.foldable) throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got non-foldable expression $k")
+      k.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: k must be an integer literal, got $other")
+      }
     }
     registry.createOrReplaceTempFunction(
       "passjoin_seg_keys", {

@@ -604,7 +604,12 @@ object Dedup {
     * for cluster fault tolerance). */
   /** Count of full CC-loop executions in this JVM — lets the shared-labels
     * spec pin "one computation served N consumers" without listener
-    * machinery. Driver-side, incremented once per loop, zero hot-path cost. */
+    * machinery. Driver-side, incremented once per loop, zero hot-path cost.
+    * SINGLE-THREADED TEST ASSUMPTION: the exact-delta assertions in
+    * PrepOpsSpec/LlmOpsSpec require no concurrent CC loop in the JVM; the
+    * build runs suites sequentially in one forked JVM (build.sbt pins
+    * `Test / parallelExecution := false`) — keep it that way, or move the
+    * counter assertions behind a lock, before parallelizing suites. */
   private[graft] val ccComputations = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Rounds the most recent CC loop took to converge (driver-side, set once

@@ -94,11 +94,17 @@ class CommandRunnerSpec extends AnyFunSuite {
     // egress, so `assume` cancels the test cleanly there; on any host with a
     // working `docker` (honoring DOCKER_HOST/DOCKER_TLS_VERIFY like the
     // reference client config, DockerHelper.scala:23-34) it runs for real.
-    // Override the image with GRAFT_DOCKER_TEST_IMAGE.
+    // Override the image with GRAFT_DOCKER_TEST_IMAGE. Explicit opt-in via
+    // GRAFT_DOCKER_LIVE=1: the test force-removes the target image to
+    // exercise the pull branch, a side effect a developer machine with a
+    // daemon must ask for, not get by default.
     import java.nio.file.Files
     def quietly(argv: String*): Int = scala.util.Try(
       sys.process.Process(argv).!(sys.process.ProcessLogger(_ => ()))
     ).getOrElse(127)
+    assume(sys.env.get("GRAFT_DOCKER_LIVE").contains("1"),
+      "set GRAFT_DOCKER_LIVE=1 to opt in to the live-daemon test " +
+        "(it removes and re-pulls the test image)")
     assume(quietly("docker", "info") == 0,
       "no reachable Docker daemon — set DOCKER_HOST or install docker to enable")
     val image = sys.env.getOrElse("GRAFT_DOCKER_TEST_IMAGE", "busybox:1.36")

@@ -12,6 +12,21 @@ class FunctionsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("non-literal k in passjoin SQL functions raises the intended message") {
+    GraftFunctions.register(spark)
+    Seq(("abc", 1)).toDF("text", "k").createOrReplaceTempView("intk_probe")
+    val e = intercept[Exception] {
+      spark.sql("SELECT passjoin_seg_keys(text, k) FROM intk_probe").collect()
+    }
+    // the foldable gate must fire with the user-facing message, not an
+    // opaque unresolved/NPE internal error from eval() on a column ref
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("k must be an integer literal"))),
+      s"wanted the friendly literal-k message, got: $e")
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     val row = spark.sql(

@@ -162,10 +162,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("q39 high-cardinality window is one entity shuffle + one window") {
     val plan = planOf("q39_window_hicard")
-    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(keyShuffles == 1, s"q39 should shuffle once on custkey, found $keyShuffles:\n$plan")
+    // robust against AQE re-planning / plan-string drift: require the
+    // entity-key exchange to exist, and NO hash exchange on any other key —
+    // rather than an exact line count of the whole plan string
     assert(plan.contains("hashpartitioning(o_custkey"),
       s"window parallelism must come from the entity key:\n$plan")
+    val foreignShuffles = plan.linesIterator.filter(
+      _.contains("Exchange hashpartitioning")).filterNot(
+      _.contains("o_custkey")).toSeq
+    assert(foreignShuffles.isEmpty,
+      s"q39 must not shuffle on non-entity keys: $foreignShuffles\n$plan")
     assert(!plan.contains("Join"), s"q39 must not join:\n$plan")
   }
 
