@@ -196,6 +196,30 @@ object Dedup {
   private[graft] def prefixFilterJaccardPairs(docs: DataFrame, tNum: Int,
       tDen: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    // verify joins carry source so per-source doc ids can't attach foreign
+    // shingle arrays (doc_id is only guaranteed unique within a source)
+    prefixFilterCandidates(docs, tNum, tDen)
+      .join(docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
+        $"sz".as("sz_a")), Seq("source", "doc_a"))
+      .join(docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"),
+        $"sz".as("sz_b")), Seq("source", "doc_b"))
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      // threshold test in exact integers: I/U >= tNum/tDen  ⟺  I*tDen >= U*tNum
+      .filter($"inter" * tDen >= ($"sz_a" + $"sz_b" - $"inter") * tNum)
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .select($"source", $"doc_a", $"doc_b", $"jac")
+  }
+
+  /** The candidate half of [[prefixFilterJaccardPairs]] — distinct (source,
+    * doc_a, doc_b) id pairs surviving the prefix + length + positional
+    * filters, BEFORE the merge-intersection verify. Exposed so
+    * CandidateVolumeSpec can pin the sub-quadratic candidate bound on a
+    * tiny-vocabulary repetitive corpus (the adversarial case rarest-first
+    * prefix ordering exists for). */
+  private[graft] def prefixFilterCandidates(docs: DataFrame, tNum: Int,
+      tDen: Int): DataFrame = {
+    import docs.sparkSession.implicits._
     require(tNum > 0 && tNum < tDen, s"need 0 < t < 1, got $tNum/$tDen")
     // ceil(t*n) in exact integer arithmetic (n small → double div is exact,
     // cast truncates the already-integral value)
@@ -214,26 +238,12 @@ object Dedup {
       $"pos".as("pos_a"), $"sz".as("sz_a"))
     val b = index.select($"source", $"h", $"doc_id".as("doc_b"),
       $"pos".as("pos_b"), $"sz".as("sz_b"))
-    val cand = a.join(b, Seq("source", "h"))
+    a.join(b, Seq("source", "h"))
       .filter($"doc_a" < $"doc_b")
       .filter(least($"sz_a", $"sz_b") * tDen >= greatest($"sz_a", $"sz_b") * tNum)
       .filter((lit(1) + least($"sz_a" - $"pos_a", $"sz_b" - $"pos_b")) * (tNum + tDen)
         >= ($"sz_a" + $"sz_b") * tNum)
       .select($"source", $"doc_a", $"doc_b").distinct()
-
-    // verify joins carry source so per-source doc ids can't attach foreign
-    // shingle arrays (doc_id is only guaranteed unique within a source)
-    cand
-      .join(docs.select($"source", $"doc_id".as("doc_a"), $"sh".as("sh_a"),
-        $"sz".as("sz_a")), Seq("source", "doc_a"))
-      .join(docs.select($"source", $"doc_id".as("doc_b"), $"sh".as("sh_b"),
-        $"sz".as("sz_b")), Seq("source", "doc_b"))
-      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
-      // threshold test in exact integers: I/U >= tNum/tDen  ⟺  I*tDen >= U*tNum
-      .filter($"inter" * tDen >= ($"sz_a" + $"sz_b" - $"inter") * tNum)
-      .withColumn("jac",
-        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
-      .select($"source", $"doc_a", $"doc_b", $"jac")
   }
 
   /** Blocked all-pairs form of the same join: O(block²) merge-intersections
@@ -442,7 +452,14 @@ object Dedup {
   /** PassJoin candidate generation + exact verify over a normalized
     * (doc_id, t, len) frame — split from [[fuzzyPairs]] so specs can drive
     * it with adversarial fixtures. */
-  private[graft] def passJoinPairs(n: DataFrame, k: Int): DataFrame = {
+  private[graft] def passJoinPairs(n: DataFrame, k: Int): DataFrame =
+    verifyLevenshtein(passJoinCandidates(n, k), n, k)
+
+  /** The candidate half of [[passJoinPairs]] — distinct (doc_a, doc_b) id
+    * pairs BEFORE the levenshtein verify. Exposed so CandidateVolumeSpec can
+    * pin the ≤ c·n candidate bound on adversarial length distributions (the
+    * whole point of PassJoin over length-band blocking). */
+  private[graft] def passJoinCandidates(n: DataFrame, k: Int): DataFrame = {
     import n.sparkSession.implicits._
     import graft.functions.PassJoinFunctions
     val longEnough = n.filter($"len" > k) // k+1 non-empty segments need len ≥ k+1
@@ -469,8 +486,7 @@ object Dedup {
         abs($"len_s" - $"len_p") <= k && $"id_s" =!= $"id_p")
       .select(least($"id_s", $"id_p").as("doc_a"),
         greatest($"id_s", $"id_p").as("doc_b"))
-    val cand = candSeg.union(candTiny).distinct()
-    verifyLevenshtein(cand, n, k)
+    candSeg.union(candTiny).distinct()
   }
 
   /** PassJoin candidates ACROSS two corpora: every (a, b) pair with
