@@ -35,6 +35,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE broadcasts a dim under the threshold, demotes to SMJ above it") {
+    // SURVEY §8's claim, pinned in both directions: an UNHINTED dim join
+    // broadcasts while the dim fits autoBroadcastJoinThreshold, and switches
+    // join strategy (SMJ) once the dim outgrows it — the mechanism that
+    // governs every dim join at 100 TB, where "the dim is small" is a runtime
+    // fact, not a promise. customer.parquet here is ~7 KB, so 1 KB simulates
+    // the dim outgrowing a production threshold.
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(threshold)
+    def dimJoinPlan(): String = {
+      val j = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf),
+          $"o_custkey" === $"c_custkey") // no broadcast() hint on purpose
+        .select($"o_orderkey", $"c_name")
+      // run THIS dataframe so its AdaptiveSparkPlan reaches final state
+      assert(j.collect().nonEmpty)
+      j.queryExecution.executedPlan.toString
+    }
+    try {
+      spark.conf.set(threshold, "10MB")
+      val small = dimJoinPlan()
+      assert(small.contains("BroadcastHashJoin"),
+        s"dim under threshold should broadcast:\n$small")
+
+      spark.conf.set(threshold, "1KB")
+      val large = dimJoinPlan()
+      assert(!large.contains("BroadcastHashJoin"),
+        s"dim above threshold must not broadcast:\n$large")
+      assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"),
+        s"dim above threshold should demote to a shuffled join:\n$large")
+    } finally spark.conf.set(threshold, saved)
+  }
+
   test("salted join equals plain join (inner and left)") {
     val orders = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
     val cust = Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")
