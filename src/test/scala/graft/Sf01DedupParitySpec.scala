@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF, VectorFunctions}
+import graft.queries.Dedup
+import graft.sources.Tables
+
+/** Marks the ~minutes-scale sf0.1 differentials; exclude with
+  * `testOnly -- -l graft.SlowTest` for a fast iteration loop. The default
+  * `sbt test` RUNS these — they are part of the green bar. */
+object SlowTest extends Tag("graft.SlowTest")
+
+/** sf0.1 parity for the six oracle-checked dedup queries. The driver's
+  * DuckDB oracle gates at sf0.01 (500 docs); the dedup family has the most
+  * scale-sensitive numerics (float Jaccard boundaries, band membership,
+  * segment-hash collisions), and a d389b86-class bug — correct at one SF,
+  * wrong at the next — would pass every sf0.01 gate. DuckDB itself is
+  * driver-side tooling, not on this JVM's classpath, so each query is
+  * re-checked at sf0.1 (5,000 docs, 10× the oracle corpus) against an
+  * INDEPENDENT implementation instead: brute-force cross joins, the
+  * quadratic blocked/band fallbacks, and a driver-side union-find — the
+  * same differentials the small-scale specs trust, at the bench SF. */
+class Sf01DedupParitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val sfBig = "/root/testdata/sf0.1"
+
+  /** Brute-force exact-Jaccard pairs at threshold `t` over word-3-shingle
+    * hash sets — O(n²) cross join with only a (lossless) size-ratio
+    * pre-filter, sharing no candidate-generation code with the LSH path. */
+  private lazy val bruteHighJaccardPairs: Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sfBig)
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .withColumn("sz", size($"sh"))
+    val a = docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"), $"sz".as("sz_a"))
+    val b = docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"), $"sz".as("sz_b"))
+    a.crossJoin(b)
+      .filter($"doc_a" < $"doc_b")
+      // J >= 0.8 needs |min| >= 0.8*|max| — provably lossless, kills ~all pairs
+      // before the merge-intersection
+      .filter(least($"sz_a", $"sz_b") * 5 >= greatest($"sz_a", $"sz_b") * 4)
+      .withColumn("inter", VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .filter($"inter" * 5 >= ($"sz_a" + $"sz_b" - $"inter") * 4) // I/U >= 4/5
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  /** Driver-side union-find closure of [[bruteHighJaccardPairs]] over all
+    * sf0.1 doc ids — the independent clustering the CC loop is checked
+    * against. Returns id -> min-id-of-component. */
+  private lazy val bruteLabels: Map[Long, Long] = {
+    val ids = Tables.documents(spark, sfBig).select($"doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    bruteHighJaccardPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("dedup_exact at sf0.1 equals a raw-text-equality groupBy", SlowTest) {
+    val viaMd5 = Dedup.dedupExact(spark, sfBig)
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    val viaText = Tables.documents(spark, sfBig)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(viaMd5 == viaText,
+      s"md5-only=${viaMd5 -- viaText} text-only=${viaText -- viaMd5}")
+  }
+
+  test("dedup_minhash_pairs at sf0.1 equals brute-force exact Jaccard >= 0.8", SlowTest) {
+    val lsh = Dedup.dedupMinhashPairs(spark, sfBig)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // exact-verified candidates can't emit false positives; this pins that
+    // 8x4 banding recall stays exact at 10x the oracle corpus (a borderline
+    // pair whose bands all split IS the failure mode this spec exists for)
+    assert(lsh == bruteHighJaccardPairs,
+      s"missing=${bruteHighJaccardPairs -- lsh} extra=${lsh -- bruteHighJaccardPairs}")
+  }
+
+  test("dedup_ngram_jaccard at sf0.1 equals the blocked all-pairs form", SlowTest) {
+    val pp = Dedup.dedupNgramJaccard(spark, sfBig)
+      .select($"source", $"doc_a", $"doc_b", $"jaccard")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val docs = Tables.documents(spark, sfBig)
+      .select($"source", $"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .withColumn("sz", size($"sh"))
+    val blocked = Dedup.blockedJaccardPairs(docs, 0.5)
+      .select($"source", $"doc_a", $"doc_b", $"jac")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // both sides compute jac as the same int-derived double -> exact equality
+    assert(pp == blocked,
+      s"prefix-only=${(pp -- blocked).take(5)} blocked-only=${(blocked -- pp).take(5)}")
+  }
+
+  test("dedup_fuzzy at sf0.1 equals the band-join form", SlowTest) {
+    val pass = Dedup.fuzzyPairs(spark, sfBig, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val n = Tables.documents(spark, sfBig)
+      .select($"doc_id", TF.normalizeText($"text").as("t"))
+      .withColumn("len", length($"t"))
+    val band = Dedup.bandFuzzyPairs(n, k = 4, bucketWidth = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pass == band,
+      s"passjoin-only=${(pass -- band).take(5)} band-only=${(band -- pass).take(5)}")
+  }
+
+  test("dedup_clusters at sf0.1 equals a driver-side union-find closure", SlowTest) {
+    val engine = Dedup.dedupClusters(spark, sfBig)
+      .select($"cluster_rep", $"n_members").as[(Long, Long)].collect().toSet
+    val expected = bruteLabels.groupBy(_._2)
+      .map { case (rep, m) => (rep, m.size.toLong) }.toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(5)} uf-only=${(expected -- engine).take(5)}")
+  }
+
+  test("dedup_canonical at sf0.1 equals driver-side best-quality selection", SlowTest) {
+    val engine = Dedup.dedupCanonical(spark, sfBig)
+      .select($"cluster_rep", $"n_members", $"canonical_doc", $"best_quality")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val quality = Tables.documents(spark, sfBig)
+      .select($"doc_id", TF.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    val expected = bruteLabels.groupBy(_._2).map { case (rep, m) =>
+      val members = m.keys.toSeq
+      // max quality, ties to the smaller doc_id — same order as the max_by struct
+      val best = members.minBy(id => (-quality(id), id))
+      (rep, members.size.toLong, best, members.map(quality).max)
+    }.toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(5)} driver-only=${(expected -- engine).take(5)}")
+  }
+}
