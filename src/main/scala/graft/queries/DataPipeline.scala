@@ -597,6 +597,118 @@ object DataPipeline {
        |  AND ${mixKeepSql("doc_id", "source")}
        |ORDER BY doc_id""".stripMargin
 
+  /** Recall of b-band × r-row LSH banding for a pair whose per-row collision
+    * probability is p: 1 − (1 − p^r)^b. Powers are expanded as
+    * left-associated multiplications so the card, its SQL oracle, and the
+    * spec's recomputation share one bit-exact arithmetic. */
+  private def bandedRecall(p: Double, r: Int, b: Int): Double = {
+    val pr = (1 until r).foldLeft(p)((acc, _) => acc * p)
+    val miss = 1.0 - pr
+    1.0 - (1 until b).foldLeft(miss)((acc, _) => acc * miss)
+  }
+
+  /** Sign-LSH per-hyperplane collision probability for a pair at cosine c:
+    * 1 − θ/π (Goemans–Williamson). */
+  private def signRowProb(c: Double): Double = 1.0 - math.acos(c) / math.Pi
+
+  /** The method-card rows: (operator, method, bands, rows_per_band,
+    * threshold, expected_recall, caveat) for every operator whose output is
+    * sampled or sketch-approximate. Built from the SAME constants the
+    * operators execute with ([[Dedup.MinhashBands]] etc.), so the card
+    * cannot drift from the code; PrepOpsSpec re-derives the recall numbers
+    * independently and pins that the named operators exist. */
+  private[graft] def methodCardRows
+      : Seq[(String, String, Option[Int], Option[Int], Option[Double], Option[Double], String)] = {
+    val mhRecall = bandedRecall(Dedup.MinhashThreshold,
+      Dedup.MinhashRowsPerBand, Dedup.MinhashBands)
+    val signRecall = bandedRecall(signRowProb(Dedup.EmbeddingCosineThreshold),
+      Dedup.SignLshPlanesPerBand, Dedup.SignLshBands)
+    val minhashCaveat =
+      "precision exact (every candidate re-verified); recall model " +
+        "1-(1-s^r)^b AT s = threshold and rising toward 1 above it; " +
+        "brute-force-exact recall on this corpus is spec-pinned"
+    Seq(
+      ("dedup_minhash_pairs", "minhash-lsh + exact-jaccard verify",
+        Some(Dedup.MinhashBands), Some(Dedup.MinhashRowsPerBand),
+        Some(Dedup.MinhashThreshold), Some(mhRecall), minhashCaveat),
+      ("dedup_clusters", "minhash-lsh edges + connected components",
+        Some(Dedup.MinhashBands), Some(Dedup.MinhashRowsPerBand),
+        Some(Dedup.MinhashThreshold), Some(mhRecall),
+        "edges share dedup_minhash_pairs recall; a missed edge can split a " +
+          "cluster, never merge one"),
+      ("dedup_canonical", "minhash-lsh edges + best-quality selection",
+        Some(Dedup.MinhashBands), Some(Dedup.MinhashRowsPerBand),
+        Some(Dedup.MinhashThreshold), Some(mhRecall),
+        "same edge recall as dedup_clusters; canonical choice within a " +
+          "found cluster is exact"),
+      ("dedup_embedding_cosine", "sign-lsh + exact-cosine verify",
+        Some(Dedup.SignLshBands), Some(Dedup.SignLshPlanesPerBand),
+        Some(Dedup.EmbeddingCosineThreshold), Some(signRecall),
+        "precision exact; recall at cosine c is 1-(1-(1-acos(c)/pi)^r)^b — " +
+          "about 0.5 AT the shipped threshold, 0.97 at c = 0.8; raise bands " +
+          "for boundary-heavy corpora"),
+      ("dedup_semantic", "sign-lsh edges + connected components",
+        Some(Dedup.SignLshBands), Some(Dedup.SignLshPlanesPerBand),
+        Some(Dedup.EmbeddingCosineThreshold), Some(signRecall),
+        "cluster edges carry dedup_embedding_cosine recall (~0.5 at the " +
+          "threshold boundary): clusters are a high-precision LOWER bound " +
+          "on the true semantic groups"),
+      ("sim_lsh_topk",
+        s"multi-probe sign-lsh (nProbe = ${SimilaritySearch.LshNProbe})",
+        Some(SimilaritySearch.LshBands), Some(SimilaritySearch.LshPlanesPerBand),
+        None, Some(SimilaritySearch.LshSpecRecallFloor),
+        "expected_recall is the spec-pinned FLOOR vs brute force " +
+          "(measured 0.98 at nProbe = 6); returned scores are exact cosines"),
+      ("sim_ivf_topk",
+        s"ivf nCells = ${SimilaritySearch.IvfNCells}, " +
+          s"nprobe = ${SimilaritySearch.IvfNProbe}",
+        None, None, None, Some(SimilaritySearch.IvfSpecRecallFloor),
+        "expected_recall is the spec-pinned FLOOR vs brute force on " +
+          "near-random test vectors; real embeddings cluster, so raise " +
+          "nCells/nprobe together; returned scores are exact cosines"),
+      ("q20_approx_distinct", "hyperloglog++ (rsd = 0.02)",
+        None, None, None, None,
+        "count-distinct estimate; spec bounds deviation vs exact within " +
+          "2 percent on this corpus"),
+      ("q25_approx_percentiles", "approx_percentile sketch (accuracy = 10000)",
+        None, None, None, None,
+        "rank error bounded by 1/accuracy; exact-percentile q21 is the " +
+          "hash-checked twin"))
+  }
+
+  /** Per-operator method card for the sampled / sketch-approximate
+    * operators: parameters, the recall model evaluated at the shipped
+    * configuration, and the caveat a dataset card should carry. The VERDICT
+    * on sampled output should travel WITH the output — this query is the
+    * mechanism. Values are static per build (they describe code, not data),
+    * so the oracle re-states the same literals; the non-trivial checks are
+    * in PrepOpsSpec (independent recall recomputation + operator-name
+    * linkage against SparkEntry.queries). */
+  def methodCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    methodCardRows.toDF("operator", "method", "bands", "rows_per_band",
+      "threshold", "expected_recall", "caveat")
+      .orderBy($"operator")
+  }
+
+  val methodCardSql: String = {
+    def i(o: Option[Int]) = o.map(_.toString).getOrElse("CAST(NULL AS INTEGER)")
+    // string→DOUBLE, not a bare decimal literal: DuckDB types bare decimals
+    // as DECIMAL and the later DECIMAL→DOUBLE widening can be off by an ulp;
+    // the string parse is correctly rounded, so both engines hold the exact
+    // double Double.toString round-trips
+    def d(o: Option[Double]) =
+      o.map(v => s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
+        .getOrElse("CAST(NULL AS DOUBLE)")
+    val rows = methodCardRows.map { case (op, m, b, r, t, rec, cav) =>
+      s"('$op', '$m', ${i(b)}, ${i(r)}, ${d(t)}, ${d(rec)}, '$cav')"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows)
+       |AS t(operator, method, bands, rows_per_band, threshold, expected_recall, caveat)
+       |ORDER BY operator""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "prep_corpus" -> (prepCorpus _),
     "prep_split" -> (splitAssign _),
@@ -608,6 +720,7 @@ object DataPipeline {
     "prep_outliers" -> (outlierFilter _),
     "prep_screen" -> (qualityScreen _),
     "prep_datacard" -> (datacard _),
+    "prep_method_card" -> (methodCard _),
     "prep_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
     "text_redact" -> (textRedact _))
@@ -623,6 +736,7 @@ object DataPipeline {
     "prep_outliers" -> outlierFilterSql,
     "prep_screen" -> qualityScreenSql,
     "prep_datacard" -> datacardSql,
+    "prep_method_card" -> methodCardSql,
     "prep_stratified" -> stratifiedSampleSql(),
     "text_chunks" -> textChunksSql(),
     "text_redact" -> textRedactSql)

@@ -26,6 +26,16 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Shipped banding parameters — the single source of truth shared by the
+    * operators below AND by [[DataPipeline.methodCard]], so the published
+    * caveat card cannot drift from the code that runs. */
+  private[graft] val MinhashBands = 8
+  private[graft] val MinhashRowsPerBand = 4
+  private[graft] val MinhashThreshold = 0.8
+  private[graft] val SignLshBands = 4
+  private[graft] val SignLshPlanesPerBand = 4
+  private[graft] val EmbeddingCosineThreshold = 0.4
+
   /** Documents as sorted 64-bit shingle-hash sets: one codegen'd pass builds
     * (doc_id[, source], sh, sz); shingle strings never leave this projection.
     * Shared base of every shingle-level dedup family below. */
@@ -147,7 +157,8 @@ object Dedup {
     * hashes, P(collision) ≈ 1e-15), so both engines produce the same ratio. */
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    minhashVerifiedPairs(shingledDocs(spark, dir), nBands = 8, rowsPerBand = 4, t = 0.8)
+    minhashVerifiedPairs(shingledDocs(spark, dir), nBands = MinhashBands,
+      rowsPerBand = MinhashRowsPerBand, t = MinhashThreshold)
       .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -345,7 +356,7 @@ object Dedup {
     * what banding theory predicts (~50% at the threshold boundary). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    embeddingCosinePairs(spark, dir, threshold = 0.4)
+    embeddingCosinePairs(spark, dir, threshold = EmbeddingCosineThreshold)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -358,7 +369,8 @@ object Dedup {
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
     val banded = vecs
       .select($"vec_id", $"v",
-        explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
+        explode(Similarity.signLshBands($"v", nBands = SignLshBands,
+          planesPerBand = SignLshPlanesPerBand, dim = 64)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
     // ids-only candidate join + distinct, THEN one codegen'd cosine per
     // surviving pair (VectorFunctions.cosineSim — the interpreted
@@ -392,7 +404,7 @@ object Dedup {
     import spark.implicits._
     val verts = Tables.embeddings(spark, dir)
       .select($"vec_id".as("id"), $"vec_id".as("label"))
-    val pairs = embeddingCosinePairs(spark, dir, threshold = 0.4)
+    val pairs = embeddingCosinePairs(spark, dir, threshold = EmbeddingCosineThreshold)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
     connectedComponents(verts, pairs, _.localCheckpoint())
       .groupBy($"label".as("cluster_rep"))
@@ -604,7 +616,8 @@ object Dedup {
     connectedComponents(
       Tables.documents(spark, dir).select($"doc_id".as("id"), $"doc_id".as("label")),
       minhashVerifiedPairs(shingledDocs(spark, dir),
-        nBands = 8, rowsPerBand = 4, t = 0.8).select($"doc_a", $"doc_b"),
+        nBands = MinhashBands, rowsPerBand = MinhashRowsPerBand,
+        t = MinhashThreshold).select($"doc_a", $"doc_b"),
       cut)
   }
 

@@ -25,6 +25,18 @@ object SimilaritySearch {
   private val K = 5
   private val NQueries = 10
 
+  /** Shipped ANN parameters — single source of truth shared with
+    * [[DataPipeline.methodCard]] so the published caveat card cannot drift
+    * from the code that runs. The recall floors are the values the LlmOpsSpec
+    * brute-force differentials assert. */
+  private[graft] val LshBands = 4
+  private[graft] val LshPlanesPerBand = 4
+  private[graft] val LshNProbe = 6
+  private[graft] val LshSpecRecallFloor = 0.85
+  private[graft] val IvfNCells = 16
+  private[graft] val IvfNProbe = 4
+  private[graft] val IvfSpecRecallFloor = 0.2
+
   /** Brute-force exact top-k neighbors for the first `NQueries` vectors. */
   def simBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -67,7 +79,7 @@ object SimilaritySearch {
     * driver check (bucket membership isn't ANSI SQL); LlmOpsSpec pins exact
     * candidate scores and recall ≥ 0.8 vs brute force. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame =
-    simLshTopkTuned(spark, dir, nProbe = 6)
+    simLshTopkTuned(spark, dir, nProbe = LshNProbe)
 
   /** nProbe exposed for tuning/specs; see [[simLshTopk]] for the shipped
     * configuration. */
@@ -77,15 +89,16 @@ object SimilaritySearch {
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
     val vecs = base
       .select($"vec_id",
-        explode(Similarity.signLshBands($"v", nBands = 4, planesPerBand = 4, dim = 64)).as("bk"))
+        explode(Similarity.signLshBands($"v", nBands = LshBands,
+          planesPerBand = LshPlanesPerBand, dim = 64)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.key".as("key"))
     // probe keys within a band are pairwise distinct by construction (exact
     // key + distinct XOR masks) and the band id separates bands — no dedup
     // needed before the broadcast
     val queryBands = base.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"),
-        explode(Similarity.signLshProbeBands($"v", nBands = 4, planesPerBand = 4,
-          dim = 64, nProbe = nProbe)).as("bk"))
+        explode(Similarity.signLshProbeBands($"v", nBands = LshBands,
+          planesPerBand = LshPlanesPerBand, dim = 64, nProbe = nProbe)).as("bk"))
       .select($"bk.band".as("band"), $"bk.key".as("key"), $"query_id")
     // ids-only probe join, dedup multi-band collisions, THEN fetch vectors
     // and score once per candidate with the codegen'd kernel
@@ -220,8 +233,8 @@ object SimilaritySearch {
     * only those ~50 rows are scored in both branches. */
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nCells = 16
-    val nprobe = 4
+    val nCells = IvfNCells
+    val nprobe = IvfNProbe
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
     // coarse codebook: collected once, tiny (nCells x 64 doubles), attached

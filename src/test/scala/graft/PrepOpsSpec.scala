@@ -318,6 +318,28 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(clusters.exists(_._2 > 1), "no multi-member semantic cluster")
   }
 
+  test("prep_method_card: recall numbers re-derive and operators exist") {
+    val card = DataPipeline.methodCard(spark, sf)
+      .select($"operator", $"expected_recall").as[(String, Option[Double])]
+      .collect().toMap
+    // every operator the card caveats must be a real driver query — the
+    // linkage that keeps the card from drifting into fiction
+    val unknown = card.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"card rows for nonexistent operators: $unknown")
+    // independent recomputation of the banding recall models (math.pow here
+    // vs left-assoc multiplication in the card — 1e-12 covers the assoc gap)
+    val mh = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 8)
+    assert(math.abs(card("dedup_minhash_pairs").get - mh) < 1e-12)
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    val sign = 1.0 - math.pow(1.0 - math.pow(p, 4), 4)
+    assert(math.abs(card("dedup_semantic").get - sign) < 1e-12)
+    // the honesty headline: semantic dedup edges are ~coin-flip recall AT
+    // the threshold, and the card says so instead of hiding it
+    assert(card("dedup_semantic").get > 0.45 && card("dedup_semantic").get < 0.55)
+    // ANN rows carry the spec floors, not inflated claims
+    assert(card("sim_lsh_topk").get == 0.85 && card("sim_ivf_topk").get == 0.2)
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
