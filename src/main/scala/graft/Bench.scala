@@ -67,29 +67,56 @@ object Bench {
     // is one-time cost on a real cluster, not plan cost — burn it before the
     // timed runs so medians report steady state
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 - warmup to runs).flatMap { i =>
-        // queries that persist intermediates must not get warm-cache medians
-        // while everything else measures cold
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          if (i >= 1) Some((System.nanoTime() - t0) / 1e9) else None
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
-          None
+    def noopSave(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(tasks: Seq[(String, () => Unit)]): Seq[(String, Seq[Double])] =
+      tasks.map { case (name, run) =>
+        val times = (1 - warmup to runs).flatMap { i =>
+          // queries that persist intermediates must not get warm-cache medians
+          // while everything else measures cold
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try {
+            run()
+            if (i >= 1) Some((System.nanoTime() - t0) / 1e9) else None
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run $i failed: ${e.getMessage}")
+            None
+          }
         }
+        (name, times)
       }
-      (name, times)
-    }
-    def fmt(f: Seq[Double] => Double) = results
+    val results = timed(selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, () => noopSave(fn(spark, sfDir)))
+    })
+    // composition benchmark: the three CC-label consumers standalone (three
+    // full CC loops — the honest per-query cost the `queries` map reports)
+    // vs through ONE SharedDedupLabels handle (one CC loop serves all
+    // three). Reported in a separate `composed` map so the headline total
+    // stays comparable round over round.
+    val composed = timed(if (args.nonEmpty) Nil else Seq(
+      "dedup_three_consumers_standalone" -> (() => {
+        noopSave(queries.Dedup.dedupClusters(spark, sfDir))
+        noopSave(queries.Dedup.dedupCanonical(spark, sfDir))
+        noopSave(queries.DataPipeline.prepCorpus(spark, sfDir))
+      }),
+      "dedup_three_consumers_shared" -> (() => {
+        val shared = new queries.SharedDedupLabels(spark, sfDir)
+        try {
+          noopSave(shared.clusters)
+          noopSave(shared.canonical)
+          noopSave(shared.corpus)
+        } finally shared.close()
+      })))
+    def fmtSeq(rs: Seq[(String, Seq[Double])], f: Seq[Double] => Double) = rs
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) "-1" else f(ts)) }
       .mkString("{", ",", "}")
+    def fmt(f: Seq[Double] => Double) = fmtSeq(results, f)
     val perRun = results
       .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failures = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+    val failures = (results ++ composed)
+      .collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     // cpus is quoted: SPARK_GRAFT_CPUS may legitimately be non-numeric
@@ -97,13 +124,15 @@ object Bench {
     val header = s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""cpus":"$cpus","sf":"$sfDir","failures":$failures"""
     val full = s"""{$header,"queries":${fmt(median)},"queries_min":${fmt(_.min)},""" +
-      s""""queries_runs":$perRun,"bench_file":"$outPath"}"""
+      s""""queries_runs":$perRun,"composed":${fmtSeq(composed, median)},""" +
+      s""""bench_file":"$outPath"}"""
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, full.getBytes(StandardCharsets.UTF_8))
     // stdout: same shape, medians only, 3 decimals — small enough that a
     // caller keeping only the last ~2 KB of output still gets valid JSON
     println(s"""{$header,"queries":${fmt(ts => round3(median(ts)))},""" +
+      s""""composed":${fmtSeq(composed, ts => round3(median(ts)))},""" +
       s""""bench_file":"$outPath"}""")
     Console.out.flush()
     spark.stop()
