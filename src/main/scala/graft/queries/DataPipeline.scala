@@ -666,6 +666,13 @@ object DataPipeline {
         "expected_recall is the spec-pinned FLOOR vs brute force on " +
           "near-random test vectors; real embeddings cluster, so raise " +
           "nCells/nprobe together; returned scores are exact cosines"),
+      ("dedup_span_overlap",
+        s"verbatim ${Dedup.SpanGramTokens}-token-run pairs, " +
+          s"gram df cap ${Dedup.SpanDfCap}",
+        None, None, None, None,
+        "exact within the cap; grams appearing in more documents than the " +
+          "df cap are treated as boilerplate and generate no pairs — raise " +
+          "the cap to trade join volume for template-heavy recall"),
       ("q20_approx_distinct", "hyperloglog++ (rsd = 0.02)",
         None, None, None, None,
         "count-distinct estimate; spec bounds deviation vs exact within " +

@@ -779,7 +779,77 @@ object Dedup {
       |GROUP BY label
       |ORDER BY cluster_rep""".stripMargin
 
+  /** Verbatim-span near-dup pairs: documents sharing at least one verbatim
+    * run of `SpanGramTokens` tokens, with the count of distinct shared runs
+    * per pair — span-level dedup in the Lee et al. (ACL 2022,
+    * "Deduplicating Training Data Makes Language Models Better") sense. It
+    * complements the doc-level families above: a paragraph copied into an
+    * otherwise-new document never crosses a whole-document Jaccard/MinHash
+    * threshold and shifts every character of a fuzzy comparison, but its
+    * token runs are verbatim.
+    *
+    * Scale shape: per-doc DISTINCT hashed n-grams (map-side projection, the
+    * [[VectorFunctions.shingleHashSet]] kernel) → document-frequency window
+    * over the gram key (one shuffle) → df-capped self-equi-join on the
+    * 8-byte gram hash (reuses the same hash partitioning) → one pair-keyed
+    * aggregate. The df cap is the quadratic guard: a gram appearing in more
+    * than `SpanDfCap` documents is boilerplate (site templates, licenses,
+    * headers) whose posting list is the n² term and which evidences no
+    * copying between any SPECIFIC pair — so join volume is bounded by
+    * dfCap · (gram volume), linear in corpus size. The cap is a recall
+    * caveat and is surfaced in `prep_method_card`. Counts-only output keeps
+    * the string-gram oracle exact w.h.p. (the [[dedupMinhashPairs]] 64-bit
+    * collision argument). */
+  def dedupSpanOverlap(spark: SparkSession, dir: String): DataFrame =
+    spanOverlapPairs(spark, dir, n = SpanGramTokens, dfCap = SpanDfCap)
+
+  private[graft] val SpanGramTokens = 12
+  private[graft] val SpanDfCap = 32
+
+  private[graft] def spanOverlapPairs(spark: SparkSession, dir: String,
+      n: Int, dfCap: Int): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", explode(VectorFunctions.shingleHashSet($"text", n)).as("g"))
+    // df via hash aggregate, NOT a window over g: partial (map-side)
+    // combine keeps counting a boilerplate gram distributed, where a window
+    // would materialize its entire posting list in one task — the exact
+    // skew the cap exists to kill. Hot grams leave keptGrams BEFORE the
+    // join, so no posting list longer than dfCap ever joins.
+    val keptGrams = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap)
+    val kept = grams.join(keptGrams.select($"g"), "g")
+    val a = kept.select($"g", $"doc_id".as("doc_a"))
+    val b = kept.select($"g", $"doc_id".as("doc_b"))
+    a.join(b, "g")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupSpanOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleFragments.tokens("text")} AS t
+       |  FROM documents
+       |  WHERE length(${OracleFragments.norm("text")}) > 0),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(t[i:i+11], ' ')
+       |                          FOR i IN range(1, len(t) - 10)])) AS g
+       |  FROM toks),
+       |keep AS (
+       |  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g)
+       |  WHERE df <= 32)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared_grams
+       |FROM g a JOIN g b USING (g) JOIN keep USING (g)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_overlap" -> (dedupSpanOverlap _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_exact" -> (dedupExact _),
@@ -791,6 +861,7 @@ object Dedup {
     "dedup_fuzzy" -> (dedupFuzzy _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_overlap" -> dedupSpanOverlapSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "dedup_exact" -> dedupExactSql,

@@ -468,4 +468,30 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter($"t" === token).select($"source").distinct().count()
     assert(df == actual, s"df($token)=$df but $actual sources contain it")
   }
+
+  test("dedup_span_overlap matches a driver-side string-gram recompute") {
+    val got = Dedup.dedupSpanOverlap(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    // independent path: STRING 12-grams (not 64-bit hashes), driver-side df
+    // cap and pair intersection — same normalization as the engine tokenizer
+    def toks(s: String): Seq[String] = {
+      val n = s.toLowerCase.replaceAll("\\s+", " ").trim
+      if (n.isEmpty) Seq.empty else scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(n.split(' '))
+    }
+    val gramSets = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> toks(t).sliding(12).filter(_.size == 12).map(_.mkString(" ")).toSet }
+    val dfOf = gramSets.toSeq.flatMap(_._2)
+      .groupBy(identity).map { case (g, v) => g -> v.size }
+    val kept = gramSets.map { case (id, gs) => id -> gs.filter(dfOf(_) <= 32) }
+    val expected = (for {
+      (a, ga) <- kept; (b, gb) <- kept if a < b
+      shared = ga.intersect(gb).size if shared > 0
+    } yield (a, b, shared.toLong)).toSet
+    assert(expected.nonEmpty, "fixture corpus should contain verbatim spans")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
 }
