@@ -807,9 +807,14 @@ object Dedup {
   private[graft] val SpanDfCap = 32
 
   private[graft] def spanOverlapPairs(spark: SparkSession, dir: String,
-      n: Int, dfCap: Int): DataFrame = {
-    import spark.implicits._
-    val grams = Tables.documents(spark, dir)
+      n: Int, dfCap: Int): DataFrame =
+    spanOverlapOn(Tables.documents(spark, dir), n, dfCap)
+
+  /** [[spanOverlapPairs]] over any (doc_id, text) frame — split out so
+    * CandidateVolumeSpec can drive it with a boilerplate-heavy fixture. */
+  private[graft] def spanOverlapOn(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs
       .select($"doc_id", explode(VectorFunctions.shingleHashSet($"text", n)).as("g"))
     // df via hash aggregate, NOT a window over g: partial (map-side)
     // combine keeps counting a boilerplate gram distributed, where a window

@@ -101,4 +101,26 @@ class CandidateVolumeSpec extends AnyFunSuite {
     assert(pairs == expected,
       s"missing=${expected -- pairs} extra=${pairs -- expected}")
   }
+
+  test("span-overlap df cap keeps a boilerplate-heavy corpus linear") {
+    // every doc opens with the same 20-token license header — without the
+    // df cap its grams alone join all C(n,2) pairs; with the cap they are
+    // classified as boilerplate (df = n > 32) and generate nothing
+    val n = 300
+    val header = (0 until 20).map(j => s"license$j").mkString(" ")
+    def uniqueBody(id: Int): String =
+      (0 until 30).map(j => s"b${id}w$j").mkString(" ")
+    val originals = (0 until n).map(i => (i.toLong, s"$header ${uniqueBody(i)}"))
+    // planted: 5 docs that copy a full unique paragraph from docs 0..4
+    // (rare grams, df = 2 — the signal the cap must NOT suppress)
+    val copies = (0 until 5).map { i =>
+      ((n + i).toLong, s"$header ${uniqueBody(i)} trailing words here")
+    }
+    val docs = (originals ++ copies).toDF("doc_id", "text")
+    val pairs = Dedup.spanOverlapOn(docs, n = 12, dfCap = 32)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (i.toLong, (n + i).toLong)).toSet
+    assert(pairs == expected,
+      s"missing=${expected -- pairs} extra=${pairs -- expected}")
+  }
 }
