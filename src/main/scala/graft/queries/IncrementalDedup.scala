@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 
@@ -84,5 +84,104 @@ object IncrementalDedup {
     batchKeep
       .join(broadcast(matched), Seq("fp"), "left_anti")
       .select($"doc_id", $"fp")
+  }
+
+  // ---- near-dup (MinHash signature) index -------------------------------
+
+  private val SigComponents = 32 // 8 bands x 4 rows, as dedup_minhash_pairs
+
+  /** (doc_id, sig) 32-component minhash signature of each document's 3-word
+    * shingle hash set — 256 bytes per document, the standard signature-store
+    * economics: the index keeps sketches, never text or shingles. */
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val mins = (0 until SigComponents)
+      .map(j => min(xxhash64($"h", lit(j))).as(s"h$j"))
+    docs.select($"doc_id",
+        explode(graft.functions.VectorFunctions.shingleHashSet($"text", 3)).as("h"))
+      .groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until SigComponents).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** Banded LSH keys DERIVED from a stored signature column — a map-side
+    * projection, so the index scan never carries more than (doc_id, sig).
+    * Writer and prober share this one definition; a keying change cannot
+    * strand an existing index silently (keys simply stop matching). */
+  private def bandKeys(rowsPerBand: Int): Column = {
+    val nBands = SigComponents / rowsPerBand
+    explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((rowsPerBand * b until rowsPerBand * (b + 1))
+          .map(j => element_at(col("sig"), j + 1)): _*).as("key"))
+    }: _*))
+  }
+
+  /** Create (overwrite) the near-dup signature index: one (doc_id, sig) row
+    * per document. */
+  def writeMinhashIndex(docs: DataFrame, indexDir: String): Unit =
+    signatures(docs).write.mode(SaveMode.Overwrite).parquet(indexDir)
+
+  /** Admit `batch` (doc_id, text, ...) against the near-dup index: drop
+    * batch documents whose ESTIMATED Jaccard (fraction of matching
+    * signature components, the unbiased minhash estimator) against any
+    * indexed document reaches `tNum/tDen`; resolve near-dups WITHIN the
+    * batch by keeping the min doc_id per connected component of the same
+    * estimator relation; append the admitted signatures.
+    *
+    * Honesty caveat (the [[DataPipeline.methodCard]] discipline): at 32
+    * components the estimator's std-dev near t = 0.8 is ~0.07, so documents
+    * with TRUE Jaccard just beyond either side of the threshold can be
+    * mis-admitted or mis-dropped — the index stores sketches, not shingle
+    * sets, and 256 B/doc is the price signature-store dedup pays at 100 TB.
+    * Candidate generation is exact-recall for pairs whose signatures agree
+    * on any full band, the same 8×4 banding as `dedup_minhash_pairs`.
+    *
+    * Scale shape: identical to [[dedupeBatchExact]] — the index is probed
+    * map-side via broadcast batch band keys, only candidate (doc pairs ×
+    * sig) rows come back, and the index is never shuffled. */
+  def dedupeBatchNearDup(batch: DataFrame, indexDir: String,
+      rowsPerBand: Int = 4, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(tNum > 0 && tNum <= tDen, s"need 0 < t <= 1, got $tNum/$tDen")
+    val batchSig = signatures(batch).localCheckpoint() // reused three times below
+    val batchBands = batchSig.select($"doc_id", $"sig", bandKeys(rowsPerBand).as("bk"))
+      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.key".as("key"))
+    // estimator: #matching components * tDen >= t * n, in exact integers
+    def estHit(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), c => c)) * tDen >=
+        lit(SigComponents) * tNum
+    // 1. index screen: batch band keys broadcast INTO the index scan's
+    //    derived-key projection; candidates (ids + sigs) are posting-bounded
+    val index = spark.read.parquet(indexDir)
+    val indexBands = index.select($"doc_id", $"sig", bandKeys(rowsPerBand).as("bk"))
+      .select($"sig".as("sig_i"), $"bk.band".as("band"), $"bk.key".as("key"))
+    val dropByIndex = indexBands
+      .join(broadcast(batchBands.select($"band", $"key", $"doc_id", $"sig")),
+        Seq("band", "key"))
+      .filter(estHit($"sig", $"sig_i"))
+      .select($"doc_id").distinct()
+    val survivors = batchSig
+      .join(broadcast(dropByIndex), Seq("doc_id"), "left_anti")
+    // 2. within-batch resolution: band self-join over the survivors, keep
+    //    the min doc_id per connected component of the estimator relation —
+    //    dedup_clusters semantics, batch-sized
+    val sBands = survivors.select($"doc_id", $"sig", bandKeys(rowsPerBand).as("bk"))
+      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.key".as("key"))
+    val pairs = sBands.select($"band", $"key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
+      .join(sBands.select($"band", $"key", $"doc_id".as("doc_b"), $"sig".as("sig_b")),
+        Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .filter(estHit($"sig_a", $"sig_b"))
+      .select($"doc_a", $"doc_b").distinct()
+    val labels = Dedup.connectedComponents(
+      survivors.select($"doc_id".as("id"), $"doc_id".as("label")),
+      pairs, _.localCheckpoint())
+    val admitted = survivors
+      .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
+      .localCheckpoint() // same refreshByPath trap as the exact path
+    admitted.select($"doc_id", $"sig")
+      .write.mode(SaveMode.Append).parquet(indexDir)
+    admitted.select($"doc_id").orderBy($"doc_id")
   }
 }

@@ -55,6 +55,62 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(n2 == 0, s"second pass must admit nothing, admitted $n2")
   }
 
+  test("near-dup index drops perturbed copies, admits new docs, resolves within-batch") {
+    val idx = tmpIndex()
+    // corpus: 40 long distinct docs; batch: light perturbations of the
+    // first 5 (one token changed -> true Jaccard ~0.95, well past the 0.8
+    // estimator threshold), 5 genuinely new docs, and a within-batch
+    // near-dup pair (2000/2001) of which min-id must survive
+    def doc(seed: Int): String =
+      (0 until 80).map(j => s"w${seed}t$j").mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    IncrementalDedup.writeMinhashIndex(corpus, idx)
+    val perturbed = (0 until 5).map { i =>
+      ((1000 + i).toLong, doc(i).replace(s"w${i}t40", "changed"))
+    }
+    val fresh = (0 until 5).map(i => ((1500 + i).toLong, doc(100 + i)))
+    val twin = Seq(
+      (2000L, doc(200)),
+      (2001L, doc(200).replace("w200t10", "altered")))
+    val batch = (perturbed ++ fresh ++ twin).toDF("doc_id", "text")
+    val admitted = IncrementalDedup.dedupeBatchNearDup(batch, idx)
+      .as[Long].collect().toSet
+    assert(admitted == (fresh.map(_._1).toSet + 2000L),
+      s"admitted=$admitted")
+    // idempotence: the admitted docs are now indexed; nothing re-admits
+    assert(IncrementalDedup.dedupeBatchNearDup(batch, idx).count() == 0)
+    // index grew by exactly the admitted signatures
+    assert(spark.read.parquet(idx).count() == 40 + 6)
+  }
+
+  test("dedupeBatchExact slots into foreachBatch (streaming face)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpIndex()
+    IncrementalDedup.writeExactIndex(
+      Seq((0L, "seed doc one"), (1L, "seed doc two")).toDF("doc_id", "text"), idx)
+    val input = MemoryStream[(Long, String)]
+    val admittedLog = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        admittedLog ++= IncrementalDedup.dedupeBatchExact(df, idx)
+          .select("doc_id").as[Long](spark.implicits.newLongEncoder).collect()
+        ()
+      }
+      .start()
+    try {
+      input.addData((10L, "brand new"), (11L, "seed doc one")) // 11 is a dup of 0
+      q.processAllAvailable()
+      input.addData((12L, "brand new"), (13L, "also new")) // 12 dups batch-1's 10
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admittedLog.toSet == Set(10L, 13L), s"admitted=$admittedLog")
+    val keepers = spark.read.parquet(idx).select($"keeper_id").as[Long].collect().toSet
+    assert(keepers == Set(0L, 1L, 10L, 13L))
+  }
+
   test("admission plan never shuffles or broadcasts the index") {
     val idx = tmpIndex()
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
