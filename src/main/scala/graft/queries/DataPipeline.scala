@@ -113,6 +113,41 @@ object DataPipeline {
        |WHERE ${mixKeepSql("doc_id", "source")}
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-weighted sampling: keep each document with probability equal
+    * to its [[TF.qualityScore]] — the importance-sampling step between hard
+    * screening (`prep_screen`, a cliff at 0.75) and uniform mixing
+    * (`prep_mix`, source-constant rates): low-quality text is down-weighted
+    * smoothly instead of either kept or guillotined. Deterministic like
+    * every sampler here: the draw is the md5 prefix of the salted doc id,
+    * the threshold is the per-row quality mapped onto the same 16^4 grid
+    * ([[rateThreshold]]'s scheme, computed per row — "g000" when a score of
+    * 1.0 rounds to the full 65536, avoiding the 5-char-hex sort inversion).
+    * Keep probability is exact to 1/65536. Pure scan-and-filter: no
+    * shuffle, no RNG state, reproducible under repartitioning — and the
+    * oracle recomputes the identical predicate from the shared quality
+    * fragment, so the hash check pins BOTH the quality formula and the
+    * threshold mapping. */
+  def qualityMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bound = floor($"quality" * 65536).cast("long")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"))
+      .filter(md5Prefix(concat_ws(":", lit("qmix"), $"doc_id"), 4) <
+        when(bound >= 65536, lit("g000"))
+          .otherwise(format_string("%04x", bound)))
+      .orderBy($"doc_id")
+  }
+
+  val qualityMixSql: String =
+    s"""SELECT doc_id, source, q AS quality
+       |FROM (SELECT doc_id, source,
+       |        ${OracleFragments.quality("text")} AS q
+       |      FROM documents)
+       |WHERE substring(md5(concat_ws(':', 'qmix', CAST(doc_id AS VARCHAR))), 1, 4)
+       |      < CASE WHEN CAST(floor(q * 65536) AS BIGINT) >= 65536 THEN 'g000'
+       |             ELSE printf('%04x', CAST(floor(q * 65536) AS BIGINT)) END
+       |ORDER BY doc_id""".stripMargin
+
   /** Sequence packing: concatenate documents (in doc_id order, per source)
     * into fixed token-budget packs of `budget` tokens. Pack assignment is the
     * EXCLUSIVE running token total integer-divided by the budget — the
@@ -720,6 +755,7 @@ object DataPipeline {
     "prep_corpus" -> (prepCorpus _),
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
+    "prep_quality_mix" -> (qualityMix _),
     "prep_pack" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "prep_contamination" -> (contamination _),
     "prep_decontaminate" -> (decontaminate _),
@@ -736,6 +772,7 @@ object DataPipeline {
     "prep_corpus" -> prepCorpusSql,
     "prep_split" -> splitAssignSql,
     "prep_mix" -> mixWeightedSql,
+    "prep_quality_mix" -> qualityMixSql,
     "prep_pack" -> packSequencesSql(),
     "prep_contamination" -> contaminationSql,
     "prep_decontaminate" -> decontaminateSql,

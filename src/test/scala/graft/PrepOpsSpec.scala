@@ -318,6 +318,24 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(clusters.exists(_._2 > 1), "no multi-member semantic cluster")
   }
 
+  test("prep_quality_mix keeps exactly the docs a driver-side recompute keeps") {
+    val kept = DataPipeline.qualityMix(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val scored = Tables.documents(spark, sf)
+      .select($"doc_id", TF.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect()
+    def md5hex4(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    val expected = scored.collect { case (id, q)
+        if md5hex4(s"qmix:$id") < (if (math.floor(q * 65536) >= 65536) "g000"
+          else "%04x".format(math.floor(q * 65536).toLong)) => id }.toSet
+    assert(kept == expected,
+      s"engine-only=${(kept -- expected).take(5)} driver-only=${(expected -- kept).take(5)}")
+    // the sampler is doing its job: something kept, something dropped
+    assert(expected.nonEmpty && expected.size < scored.length)
+  }
+
   test("prep_method_card: recall numbers re-derive and operators exist") {
     val card = DataPipeline.methodCard(spark, sf)
       .select($"operator", $"expected_recall").as[(String, Option[Double])]
