@@ -125,6 +125,32 @@ class Sf01DedupParitySpec extends AnyFunSuite {
       s"engine-only=${(engine -- expected).take(5)} uf-only=${(expected -- engine).take(5)}")
   }
 
+  test("dedup_span_overlap at sf0.1 equals a driver-side inverted-index recompute", SlowTest) {
+    val got = Dedup.dedupSpanOverlap(spark, sfBig)
+      .as[(Long, Long, Long)].collect().toSet
+    def toks(s: String): Seq[String] = {
+      val n = s.toLowerCase.replaceAll("\\s+", " ").trim
+      if (n.isEmpty) Seq.empty else scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(n.split(' '))
+    }
+    // inverted index on STRING grams: postings capped at 32 generate pairs
+    // directly — O(postings × cap), not O(n²)
+    val postings = scala.collection.mutable.Map.empty[String, List[Long]]
+    Tables.documents(spark, sfBig).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .foreach { case (id, t) =>
+        toks(t).sliding(12).filter(_.size == 12).map(_.mkString(" ")).toSet
+          .foreach(g => postings(g) = id :: postings.getOrElse(g, Nil)) }
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    postings.values.filter(_.size <= 32).foreach { docs =>
+      for (a <- docs; b <- docs if a < b)
+        pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = pairCounts.map { case ((a, b), c) => (a, b, c) }.toSet
+    assert(got == expected,
+      s"engine-only=${(got -- expected).take(5)} driver-only=${(expected -- got).take(5)}")
+  }
+
   test("dedup_canonical at sf0.1 equals driver-side best-quality selection", SlowTest) {
     val engine = Dedup.dedupCanonical(spark, sfBig)
       .select($"cluster_rep", $"n_members", $"canonical_doc", $"best_quality")
