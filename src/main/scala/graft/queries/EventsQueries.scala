@@ -167,7 +167,110 @@ object EventsQueries {
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** Sequential funnel signup → click → purchase: per user, the first signup,
+    * the first click strictly after it, the first purchase strictly after
+    * that; output is the cumulative user count per stage.
+    *
+    * Scale design: ONE shuffle (groupBy user), then a single in-order fold
+    * over each user's sorted event list (`sort_array` + `aggregate`) — the
+    * per-user event count is bounded, so the fold is map-side work after the
+    * shuffle. The textbook 3-CTE form (the oracle) needs three
+    * aggregate+join rounds on the same key; at 100 TB that is three shuffles
+    * of the fact table vs this one. EventsFunnelSpec pins the fold
+    * equivalent to the 3-join form on the sf corpus. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nilT = lit(null).cast("long")
+    val folded = Tables.events(spark, dir)
+      .filter($"event_type".isin("signup", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_type"))).as("evs"))
+      .select(aggregate($"evs",
+        struct(nilT.as("t1"), nilT.as("t2"), nilT.as("t3")),
+        (acc, e) => {
+          // Events arrive in tus order, so "first X with tus strictly after
+          // tY" is exactly "first X seen once tY is set, excluding ties".
+          val t1 = when(acc("t1").isNull && e("event_type") === "signup",
+            e("tus")).otherwise(acc("t1"))
+          val t2 = when(acc("t2").isNull && t1.isNotNull &&
+            e("event_type") === "click" && e("tus") > t1,
+            e("tus")).otherwise(acc("t2"))
+          val t3 = when(acc("t3").isNull && t2.isNotNull &&
+            e("event_type") === "purchase" && e("tus") > t2,
+            e("tus")).otherwise(acc("t3"))
+          struct(t1.as("t1"), t2.as("t2"), t3.as("t3"))
+        }).as("f"))
+    folded
+      .agg(sum(when($"f.t1".isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when($"f.t2".isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when($"f.t3".isNotNull, 1L).otherwise(0L)).as("n3"))
+      .selectExpr("stack(3, '1_signup', n1, '2_click', n2, '3_purchase', n3) AS (stage, users)")
+      .orderBy($"stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'signup' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT '1_signup' AS stage, count(*) AS users FROM s
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** Cohort retention: users cohorted by first-active day; for offsets 0–7,
+    * the share of the cohort active on cohort_day + offset.
+    *
+    * Scale design: activity is deduped to (user, day) FIRST (one shuffle of
+    * ids+dates, the fact table's payload never moves), the cohort day is an
+    * agg over that same deduped set (map-side combinable), and the final
+    * cohort-size join is a broadcast (one row per calendar day). */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val activity = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val firstDay = activity.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val cohortSizes = firstDay.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_users"))
+    activity.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff($"day", $"cohort_day"))
+      .filter($"day_offset".between(0, 7))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSizes), "cohort_day")
+      .select(
+        date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+        $"day_offset",
+        $"active_users",
+        $"cohort_users",
+        round($"active_users".cast("double") / $"cohort_users", 6).as("retention"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+      |cs AS (SELECT cohort_day, count(*) AS cohort_users FROM f GROUP BY 1),
+      |j AS (SELECT f.cohort_day,
+      |        CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+      |        count(*) AS active_users
+      |      FROM a JOIN f ON a.user_id = f.user_id
+      |      WHERE datediff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+      |      GROUP BY 1, 2)
+      |SELECT strftime(j.cohort_day, '%Y-%m-%d') AS cohort_day, j.day_offset,
+      |  j.active_users, cs.cohort_users,
+      |  round(CAST(j.active_users AS DOUBLE) / cs.cohort_users, 6) AS retention
+      |FROM j JOIN cs ON j.cohort_day = cs.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "events_interval_join" -> (eventsIntervalJoin _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
@@ -176,6 +279,8 @@ object EventsQueries {
     "events_asof_native" -> (eventsAsofNative _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
     "events_interval_join" -> eventsIntervalJoinSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.EventsQueries
+
+/** events_funnel / events_retention: the single-shuffle fold form vs the
+  * textbook multi-join form, plus hand-computed fixtures pinning the
+  * strictly-after semantics the fold implements. */
+class FunnelRetentionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Write a tiny events table in the driver's physical schema (ts is
+    * int64 NANOS — Tables.events normalizes it) to a temp dir. */
+  private def eventsDir(rows: Seq[(Long, String, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_").toString
+    rows.zipWithIndex
+      .map { case ((_, ts, user, typ), i) =>
+        (i.toLong, Timestamp.valueOf(ts).getTime * 1000000L, user, typ, 1.0, "{}")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** The textbook 3-aggregation funnel (the oracle's shape) in DataFrame
+    * form — the differential reference for the fold. */
+  private def threeJoinFunnel(dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val s = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click").join(s, "user_id")
+      .filter($"ts" > $"t1").groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t2").groupBy($"user_id").agg(min($"ts").as("t3"))
+    s.agg(count(lit(1)).as("n")).select(lit("1_signup").as("stage"), $"n".as("users"))
+      .union(c.agg(count(lit(1))).select(lit("2_click"), $"count(1)"))
+      .union(p.agg(count(lit(1))).select(lit("3_purchase"), $"count(1)"))
+      .orderBy($"stage")
+  }
+
+  test("funnel fold matches the 3-join form on the sf corpus") {
+    val fold = EventsQueries.eventsFunnel(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    val ref = threeJoinFunnel(sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fold.sameElements(ref))
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val counts = EventsQueries.eventsFunnel(spark, sf).collect().map(_.getLong(1))
+    assert(counts.length == 3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+  }
+
+  test("funnel requires strict event-time order signup < click < purchase") {
+    // u1: completes in order. u2: click BEFORE signup, never re-clicks →
+    // stage 1 only. u3: purchase before its click → stage 2 only.
+    // u4: click exactly AT the signup timestamp (tie) → stage 1 only.
+    val dir = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (0L, "2024-01-01 10:05:00", 1L, "click"),
+      (0L, "2024-01-01 10:10:00", 1L, "purchase"),
+      (0L, "2024-01-01 09:00:00", 2L, "click"),
+      (0L, "2024-01-01 10:00:00", 2L, "signup"),
+      (0L, "2024-01-01 10:00:00", 3L, "signup"),
+      (0L, "2024-01-01 10:02:00", 3L, "purchase"),
+      (0L, "2024-01-01 10:04:00", 3L, "click"),
+      (0L, "2024-01-01 10:00:00", 4L, "signup"),
+      (0L, "2024-01-01 10:00:00", 4L, "click")))
+    val got = EventsQueries.eventsFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("1_signup" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("retention: offset 0 is the full cohort; actives never exceed it") {
+    val rows = EventsQueries.eventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, active, cohort, rate) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(active <= cohort)
+      if (off == 0) assert(active == cohort && rate == 1.0)
+    }
+  }
+
+  test("retention on a hand fixture: day-1 returner counted, day-9 not") {
+    // u1 first active Jan 1, returns Jan 2 and Jan 10 (outside the 0-7
+    // window). u2 first active Jan 1 only. One cohort of 2.
+    val dir = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "view"),
+      (0L, "2024-01-02 10:00:00", 1L, "view"),
+      (0L, "2024-01-10 10:00:00", 1L, "view"),
+      (0L, "2024-01-01 11:00:00", 2L, "view")))
+    val got = EventsQueries.eventsRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("2024-01-01", 0, 2L, 2L), ("2024-01-01", 1, 1L, 2L)))
+  }
+}

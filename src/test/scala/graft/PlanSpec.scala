@@ -104,6 +104,20 @@ class PlanSpec extends AnyFunSuite {
       s"q12 should shuffle once on o_custkey, found $keyShuffles:\n$plan")
   }
 
+  test("events_funnel is one user shuffle (fold, not three join rounds)") {
+    val plan = planOf("events_funnel")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"funnel should shuffle once on user_id, found $keyShuffles:\n$plan")
+    assert(!plan.contains("Join"), s"the fold form must not self-join:\n$plan")
+  }
+
+  test("events_retention broadcasts the cohort-size side") {
+    val plan = planOf("events_retention")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes (one row per day) must broadcast:\n$plan")
+  }
+
   test("pipe_group_reduce aggregates partially map-side (ObjectHashAggregate)") {
     val plan = planOf("pipe_group_reduce")
     assert(plan.contains("ObjectHashAggregate"))
