@@ -51,7 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => TopTokenCount(exprs.head)),
       ("text_scan_stats",
         "text_scan_stats(text) - [n_tokens, n_bpe_tokens, n_alpha, n_digit, n_ws] in one pass",
-        exprs => TextScanStats(exprs.head)))
+        exprs => TextScanStats(exprs.head)),
+      ("char_entropy",
+        "char_entropy(text) - Shannon entropy in bits over code-point counts",
+        exprs => CharEntropy(exprs.head)))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -65,6 +65,8 @@ object GraftFunctions {
       }, "scala_udf")
     registry.createOrReplaceTempFunction(
       "text_scan_stats", exprs => TextScanStats(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "scala_udf")
     def intK(k: org.apache.spark.sql.catalyst.expressions.Expression,
         fn: String): Int = {
       // foldable gate first: eval() on a non-foldable arg (e.g. a column

@@ -53,6 +53,12 @@ object TextFunctions {
     org.apache.spark.sql.GraftBridge.column(
       TextScanStats(org.apache.spark.sql.GraftBridge.expression(c)))
 
+  /** Character-level Shannon entropy in bits — codegen'd [[CharEntropy]]
+    * kernel (per-row code-point count table; map-only, no explode). */
+  def charEntropy(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CharEntropy(org.apache.spark.sql.GraftBridge.expression(c)))
+
   /** Fraction of characters matching a regex character class (e.g. "[a-z]"). */
   def charClassRatio(c: Column, charClass: String): Column =
     (length(c) - length(regexp_replace(c, charClass, ""))).cast("double") /

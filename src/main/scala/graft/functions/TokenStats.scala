@@ -124,3 +124,64 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
     copy(child = newChild)
 }
+
+/** Character-level Shannon entropy of a document in bits per character —
+  * H = -Σ (c_i/n) · log₂(c_i/n) over CODE POINT counts (one entry per
+  * distinct code point; ASCII text degenerates to per-character, matching
+  * DuckDB's `entropy()` over `string_split(text, '')`).
+  *
+  * Exists for the same reason as [[TokenStatsUtil]]: entropy is a
+  * PER-DOCUMENT statistic, and the relational formulation — explode to
+  * (doc_id, char) rows, count, re-aggregate — costs a corpus-wide shuffle of
+  * every character for what is a per-row reduction over a doc-bounded count
+  * table. As a codegen'd kernel the whole query is a map-only projection;
+  * per-row state is one int-count hashmap bounded by the doc's own alphabet.
+  *
+  * Determinism: the count-table iteration order is a function of the map's
+  * contents only (same input string → same layout → same fold order), so the
+  * double accumulation is reproducible across runs and partitionings. The
+  * cross-engine difference vs DuckDB's accumulation order is ≤ a few ulp
+  * (terms are ~alphabet-sized sums of magnitude ≤ log₂ n), vastly inside the
+  * 1e-6 rounding grid the query applies. */
+object CharEntropyUtil {
+  def entropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Int](64)
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      val p = c / n
+      h -= p * (Math.log(p) / Math.log(2.0))
+    }
+    h
+  }
+}
+
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_entropy"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyUtil.entropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyUtil.entropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}

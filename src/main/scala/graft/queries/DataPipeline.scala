@@ -453,6 +453,153 @@ object DataPipeline {
        |WHERE rn <= $k
        |ORDER BY source, rn""".stripMargin
 
+  /** Deterministic contrastive negative sampling: `m` pseudo-random partner
+    * documents per anchor, each VERIFIED non-similar (exact 3-shingle Jaccard
+    * < `maxJaccard`) — the "hard part" of negative mining is not the
+    * sampling but guaranteeing a negative isn't an accidental near-dup, and
+    * because only the m·N SAMPLED pairs are verified, the check is linear
+    * where a full similarity join is quadratic.
+    *
+    * The partner draw is the content-hash determinism scheme of the file
+    * header: offset = (hex32(md5("neg:" + anchor + ":" + slot)) mod (N−1)) +
+    * 1, partner = (anchor + offset) mod N — never the anchor itself, uniform
+    * over the other ids, reproducible across reruns/repartitionings, and
+    * cross-engine exact (both engines read the same 8 hex chars as an
+    * integer). N = max(doc_id)+1 is one broadcastable scalar agg; ids absent
+    * from a sparse id space simply drop in the partner join (documented
+    * contract — the driver corpus is dense).
+    *
+    * Scale shape: partner derivation is a map-only projection; the two
+    * shingle-fetch joins key on uniform doc ids (shuffle volume = m·N id
+    * pairs + their shingle sets); the Jaccard verify is one codegen'd
+    * merge-intersection per sampled pair. Empty-shingle docs are excluded on
+    * BOTH sides (an empty doc can neither anchor nor serve as a negative —
+    * and keeps 0/0 out of the ratio). */
+  def negativePairs(spark: SparkSession, dir: String, m: Int = 2,
+      maxJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingledDocs(spark, dir).filter($"sz" > 0)
+    val n = Tables.documents(spark, dir).agg(max($"doc_id")).head().getLong(0) + 1
+    val cand = Tables.documents(spark, dir)
+      .select($"doc_id".as("anchor_id"))
+      .withColumn("slot", explode(array((1 to m).map(lit(_)): _*)))
+      .withColumn("h",
+        conv(substring(md5(concat_ws(":", lit("neg"), $"anchor_id", $"slot")), 1, 8),
+          16, 10).cast("long"))
+      .select($"anchor_id", $"slot".cast("long").as("slot"),
+        (($"anchor_id" + $"h" % (n - 1) + 1) % n).as("negative_id"))
+    cand
+      .join(sh.select($"doc_id".as("anchor_id"), $"sh".as("sh_a"), $"sz".as("sz_a")),
+        "anchor_id")
+      .join(sh.select($"doc_id".as("negative_id"), $"sh".as("sh_b"), $"sz".as("sz_b")),
+        "negative_id")
+      .withColumn("inter",
+        graft.functions.VectorFunctions.intersectSizeSorted($"sh_a", $"sh_b"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .filter($"jaccard" < maxJaccard)
+      .select($"anchor_id", $"slot", $"negative_id", $"jaccard")
+      .orderBy($"anchor_id", $"slot")
+  }
+
+  // Same draw arithmetic in DuckDB ('0x'-prefixed cast reads the identical 8
+  // hex chars); jaccard is an int/int double on identical shingle-set sizes
+  // (the dedup_minhash_pairs 64-bit-hash argument), so values AND the
+  // boundary comparison agree bitwise.
+  def negativePairsSql(m: Int = 2, maxJaccard: Double = 0.5): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                   FOR i IN range(1, len(toks) - 1)]) AS sh
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
+       |        FROM documents)
+       |  WHERE len(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                           FOR i IN range(1, len(toks) - 1)])) > 0),
+       |n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |cand AS (
+       |  SELECT d.doc_id AS anchor_id, CAST(s.slot AS BIGINT) AS slot,
+       |    (d.doc_id + (('0x' || substr(md5(concat_ws(':', 'neg',
+       |         CAST(d.doc_id AS VARCHAR), CAST(s.slot AS VARCHAR))), 1, 8))::BIGINT
+       |       % (n.n - 1)) + 1) % n.n AS negative_id
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(1, ${m + 1})) AS slot) s
+       |    CROSS JOIN n),
+       |j AS (
+       |  SELECT c.anchor_id, c.slot, c.negative_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.anchor_id
+       |  JOIN sh b ON b.doc_id = c.negative_id)
+       |SELECT anchor_id, slot, negative_id, jaccard
+       |FROM j WHERE jaccard < $maxJaccard
+       |ORDER BY anchor_id, slot""".stripMargin
+
+  /** Per-domain token-budget cap: each `source` contributes at most `budget`
+    * tokens to the output, selected as the md5-hash-ordered PREFIX of its
+    * documents (keep a doc iff the tokens accumulated strictly before it are
+    * under budget — so every domain gets ≥ 1 doc). The MassiveText/Gopher
+    * "domain cap" shape: bound a mega-domain's share of the mix without
+    * touching small domains, deterministically (reproducible across reruns
+    * and repartitionings — no rand()).
+    *
+    * Scale design — the naive form is a running sum over ONE window per
+    * source, which puts an entire hot domain (the very domain being capped)
+    * in a single task. Instead the running sum is computed as a DISTRIBUTED
+    * PREFIX SUM over the draw's own hash space:
+    *  1. bucket = first byte of the draw (256 buckets; the draw is hex, so
+    *     lexicographic draw order IS bucket-major order);
+    *  2. per-(source, bucket) token sums — a map-side-combinable aggregate
+    *     whose output is tiny (|sources| × 256 rows);
+    *  3. exclusive bucket offsets via a window over that TINY table, then
+    *     broadcast back;
+    *  4. the within-bucket running sum windows on (source, bucket) — a hot
+    *     domain's sort now spreads over 256 tasks, each seeing ~1/256 of it.
+    * Result rows are identical to the naive global window (differential- and
+    * fixture-pinned in PrepOpsSpec); the oracle states the naive form. */
+  def domainCap(spark: SparkSession, dir: String, budget: Long = 1300): DataFrame = {
+    import spark.implicits._
+    val draw = md5(concat_ws(":", lit("cap"), $"doc_id", $"source"))
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
+      .withColumn("draw", draw)
+      .withColumn("bucket", substring($"draw", 1, 2))
+    val bucketSums = docs.groupBy($"source", $"bucket")
+      .agg(sum($"n_tokens").as("btok"))
+    val wOff = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("offset", coalesce(sum($"btok").over(wOff), lit(0L)))
+      .select($"source", $"bucket", $"offset")
+    val wIn = Window.partitionBy($"source", $"bucket").orderBy($"draw", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before",
+        $"offset" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .filter($"cum_before" < budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before")
+      .orderBy($"source", $"doc_id")
+  }
+
+  // The naive single-window form: semantically what the bucketed prefix sum
+  // computes; the exclusive frame (… AND 1 PRECEDING) is the "strictly
+  // before" in the keep rule.
+  def domainCapSql(budget: Long = 1300): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(${OracleFragments.tokenCount("text")} AS BIGINT) AS n_tokens,
+       |    md5(concat_ws(':', 'cap', CAST(doc_id AS VARCHAR), source)) AS draw
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY draw, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budget
+       |ORDER BY source, doc_id""".stripMargin
+
   /** Exact n-gram decontamination: train-split documents sharing any verbatim
     * 8-gram with a test-split document — the standard exact-overlap
     * decontamination check (the GPT-3 paper used 13-grams; 8 fits this
@@ -764,6 +911,8 @@ object DataPipeline {
     "prep_screen" -> (qualityScreen _),
     "prep_datacard" -> (datacard _),
     "prep_method_card" -> (methodCard _),
+    "prep_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "prep_negative_pairs" -> ((s: SparkSession, d: String) => negativePairs(s, d)),
     "prep_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
     "text_redact" -> (textRedact _))
@@ -781,6 +930,8 @@ object DataPipeline {
     "prep_screen" -> qualityScreenSql,
     "prep_datacard" -> datacardSql,
     "prep_method_card" -> methodCardSql,
+    "prep_domain_cap" -> domainCapSql(),
+    "prep_negative_pairs" -> negativePairsSql(),
     "prep_stratified" -> stratifiedSampleSql(),
     "text_chunks" -> textChunksSql(),
     "text_redact" -> textRedactSql)

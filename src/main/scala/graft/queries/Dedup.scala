@@ -853,7 +853,74 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-document line-level dedup (the C4 "three-sentence"/CCNet
+    * boilerplate strip, at line granularity): a line occurring in ≥ `minDf`
+    * DISTINCT documents is boilerplate (nav text, license headers, cookie
+    * banners) and is removed from EVERY document; each doc is rebuilt from
+    * its surviving lines in original order. Complements the doc-level
+    * families: boilerplate inflates every pairwise similarity without being
+    * copying, and removing it is a per-LINE decision no doc-level operator
+    * expresses. On the no-newline driver corpus each doc is one line, so the
+    * operator degenerates to emptying exact-dup texts — the multi-line
+    * behavior is fixture-pinned in PrepOpsSpec.
+    *
+    * Scale shape: the df count aggregates (16-byte md5 key, doc_id) pairs —
+    * map-side combinable, line strings never enter the count shuffle. The
+    * removal is a LEFT ANTI equi-join on the uniform hash key (no broadcast
+    * assumption: the boilerplate set is corpus-dependent), and the rebuild
+    * is one doc-keyed aggregate whose per-group state is the doc's own
+    * lines. Nothing is ever quadratic; line text shuffles exactly once (into
+    * the rebuild). */
+  def dedupLines(spark: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    import spark.implicits._
+    // limit -1: keep trailing empty lines (DuckDB string_split does; Spark's
+    // default limit 0 drops them and would desync n_lines on \n-final text)
+    val lines = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", "\n", -1)))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("lk", md5($"line"))
+    val frequent = lines.filter(length(trim($"line")) > 0)
+      .groupBy($"lk").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDf)
+    val rebuilt = lines.join(frequent.select($"lk"), Seq("lk"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"line"))).as("kl"))
+      .select($"doc_id",
+        size($"kl").cast("long").as("n_lines_kept"),
+        array_join(transform($"kl", x => x("line")), "\n").as("text_clean"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"n_lines_kept", lit(0L)).as("n_lines_kept"),
+        coalesce($"text_clean", lit("")).as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupLinesSql: String =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(toks) AS line,
+      |    unnest(range(1, len(toks) + 1)) AS ord
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS toks
+      |        FROM documents)),
+      |f AS (
+      |  SELECT md5(line) AS lk FROM l WHERE length(trim(line)) > 0
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |k AS (SELECT doc_id, line, ord FROM l
+      |      WHERE md5(line) NOT IN (SELECT lk FROM f)),
+      |r AS (
+      |  SELECT doc_id, count(*) AS n_lines_kept,
+      |    string_agg(line, chr(10) ORDER BY ord) AS text_clean
+      |  FROM k GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+      |  coalesce(r.text_clean, '') AS text_clean
+      |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> ((s: SparkSession, d: String) => dedupLines(s, d)),
     "dedup_span_overlap" -> (dedupSpanOverlap _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -866,6 +933,7 @@ object Dedup {
     "dedup_fuzzy" -> (dedupFuzzy _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_span_overlap" -> dedupSpanOverlapSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql,

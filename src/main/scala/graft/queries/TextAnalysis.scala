@@ -293,7 +293,47 @@ object TextAnalysis {
        |FROM joined
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document character-entropy quality signal (bits/char): low entropy
+    * flags repetitive boilerplate and padding, high entropy flags
+    * base64/binary splices — the CCNet/Gopher-style gibberish screens.
+    *
+    * Scale shape: ONE codegen'd per-row kernel ([[TF.charEntropy]] — count
+    * table bounded by the doc's own alphabet), so the query is a map-only
+    * projection with no shuffle; the relational form (explode chars → count →
+    * re-agg) would shuffle every character in the corpus. The `flag` edges
+    * compare the UNROUNDED entropy (both engines agree to ~ulp, far from the
+    * 2.0/5.2 thresholds on this grid — same argument as textQuality's
+    * buckets). */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = TF.charEntropy($"text")
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        round(h, 6).as("char_entropy"),
+        when(h < 2.0, "low_entropy").when(h > 5.2, "high_entropy")
+          .otherwise("ok").as("flag"))
+      .orderBy($"doc_id")
+  }
+
+  // DuckDB's entropy() over the char multiset is the same -Σ p·log₂p (its
+  // accumulation order differs by hash layout — ulp-level, see the kernel's
+  // determinism note).
+  val textEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+      |h AS (SELECT doc_id, entropy(c) AS ent, count(*) AS n_chars
+      |      FROM chars GROUP BY doc_id)
+      |SELECT doc_id, n_chars, round(ent, 6) AS char_entropy,
+      |  CASE WHEN ent < 2.0 THEN 'low_entropy'
+      |       WHEN ent > 5.2 THEN 'high_entropy'
+      |       ELSE 'ok' END AS flag
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -303,6 +343,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

@@ -35,7 +35,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |       dot_int(quantize_int8(array(1.0d, -0.5d)), array(1, 1)) AS q,
         |       top_token_count('a b a c a') AS t,
         |       quality_score('') AS qs,
-        |       text_scan_stats('ab 12 !') AS ts""".stripMargin)
+        |       text_scan_stats('ab 12 !') AS ts,
+        |       char_entropy('abab') AS ce""".stripMargin)
       .head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 23.0)
@@ -44,6 +45,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 3L)
     assert(r.getDouble(5) == 0.0)
     assert(r.getSeq[Int](6) == Seq(3, 3, 2, 2, 2))
+    assert(r.getDouble(7) == 1.0)
   }
 
   test("as-of strategy is planned without calling AsOf.register") {

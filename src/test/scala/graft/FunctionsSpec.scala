@@ -125,6 +125,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropy kernel: closed-form edges, code-point counting, null") {
+    import graft.functions.{TextFunctions => TF}
+    val rows = Seq("", "aaaa", "ab", "aabb", "abcd", "😀a", null)
+      .toDF("t").select(TF.charEntropy($"t")).collect()
+    assert(rows(0).getDouble(0) == 0.0, "empty -> 0")
+    assert(rows(1).getDouble(0) == 0.0, "uniform -> 0")
+    assert(rows(2).getDouble(0) == 1.0, "two equiprobable chars -> 1 bit")
+    assert(rows(3).getDouble(0) == 1.0)
+    assert(rows(4).getDouble(0) == 2.0, "four equiprobable chars -> 2 bits")
+    // astral: one CODE POINT + 'a' = 1.0 bit; counting UTF-16 units would
+    // give H({2 surrogates, a}) = 1.585 — pins the code-point contract
+    assert(rows(5).getDouble(0) == 1.0, s"astral: ${rows(5).getDouble(0)}")
+    assert(rows(6).isNullAt(0), "null in -> null out")
+  }
+
   test("CountMinSketch: never under-counts, bounded over-count, partition-invariant") {
     import graft.functions.TypedAggregators.{CountMinSketch, CmsBuf}
     val depth = 4; val width = 1024

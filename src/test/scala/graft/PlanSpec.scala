@@ -104,6 +104,36 @@ class PlanSpec extends AnyFunSuite {
       s"q12 should shuffle once on o_custkey, found $keyShuffles:\n$plan")
   }
 
+  test("text_entropy is a map-only projection (kernel, not explode+agg)") {
+    val plan = planOf("text_entropy")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the entropy kernel must not shuffle characters:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"no join or explode:\n$plan")
+  }
+
+  test("prep_domain_cap broadcasts bucket offsets; no sort-merge join") {
+    val plan = planOf("prep_domain_cap")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets (|sources| x 256 rows) must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-wide join allowed:\n$plan")
+  }
+
+  test("dedup_lines removes via anti-join on the hash key; no cartesian") {
+    val plan = planOf("dedup_lines")
+    assert(plan.contains("LeftAnti"),
+      s"boilerplate removal must be a left-anti equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no unbounded join allowed:\n$plan")
+  }
+
+  test("prep_negative_pairs verifies only sampled pairs (no similarity self-join)") {
+    val plan = planOf("prep_negative_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"verification must stay linear in sampled pairs:\n$plan")
+  }
+
   test("events_funnel is one user shuffle (fold, not three join rounds)") {
     val plan = planOf("events_funnel")
     val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -358,6 +358,164 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(card("sim_lsh_topk").get == 0.85 && card("sim_ivf_topk").get == 0.2)
   }
 
+  /** The naive single-window form of the domain cap — the semantic reference
+    * the bucketed distributed prefix sum must reproduce exactly. */
+  private def naiveDomainCap(docs: org.apache.spark.sql.DataFrame, budget: Long) = {
+    val draw = md5(concat_ws(":", lit("cap"), $"doc_id", $"source"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"draw", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select($"doc_id", $"source",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
+      .withColumn("draw", draw)
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"cum_before" < budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before")
+  }
+
+  test("prep_domain_cap: bucketed prefix sum ≡ naive global window on corpus") {
+    val got = DataPipeline.domainCap(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val ref = naiveDomainCap(Tables.documents(spark, sf), 1300)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == ref,
+      s"only=${got.diff(ref).take(5)} missing=${ref.diff(got).take(5)}")
+    // budget invariants: every kept doc started under budget; every source
+    // is represented (the >= 1 doc guarantee); kept-whole sources intact
+    assert(got.forall(_._4 < 1300))
+    val sources = Tables.documents(spark, sf).select($"source")
+      .distinct().as[String].collect().toSet
+    assert(got.map(_._2) == sources, "every domain keeps at least one doc")
+  }
+
+  test("prep_domain_cap caps a mega-domain and keeps the hash-order prefix") {
+    // one hot domain (200 docs x 8 tokens) + one tiny (3 docs): the cap must
+    // trim the hot one to the md5-order prefix and pass the tiny one whole
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_").toString
+    val rows =
+      (0 until 200).map(i => (i.toLong, s"doc $i alpha beta gamma delta epsilon zeta", "en", "hot", 40L)) ++
+      (200 until 203).map(i => (i.toLong, s"tiny doc $i", "en", "cold", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val budget = 100L
+    val got = DataPipeline.domainCap(spark, dir, budget)
+      .as[(Long, String, Long, Long)].collect()
+    val ref = naiveDomainCap(Tables.documents(spark, dir), budget)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got.toSet == ref)
+    val (hot, cold) = got.partition(_._2 == "hot")
+    assert(cold.length == 3, "under-budget domain keeps every doc")
+    // hot: 8 tokens/doc, budget 100 -> exactly ceil(100/8) = 13 docs kept
+    assert(hot.length == 13, s"hot kept ${hot.length}")
+    // and they are the md5-order prefix, recomputed driver-side
+    val expectIds = (0 until 200).map { i =>
+      val key = s"cap:$i:hot"
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (m, i.toLong)
+    }.sorted.take(13).map(_._2).toSet
+    assert(hot.map(_._1).toSet == expectIds)
+  }
+
+  test("text_entropy flags match recomputed entropy; kernel ≡ driver fold") {
+    val got = graft.queries.TextAnalysis.textEntropy(spark, sf)
+      .as[(Long, Long, Double, String)].collect()
+    val raw = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length == raw.size)
+    got.foreach { case (id, nChars, ent, flag) =>
+      val s = raw(id)
+      assert(nChars == s.codePointCount(0, s.length))
+      val n = s.codePointCount(0, s.length).toDouble
+      val h = -s.codePoints().toArray.groupBy(identity).values
+        .map { g => val p = g.length / n; p * (math.log(p) / math.log(2)) }.sum
+      // ent passed through the query's round(_, 6) — compare on that grid
+      assert(math.abs(ent - h) < 5.1e-7, s"doc $id entropy $ent vs $h")
+      val expFlag = if (h < 2.0) "low_entropy" else if (h > 5.2) "high_entropy" else "ok"
+      assert(flag == expFlag, s"doc $id flag")
+    }
+  }
+
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_lines strips cross-doc boilerplate, keeps order, spares df<minDf") {
+    val banner = "subscribe to our newsletter"
+    val dir = docsFixture(Seq(
+      (0L, s"alpha one\n$banner\nalpha two", "a"),
+      (1L, s"$banner\nbeta body\n\nbeta end", "a"),
+      (2L, s"gamma start\n$banner", "a"),
+      // the banner repeated TWICE in one doc but nowhere else -> df=1, kept
+      (3L, "rare line\nrare line\ndelta", "a"),
+      (4L, banner, "a"),                      // doc that becomes empty
+      (5L, "unique only", "a")))
+    val got = Dedup.dedupLines(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((3L, 2L, "alpha one\nalpha two")))
+    // empty interior line preserved (df counting ignores blank lines)
+    assert(got(1L) == ((4L, 3L, "beta body\n\nbeta end")))
+    assert(got(2L) == ((2L, 1L, "gamma start")))
+    assert(got(3L) == ((3L, 3L, "rare line\nrare line\ndelta")),
+      "within-doc repetition is not cross-doc boilerplate")
+    assert(got(4L) == ((1L, 0L, "")), "all-boilerplate doc empties")
+    assert(got(5L) == ((1L, 1L, "unique only")))
+  }
+
+  test("prep_negative_pairs: deterministic draw, self-free, near-dups excluded") {
+    val got = DataPipeline.negativePairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    // driver recompute of the partner arithmetic for every anchor/slot
+    val n = Tables.documents(spark, sf).agg(max($"doc_id")).head().getLong(0) + 1
+    got.foreach { case (a, slot, neg, jac) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg:$a:$slot".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+      assert(neg == (a + h % (n - 1) + 1) % n, s"anchor $a slot $slot")
+      assert(neg != a, "never self-paired")
+      assert(jac < 0.5, "verified non-similar")
+    }
+    assert(got.map(_._2).toSet == Set(1L, 2L))
+    // rerun is bit-identical (no RNG state)
+    val again = DataPipeline.negativePairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.sameElements(again))
+  }
+
+  test("prep_negative_pairs drops a planted near-dup partner") {
+    // ids 0..3; doc 1's text duplicates whichever partner doc 1 draws, so
+    // that (1, slot) pair must be filtered by the jaccard verify
+    val n = 4L
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "how vexingly quick daft zebras jump around here",
+      "sphinx of black quartz judge my vow tonight ok")
+    def partnerOf(a: Long, slot: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg:$a:$slot".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      (a + h % (n - 1) + 1) % n
+    }
+    val victim = partnerOf(1L, 1L)
+    val texts = base.indices.map { i =>
+      if (i == 1) base(victim.toInt) else base(i)
+    }
+    val dir = docsFixture(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "a") })
+    val got = DataPipeline.negativePairs(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(!got.exists(p => p._1 == 1L && p._2 == 1L),
+      s"pair (1, slot 1) -> doc $victim is a planted duplicate and must drop")
+    assert(got.exists(_._1 == 0L), "unrelated anchors keep their negatives")
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
