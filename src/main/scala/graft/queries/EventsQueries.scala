@@ -178,34 +178,45 @@ object EventsQueries {
     * aggregate+join rounds on the same key; at 100 TB that is three shuffles
     * of the fact table vs this one. EventsFunnelSpec pins the fold
     * equivalent to the 3-join form on the sf corpus. */
-  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val nilT = lit(null).cast("long")
-    val folded = Tables.events(spark, dir)
-      .filter($"event_type".isin("signup", "click", "purchase"))
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelSteps(Tables.events(spark, dir), Seq("signup", "click", "purchase"))
+
+  /** The funnel operator proper, for an ARBITRARY step sequence (repeated
+    * event types allowed — `Seq("view", "view", "buy")` means "a second view
+    * strictly after the first"): per user, the first event of step i strictly
+    * after the step i−1 completion. Same single-shuffle fold as the
+    * 3-step scaladoc above; the accumulator is an array<long> of step
+    * completion times folded with a per-index `transform`. Each event reads
+    * the PRE-event accumulator, so one event can complete at most one step —
+    * the sequential semantics even when steps share an event type
+    * (fixture-pinned in FunnelRetentionSpec). */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    val stepsLit = array(steps.map(lit): _*)
+    val init = array((1 to k).map(_ => lit(null).cast("long")): _*)
+    val folded = events
+      .filter($"event_type".isin(steps.distinct.map(s => s: Any): _*))
       .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
       .groupBy($"user_id")
       .agg(sort_array(collect_list(struct($"tus", $"event_type"))).as("evs"))
-      .select(aggregate($"evs",
-        struct(nilT.as("t1"), nilT.as("t2"), nilT.as("t3")),
-        (acc, e) => {
-          // Events arrive in tus order, so "first X with tus strictly after
-          // tY" is exactly "first X seen once tY is set, excluding ties".
-          val t1 = when(acc("t1").isNull && e("event_type") === "signup",
-            e("tus")).otherwise(acc("t1"))
-          val t2 = when(acc("t2").isNull && t1.isNotNull &&
-            e("event_type") === "click" && e("tus") > t1,
-            e("tus")).otherwise(acc("t2"))
-          val t3 = when(acc("t3").isNull && t2.isNotNull &&
-            e("event_type") === "purchase" && e("tus") > t2,
-            e("tus")).otherwise(acc("t3"))
-          struct(t1.as("t1"), t2.as("t2"), t3.as("t3"))
-        }).as("f"))
+      .select(aggregate($"evs", init, (acc, e) =>
+        // events arrive in tus order, so "first matching event strictly
+        // after step i-1's time" = "first match seen once acc(i-1) is set,
+        // excluding ties"; acc is the PRE-event state throughout
+        transform(acc, (x, i) => when(
+          x.isNull && e("event_type") === element_at(stepsLit, i + 1) &&
+            (i === 0 || (element_at(acc, i).isNotNull && e("tus") > element_at(acc, i))),
+          e("tus")).otherwise(x))).as("f"))
     folded
-      .agg(sum(when($"f.t1".isNotNull, 1L).otherwise(0L)).as("n1"),
-        sum(when($"f.t2".isNotNull, 1L).otherwise(0L)).as("n2"),
-        sum(when($"f.t3".isNotNull, 1L).otherwise(0L)).as("n3"))
-      .selectExpr("stack(3, '1_signup', n1, '2_click', n2, '3_purchase', n3) AS (stage, users)")
+      .select(posexplode($"f").as(Seq("i", "t")))
+      .groupBy($"i")
+      .agg(sum(when($"t".isNotNull, 1L).otherwise(0L)).as("users"))
+      .select(
+        concat(($"i" + 1).cast("string"), lit("_"),
+          element_at(stepsLit, $"i" + 1)).as("stage"),
+        $"users")
       .orderBy($"stage")
   }
 

@@ -76,6 +76,51 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got == Map("1_signup" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
   }
 
+  test("funnelSteps with repeated step types needs a strictly-later re-hit") {
+    // steps [view, view, purchase]: a SECOND view strictly after the first.
+    // u1: two views then purchase -> all 3 stages. u2: one view only ->
+    // stage 1. u3: two views at the SAME timestamp -> the tie can't complete
+    // step 2 (one event completes at most one step; acc is pre-event state).
+    val dir = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "view"),
+      (0L, "2024-01-01 10:05:00", 1L, "view"),
+      (0L, "2024-01-01 10:10:00", 1L, "purchase"),
+      (0L, "2024-01-01 10:00:00", 2L, "view"),
+      (0L, "2024-01-01 10:00:00", 3L, "view"),
+      (0L, "2024-01-01 10:00:00", 3L, "view")))
+    val got = EventsQueries.funnelSteps(
+      graft.sources.Tables.events(spark, dir), Seq("view", "view", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("1_view" -> 3L, "2_view" -> 1L, "3_purchase" -> 1L))
+  }
+
+  test("funnelSteps at length 4 matches an iterated 2-table recompute") {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val got = EventsQueries.funnelSteps(
+      graft.sources.Tables.events(spark, sf), steps)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // driver recompute: per user, fold the time-sorted event list
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)))
+    val counts = Array.fill(steps.length)(0L)
+    evs.foreach { case (_, es) =>
+      val acc = Array.fill[Option[Long]](steps.length)(None)
+      es.foreach { case (_, t, typ) =>
+        val prev = acc.clone()
+        for (i <- steps.indices)
+          if (prev(i).isEmpty && typ == steps(i) &&
+              (i == 0 || prev(i - 1).exists(_ < t)))
+            acc(i) = Some(t)
+      }
+      for (i <- steps.indices if acc(i).isDefined) counts(i) += 1
+    }
+    steps.indices.foreach { i =>
+      assert(got(s"${i + 1}_${steps(i)}") == counts(i), s"stage $i")
+    }
+  }
+
   test("retention: offset 0 is the full cohort; actives never exceed it") {
     val rows = EventsQueries.eventsRetention(spark, sf).collect()
     assert(rows.nonEmpty)
