@@ -453,6 +453,58 @@ object DataPipeline {
        |WHERE rn <= $k
        |ORDER BY source, rn""".stripMargin
 
+  /** Streaming face of [[domainCapOn]]: admit documents from an unbounded
+    * stream until each source's cumulative token budget is exhausted, with
+    * the consumed-token count as exactly-once keyed state
+    * (`flatMapGroupsWithState`, checkpoint-recoverable like every stateful
+    * operator here).
+    *
+    * Semantics note (documented, spec-pinned): the batch form keeps the
+    * md5-DRAW-order prefix — a deterministic uniform sample of each
+    * over-budget domain. An online admitter cannot see future draws, so the
+    * streaming form keeps the ARRIVAL-order prefix across micro-batches,
+    * draw-order WITHIN a micro-batch (making a single-batch run identical to
+    * the batch operator — the parity the spec pins). Once a domain's budget
+    * is consumed, later micro-batches ship nothing for it: the state is one
+    * Long per source, and rejected docs are dropped map-side at the state
+    * operator, never buffered.
+    *
+    * Scale: one shuffle per micro-batch on `source` (the same key the state
+    * store is partitioned by). A hot domain funnels through one state task
+    * per batch, but only until its budget exhausts — after that its rows die
+    * at the filter inside the state function; the CLOSED-domain set could be
+    * broadcast as a pre-filter if micro-batches stay hot-domain-heavy. */
+  def domainCapStream(docs: DataFrame, budget: Long):
+      org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select($"doc_id", $"source",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"),
+        md5(concat_ws(":", lit("cap"), $"doc_id", $"source")).as("draw"))
+      .as[(Long, String, Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, Long, String)],
+            state: GroupState[Long]) =>
+          var consumed = state.getOption.getOrElse(0L)
+          val admitted = Vector.newBuilder[(Long, String, Long, Long)]
+          // draw-sorted within the batch: deterministic under re-execution
+          // of the same micro-batch, and ≡ the batch operator when all data
+          // arrives in one batch
+          rows.toVector.sortBy(r => (r._4, r._1)).foreach {
+            case (id, src, tok, _) =>
+              if (consumed < budget) {
+                admitted += ((id, src, tok, consumed))
+                consumed += tok
+              }
+          }
+          state.update(consumed)
+          admitted.result().iterator
+      }
+  }
+
   /** Deterministic contrastive negative sampling: `m` pseudo-random partner
     * documents per anchor, each VERIFIED non-similar (exact 3-shingle Jaccard
     * < `maxJaccard`) — the "hard part" of negative mining is not the
@@ -557,10 +609,16 @@ object DataPipeline {
     *     domain's sort now spreads over 256 tasks, each seeing ~1/256 of it.
     * Result rows are identical to the naive global window (differential- and
     * fixture-pinned in PrepOpsSpec); the oracle states the naive form. */
-  def domainCap(spark: SparkSession, dir: String, budget: Long = 1300): DataFrame = {
-    import spark.implicits._
+  def domainCap(spark: SparkSession, dir: String, budget: Long = 1300): DataFrame =
+    domainCapOn(Tables.documents(spark, dir), budget)
+
+  /** [[domainCap]] over any (doc_id, source, text) frame — the operator
+    * proper; split out so fixtures and the streaming face's single-batch
+    * parity spec can drive it directly. */
+  def domainCapOn(documents: DataFrame, budget: Long): DataFrame = {
+    import documents.sparkSession.implicits._
     val draw = md5(concat_ws(":", lit("cap"), $"doc_id", $"source"))
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select($"doc_id", $"source",
         TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
       .withColumn("draw", draw)

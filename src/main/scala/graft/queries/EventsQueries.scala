@@ -209,14 +209,15 @@ object EventsQueries {
           x.isNull && e("event_type") === element_at(stepsLit, i + 1) &&
             (i === 0 || (element_at(acc, i).isNotNull && e("tus") > element_at(acc, i))),
           e("tus")).otherwise(x))).as("f"))
-    folded
-      .select(posexplode($"f").as(Seq("i", "t")))
-      .groupBy($"i")
-      .agg(sum(when($"t".isNotNull, 1L).otherwise(0L)).as("users"))
-      .select(
-        concat(($"i" + 1).cast("string"), lit("_"),
-          element_at(stepsLit, $"i" + 1)).as("stage"),
-        $"users")
+    // per-stage counts as k sums in the ONE global aggregate (k is static),
+    // then k rows via an explode of a literal array — no second data shuffle
+    val sums = (0 until k).map(i =>
+      sum(when(element_at($"f", i + 1).isNotNull, 1L).otherwise(0L)).as(s"n$i"))
+    folded.agg(sums.head, sums.tail: _*)
+      .select(explode(array((0 until k).map(i =>
+        struct(lit(s"${i + 1}_${steps(i)}").as("stage"),
+          col(s"n$i").as("users"))): _*)).as("r"))
+      .select($"r.stage", $"r.users")
       .orderBy($"stage")
   }
 

@@ -531,4 +531,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(state() == Set((1L, 11.0), (2L, 21.0), (3L, 31.0)))
     } finally q.stop()
   }
+
+  test("streaming domain cap: single-batch ≡ batch operator, budget persists") {
+    implicit val sql = spark.sqlContext
+    import graft.queries.DataPipeline
+    val budget = 10L
+    // 4 tokens/doc: budget 10 admits ceil(10/4) = 3 hot docs total
+    def doc(i: Int, src: String) = (i.toLong, s"tok$i one two three", src)
+    val all = (0 until 6).map(doc(_, "hot")) :+ doc(6, "cold")
+
+    // face 1: everything in ONE micro-batch must equal the batch operator
+    val in1 = MemoryStream[(Long, String, String)]
+    val q1 = DataPipeline.domainCapStream(
+        in1.toDF().toDF("doc_id", "text", "source"), budget)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cap_one").start()
+    val oneBatch = try {
+      in1.addData(all: _*)
+      q1.processAllAvailable()
+      spark.table("cap_one").as[(Long, String, Long, Long)].collect().toSet
+    } finally q1.stop()
+    val batch = DataPipeline.domainCapOn(
+        all.toDF("doc_id", "text", "source"), budget)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(oneBatch == batch,
+      s"stream-only=${oneBatch.diff(batch)} batch-only=${batch.diff(oneBatch)}")
+
+    // face 2: split across micro-batches — consumed state must carry over,
+    // and an exhausted domain admits nothing later
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = DataPipeline.domainCapStream(
+        in2.toDF().toDF("doc_id", "text", "source"), budget)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cap_two").start()
+    try {
+      in2.addData(all.take(2): _*) // 8 of 10 tokens consumed
+      q2.processAllAvailable()
+      in2.addData(all.drop(2): _*)
+      q2.processAllAvailable()
+      val got = spark.table("cap_two").as[(Long, String, Long, Long)].collect()
+      val hot = got.filter(_._2 == "hot")
+      assert(hot.length == 3, s"3 hot admissions total, got ${hot.length}")
+      assert(hot.map(_._1).toSet.intersect(Set(0L, 1L)) == Set(0L, 1L),
+        "batch-1 admissions are arrival-order, not revised retroactively")
+      assert(got.count(_._2 == "cold") == 1)
+      // third micro-batch against an exhausted domain ships nothing
+      in2.addData(doc(7, "hot"))
+      q2.processAllAvailable()
+      assert(spark.table("cap_two").count() == got.length)
+    } finally q2.stop()
+  }
 }
