@@ -167,4 +167,70 @@ class Sf01DedupParitySpec extends AnyFunSuite {
     assert(engine == expected,
       s"engine-only=${(engine -- expected).take(5)} driver-only=${(expected -- engine).take(5)}")
   }
+
+  test("dedup_lines at sf0.1 equals a driver-side line-df recompute", SlowTest) {
+    val engine = graft.queries.Dedup.dedupLines(spark, sfBig)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val raw = Tables.documents(spark, sfBig)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val df = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    raw.foreach { case (id, text) =>
+      text.split("\n", -1).filter(_.trim.nonEmpty)
+        .foreach(l => df.getOrElseUpdate(l, scala.collection.mutable.Set.empty) += id)
+    }
+    val boiler = df.collect { case (l, docs) if docs.size >= 2 => l }.toSet
+    val expected = raw.map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val kept = lines.filterNot(boiler)
+      (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+    }.toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
+  }
+
+  test("prep_negative_pairs at sf0.1 equals a driver-side draw + Jaccard recompute", SlowTest) {
+    val engine = graft.queries.DataPipeline.negativePairs(spark, sfBig)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val sh = Tables.documents(spark, sfBig)
+      .select($"doc_id", VectorFunctions.shingleHashSet($"text", 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+      .filter(_._2.nonEmpty).view.mapValues(_.toSet).toMap
+    val n = sh.keys.max + 1
+    val expected = (for {
+      a <- sh.keys.toSeq; slot <- 1L to 2L
+      md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg:$a:$slot".getBytes("UTF-8"))
+      h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      neg = (a + h % (n - 1) + 1) % n
+      if sh.contains(neg)
+      jac = sh(a).intersect(sh(neg)).size.toDouble / sh(a).union(sh(neg)).size.toDouble
+      if jac < 0.5
+    } yield (a, slot, neg, jac)).toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
+  }
+
+  test("prep_domain_cap at sf0.1 equals a driver-side running-sum recompute", SlowTest) {
+    val budget = 1300L
+    val engine = graft.queries.DataPipeline.domainCap(spark, sfBig, budget)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val toks = Tables.documents(spark, sfBig)
+      .select($"doc_id", $"source", TF.textScanStats($"text").getItem(0).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val expected = toks.groupBy(_._2).flatMap { case (src, docs) =>
+      val ordered = docs.map { case (id, _, t) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cap:$id:$src".getBytes("UTF-8"))
+        (md.map("%02x".format(_)).mkString, id, t)
+      }.sortBy(d => (d._1, d._2))
+      var cum = 0L
+      ordered.toSeq.flatMap { case (_, id, t) =>
+        val r = if (cum < budget) Some((id, src, t, cum)) else None
+        cum += t
+        r
+      }
+    }.toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
+  }
 }
