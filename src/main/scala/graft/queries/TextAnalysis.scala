@@ -332,7 +332,86 @@ object TextAnalysis {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram language-model score — the CCNet perplexity-filter shape: an LM
+    * is trained on REFERENCE text (here the deterministic train split, the
+    * same [[DataPipeline.splitCol]] every other operator uses) and every
+    * document is scored by the mean log₂ P(w₂|w₁) of its bigram instances
+    * under Laplace-smoothed train-split counts, P = (c(w₁w₂)+1)/(c(w₁)+V).
+    * Fluent in-distribution text scores high; word salad and novel-token
+    * gibberish score low (an unseen bigram costs ~−log₂ V). The reference
+    * corpus must NOT be the scored doc itself — self-trained MLE grades a
+    * doc of never-seen tokens "perfectly predictable" (every ratio 1); the
+    * smoothed held-out form is what actually discriminates (fixture-pinned).
+    *
+    * Scale shape: this one is INHERENTLY relational — the LM "model" is a
+    * corpus-wide count table no per-row kernel can hold — so the honest plan
+    * is: bigram/unigram counts via map-side-combinable hash aggs over the
+    * exploded token stream, two LEFT equi-joins keyed on the (uniform) gram
+    * strings to re-attach counts to each doc's bigram instances, one
+    * broadcast scalar (V), then one doc-keyed mean. Shuffle volume ≈ token
+    * volume; the count tables are never assumed broadcastable (a real
+    * vocabulary outgrows one executor).
+    *
+    * Determinism: each term is log₂ of an exact int/int ratio;
+    * accumulation-order drift is ≤ a few ulp on ~doc-length sums, far inside
+    * the 1e-6 grid (the charEntropy argument). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScoreOn(Tables.documents(spark, dir))
+
+  /** [[textLmScore]] over any (doc_id, text) frame — split out for the
+    * gibberish-discrimination fixture spec. */
+  def textLmScoreOn(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    def bigrams(toks: DataFrame): DataFrame = toks.select($"doc_id",
+      explode(transform(slice($"toks", lit(1), size($"toks") - 1),
+        (x, i) => struct(x.as("w1"), element_at($"toks", i + 2).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), concat_ws(" ", $"b.w1", $"b.w2").as("b"))
+    val toks = documents
+      .select($"doc_id", TF.wordTokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+    val train = toks.filter(DataPipeline.splitCol($"doc_id") === "train")
+    val uni = train.select(explode($"toks").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val big = bigrams(train).groupBy($"b").agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigrams(toks)
+      .join(big, Seq("b"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(
+          (coalesce($"cb", lit(0L)) + 1).cast("double") /
+            (coalesce($"cu", lit(0L)) + $"v").cast("double"))), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${OracleFragments.tokens("text")} AS toks
+       |  FROM documents
+       |  WHERE length(${OracleFragments.norm("text")}) > 0
+       |    AND len(${OracleFragments.tokens("text")}) >= 2),
+       |bl AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS b
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(toks))) AS i) r),
+       |train AS (SELECT * FROM bl
+       |          WHERE ${OracleFragments.splitCase("doc_id")} = 'train'),
+       |u AS (SELECT w1, count(*) AS cu
+       |      FROM (SELECT unnest(toks) AS w1 FROM tok
+       |            WHERE ${OracleFragments.splitCase("doc_id")} = 'train')
+       |      GROUP BY 1),
+       |bc AS (SELECT b, count(*) AS cb FROM train GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM u)
+       |SELECT bl.doc_id, count(*) AS n_bigrams,
+       |  round(avg(log2(CAST(coalesce(bc.cb, 0) + 1 AS DOUBLE) /
+       |                 CAST(coalesce(u.cu, 0) + v.v AS DOUBLE))), 6) AS lm_score
+       |FROM bl LEFT JOIN bc USING (b) LEFT JOIN u USING (w1) CROSS JOIN v
+       |GROUP BY bl.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_entropy" -> (textEntropy _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -343,6 +422,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> textLmScoreSql,
     "text_entropy" -> textEntropySql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,

@@ -516,6 +516,35 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 0L), "unrelated anchors keep their negatives")
   }
 
+  test("text_lm_score: held-out LM ranks fluent above degenerate probes") {
+    // ids chosen so the md5 split puts trainers in 'train' (bucket < cc) and
+    // the three probes land wherever — scoring covers every split
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val trainers = (0 until 40).map(i => (i.toLong, fluent, "a"))
+    val probes = Seq(
+      (100L, fluent, "a"),                                   // in-distribution
+      (101L, "mat the on sat cat dog the and rug the on sat", "a"), // word salad
+      (102L, "zxqv wkjh qpzm vbnx tyui asdf ghjk zxcv bnml qwer", "a")) // gibberish
+    val dir = docsFixture(trainers ++ probes)
+    val got = graft.queries.TextAnalysis.textLmScoreOn(
+        graft.sources.Tables.documents(spark, dir))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // fluent scores near 0 (its bigrams dominate the train counts); both
+    // degenerate probes are clearly penalized. NOTE the salad-vs-gibberish
+    // ORDER is vocabulary-dependent (unseen-bigram cost is log2(cu+V): with
+    // this tiny V, salad's common-w1 denominators exceed gibberish's bare V)
+    // — so the pinned contract is only "fluent above both, both penalized",
+    // which holds at any V
+    assert(got(100L) > -1.0, s"in-distribution doc ${got(100L)} should score high")
+    assert(got(100L) > got(101L) + 2.0,
+      s"fluent ${got(100L)} must clearly beat word salad ${got(101L)}")
+    assert(got(100L) > got(102L) + 2.0,
+      s"fluent ${got(100L)} must clearly beat gibberish ${got(102L)}")
+    // self-trained-MLE artifact guard: gibberish must NOT score near 0 (the
+    // un-smoothed self-scored form grades it 'perfectly predictable')
+    assert(got(102L) < -2.0, s"gibberish score ${got(102L)} suspiciously high")
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
