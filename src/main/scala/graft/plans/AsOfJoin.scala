@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
-/** Native as-of (backward) join as a first-class operator: custom
+/** Native as-of join (backward and forward) as a first-class operator: custom
   * `LogicalPlan` + `Strategy` + `SparkPlan`, registered through
   * `spark.experimental.extraStrategies` — the (c) rung of the extension
   * ladder (compose built-ins < custom Expression < custom plan node), used
@@ -33,7 +33,8 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -45,8 +46,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +58,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -103,7 +105,31 @@ case class AsOfJoinExec(
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
 
-      lIter.map { lRow =>
+      if (forward) lIter.map { lRow =>
+        // FORWARD: for each left row, the EARLIEST right row with equal key
+        // and right time >= left time. With both sides (key, time)-ascending
+        // the right head only ever advances — same single pass, and no
+        // carried lastMatch is needed: the head itself is the candidate.
+        val key = lk.eval(lRow)
+        val time = lt.eval(lRow)
+        if (key == null || time == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef])
+            if (c < 0 || (c == 0 &&
+                timeOrd.compare(rHeadTime.asInstanceOf[AnyRef], time.asInstanceOf[AnyRef]) < 0)) {
+              advanceRight()
+              continue = rHead != null
+            } else continue = false
+          }
+          val matched = rHead != null &&
+            keyOrd.compare(rHeadKey.asInstanceOf[AnyRef], key.asInstanceOf[AnyRef]) == 0
+          proj(joined(lRow, if (matched) rHead else nullRight))
+        }
+      }
+      else lIter.map { lRow =>
         val key = lk.eval(lRow)
         val time = lt.eval(lRow)
         if (key == null || time == null) {
@@ -161,11 +187,23 @@ object AsOf {
     plan(left, right, key, timeLeft, timeRight)
   }
 
+  /** Forward as-of join (pandas merge_asof direction='forward'): for each
+    * left row, the EARLIEST right row with equal `key` and `timeRight` >=
+    * `timeLeft` — "the next event at or after", e.g. next maintenance window
+    * after a deploy, next price tick after an order. Same physical shape as
+    * backward: one clustered shuffle + sort per side, one merge pass, O(1)
+    * partition state. */
+  def joinForward(left: DataFrame, right: DataFrame, key: String,
+      timeLeft: String, timeRight: String): DataFrame = {
+    register(left.sparkSession)
+    plan(left, right, key, timeLeft, timeRight, forward = true)
+  }
+
   /** Build the as-of logical plan WITHOUT touching session strategy
     * registration — for sessions where [[graft.GraftExtensions]] already
     * injected [[AsOfJoinStrategy]] via `spark.sql.extensions`. */
   def plan(left: DataFrame, right: DataFrame, key: String,
-      timeLeft: String, timeRight: String): DataFrame = {
+      timeLeft: String, timeRight: String, forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
@@ -178,7 +216,7 @@ object AsOf {
           s"column $name not in ${plan.output.map(_.name)}"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, timeLeft), attr(rPlan, timeRight))
+      attr(lPlan, timeLeft), attr(rPlan, timeRight), forward)
     GraftBridge.dataFrame(spark, node)
   }
 }

@@ -130,6 +130,35 @@ object EventsQueries {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of through the same native operator: for each signup, the
+    * user's next purchase at-or-after it — the "time-to-convert" join.
+    * Identical physical shape (clustered shuffle + sort per side, one merge
+    * pass); the forward pass needs no carried match state at all (the right
+    * head itself is the candidate). DuckDB's ASOF with `<=` is the oracle. */
+  def eventsAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val signups = Tables.events(spark, dir)
+      .filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    graft.plans.AsOf.joinForward(signups, purchases, "user_id", "ts", "p_ts")
+      .select($"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
+      .orderBy($"event_id")
+  }
+
+  val eventsAsofForwardSql: String =
+    """WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+      |     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT s.event_id,
+      |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+      |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts
+      |ORDER BY s.event_id""".stripMargin
+
   /** Large-large interval join, bucketed: for each purchase, count the same
     * user's clicks in the preceding hour. Neither side is broadcastable at
     * scale and a raw non-equi join explodes, so the range is decomposed into
@@ -288,7 +317,8 @@ object EventsQueries {
     "events_sliding" -> (eventsSliding _),
     "events_sessions" -> (eventsSessions _),
     "events_asof_join" -> (eventsAsofJoin _),
-    "events_asof_native" -> (eventsAsofNative _))
+    "events_asof_native" -> (eventsAsofNative _),
+    "events_asof_forward" -> (eventsAsofForward _))
 
   val oracles: Map[String, String] = Map(
     "events_funnel" -> eventsFunnelSql,
@@ -298,5 +328,6 @@ object EventsQueries {
     "events_sliding" -> eventsSlidingSql,
     "events_sessions" -> eventsSessionsSql,
     "events_asof_join" -> eventsAsofJoinSql,
-    "events_asof_native" -> eventsAsofJoinSql)
+    "events_asof_native" -> eventsAsofJoinSql,
+    "events_asof_forward" -> eventsAsofForwardSql)
 }

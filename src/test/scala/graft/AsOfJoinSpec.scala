@@ -47,6 +47,61 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(4L).isEmpty) // key with no right rows at all
   }
 
+  test("forward as-of picks the earliest at-or-after right row, null when none") {
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:05")),
+      (2L, 10L, ts("2024-01-01 10:00:20")),
+      (3L, 20L, ts("2024-01-01 10:00:40")),
+      (4L, 30L, ts("2024-01-01 10:00:10"))
+    ).toDF("id", "k", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1.0), // before trade 1 -> skipped
+      (10L, ts("2024-01-01 10:00:05"), 2.0), // same instant as trade 1 -> wins (>=)
+      (10L, ts("2024-01-01 10:00:25"), 3.0),
+      (20L, ts("2024-01-01 10:00:30"), 9.0)  // before trade 3 -> no match
+    ).toDF("k", "qt", "price")
+    val out = AsOf.joinForward(trades, quotes, "k", "t", "qt")
+      .select($"id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(2.0))
+    assert(out(2L).contains(3.0))
+    assert(out(3L).isEmpty)  // key's rights are all strictly before
+    assert(out(4L).isEmpty)  // key with no right rows at all
+    // one right row can serve MANY left rows (no head consumption on match)
+    val many = Seq((1L, 10L, ts("2024-01-01 09:00:00")),
+      (2L, 10L, ts("2024-01-01 09:30:00"))).toDF("id", "k", "t")
+    val one = Seq((10L, ts("2024-01-01 10:00:00"), 7.0)).toDF("k", "qt", "price")
+    val served = AsOf.joinForward(many, one, "k", "t", "qt")
+      .select($"id", $"price").as[(Long, Option[Double])].collect().toMap
+    assert(served(1L).contains(7.0) && served(2L).contains(7.0))
+  }
+
+  test("forward as-of equals a window formulation on real data") {
+    val native = EventsQueries.eventsAsofForward(spark, sf)
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    // independent formulation: union purchases+signups, FIRST purchase ts in
+    // the frame [current row, unbounded following] per user (purchases sort
+    // after signups at identical ts via p_ts asc_nulls_last? — mirror of the
+    // backward union trick, with min over the following frame)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts", lit(null).cast("timestamp").as("p_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(lit(null).cast("long").as("event_id"), $"user_id", $"ts", $"ts".as("p_ts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"ts", $"p_ts".asc_nulls_first)
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ref = signups.unionByName(purchases)
+      .withColumn("next_p", first($"p_ts", ignoreNulls = true).over(w))
+      .filter($"event_id".isNotNull)
+      .select($"event_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        date_format($"next_p", "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(native == ref)
+    assert(native.nonEmpty)
+  }
+
   test("as-of survives repartitioned, unsorted inputs (requirements planned)") {
     val left = spark.range(0, 1000)
       .select($"id", ($"id" % 7).as("k"), ($"id" * 13 % 997).as("t"))
