@@ -309,7 +309,48 @@ object EventsQueries {
       |FROM j JOIN cs ON j.cohort_day = cs.cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Top event-type paths: the 20 most common length-3 event sequences
+    * across users (clickstream path analysis). Ties in event time break on
+    * event_id so the per-user sequence — and therefore every count — is
+    * deterministic.
+    *
+    * Scale shape: one user shuffle (sequence fold, same bound as the funnel:
+    * per-user event count), trigram expansion map-side from the collected
+    * array, one path-keyed count (map-side combinable), and the top-20 is
+    * TakeOrderedAndProject — never a global sort. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqs = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_id", $"event_type"))).as("evs"))
+      .select(transform($"evs", e => e("event_type")).as("seq"))
+    seqs
+      .filter(size($"seq") >= 3)
+      .select(explode(transform(slice($"seq", lit(1), size($"seq") - 2),
+        (x, i) => concat_ws(">", x, element_at($"seq", i + 2),
+          element_at($"seq", i + 3)))).as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(20)
+  }
+
+  val eventsPathsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2] AS path
+      |  FROM s, LATERAL (SELECT unnest(range(1, len(seq) - 1)) AS i) r
+      |  WHERE len(seq) >= 3)
+      |SELECT path, count(*) AS n
+      |FROM t GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> (eventsPaths _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "events_interval_join" -> (eventsIntervalJoin _),
@@ -321,6 +362,7 @@ object EventsQueries {
     "events_asof_forward" -> (eventsAsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "events_paths" -> eventsPathsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "events_interval_join" -> eventsIntervalJoinSql,

@@ -193,12 +193,42 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Exact media dedup by content hash — the first dedup pass of any image/
+    * audio pipeline (LAION-style): md5 over the RAW payload bytes, no
+    * normalization of any kind (media must match octet-for-octet, unlike
+    * [[Dedup.dedupExact]]'s whitespace/case-normalized text fingerprint).
+    * Flows through the BINARY column: the hash input is `cast(text as
+    * binary)` like every multimodal operator here, so swapping in a real
+    * media column changes nothing. Per-group payload bytes quantify the
+    * dedup saving. Fingerprints-only shuffle — scales like dedup_exact. */
+  def multimodalExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bytes = $"text".cast("binary")
+    Tables.documents(spark, dir)
+      .select(md5(bytes).as("fp"), $"doc_id", octet_length(bytes).as("n_bytes"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_copies"),
+        sum($"n_bytes").cast("long").as("total_bytes"))
+      .orderBy($"fp")
+  }
+
+  // DuckDB md5 only binds VARCHAR, but it hashes the string's UTF-8 bytes —
+  // exactly the bytes Spark's md5(cast(text as binary)) sees.
+  val multimodalExactDedupSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies,
+      |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_exact_dedup" -> (multimodalExactDedup _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_bytes" -> (multimodalBytes _),
     "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_exact_dedup" -> multimodalExactDedupSql,
     "multimodal_bytes" -> multimodalBytesSql,
     "multimodal_frames" -> multimodalFramesSql)
 }

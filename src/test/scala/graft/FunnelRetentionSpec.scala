@@ -121,6 +121,22 @@ class FunnelRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("events_paths: trigram counts with event_id tie-break at equal ts") {
+    // u1 emits a>b>c>d (two trigrams); u2 emits a>b>c with b,c at the SAME
+    // timestamp — event_id order (insertion order here) must break the tie
+    val dir = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "a"),
+      (0L, "2024-01-01 10:01:00", 1L, "b"),
+      (0L, "2024-01-01 10:02:00", 1L, "c"),
+      (0L, "2024-01-01 10:03:00", 1L, "d"),
+      (0L, "2024-01-01 10:00:00", 2L, "a"),
+      (0L, "2024-01-01 10:01:00", 2L, "b"),
+      (0L, "2024-01-01 10:01:00", 2L, "c")))
+    val got = EventsQueries.eventsPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
   test("retention: offset 0 is the full cohort; actives never exceed it") {
     val rows = EventsQueries.eventsRetention(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -48,6 +48,9 @@ class PlanSpec extends AnyFunSuite {
       "text_chunks" -> Seq("lang", "source", "n_chars"),      // uses doc_id+text
       "text_redact" -> Seq("user_id", "event_type", "value"), // uses event_id+props
       "prep_contamination" -> Seq("lang", "source", "n_chars"), // uses doc_id+text
+      "multimodal_exact_dedup" -> Seq("lang", "source", "n_chars"), // uses doc_id+text
+      "text_entropy" -> Seq("lang", "source", "n_chars"),     // uses doc_id+text
+      "text_lm_score" -> Seq("lang", "source", "n_chars"),    // uses doc_id+text
       "text_tfidf" -> Seq("doc_id", "lang", "n_chars"),       // uses source+text
       "sim_quantized_topk" -> Seq("label"),                   // uses vec_id+embedding
       "q34_minmax_by" -> Seq("o_custkey", "o_orderdate", "o_orderstatus"),
@@ -118,6 +121,12 @@ class PlanSpec extends AnyFunSuite {
       s"offsets (|sources| x 256 rows) must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no corpus-wide join allowed:\n$plan")
+  }
+
+  test("events_paths top-20 plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("events_paths")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not sort globally:\n$plan")
+    assert(!plan.contains("Join"), s"paths come from the per-user fold, no join:\n$plan")
   }
 
   test("dedup_lines removes via anti-join on the hash key; no cartesian") {
