@@ -153,4 +153,96 @@ object EventStreams {
       .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
         col("r_ts"), col("r_type"))
   }
+
+  /** The sequential-funnel fold shared by the streaming state function and
+    * the spec recomputes: advance `acc` (step completion times in micros,
+    * -1 = unset) over `events` in EVENT-TIME order, returning the updated
+    * acc plus each newly-completed (stepIndex, time). Semantics identical to
+    * the Column-tree fold in `EventsQueries.funnelSteps`: each event reads
+    * the pre-event acc, so it completes at most one step, and step i needs
+    * a strictly-later time than step i−1's completion. */
+  private[graft] def foldFunnel(steps: IndexedSeq[String],
+      acc: Array[Long], events: Seq[(Long, String)]): Seq[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    events.sorted.foreach { case (t, typ) =>
+      val prev = acc.clone()
+      var i = 0
+      while (i < steps.length) {
+        if (prev(i) < 0 && typ == steps(i) &&
+            (i == 0 || (prev(i - 1) >= 0 && t > prev(i - 1)))) {
+          acc(i) = t
+          out += ((i, t))
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** EVENT-TIME-CORRECT streaming funnel: emits (user_id, stage, time) the
+    * moment a user completes a funnel step, with out-of-order arrivals
+    * handled properly — events are BUFFERED in keyed state until the
+    * watermark passes their event time, then folded in event-time order, so
+    * a signup that ARRIVES after its click (but within the watermark) still
+    * completes the funnel. An arrival-order fold (the tempting stateful
+    * one-liner) gets exactly this case wrong.
+    *
+    * Late-event contract: Spark's standard watermark filtering applies —
+    * the state operator itself drops input older than the current watermark
+    * before this function sees it, exactly like a watermarked aggregation.
+    * The state additionally tracks the fold's FINALIZATION HORIZON and
+    * re-drops anything at-or-under it: defense in depth for the
+    * at-the-boundary rows the exec-level filter admits, guaranteeing the
+    * fold NEVER processes an event out of order relative to one already
+    * folded.
+    *
+    * Mechanics: flatMapGroupsWithState with EventTimeTimeout. Each
+    * invocation buffers new events, finalizes the ripe ones (ts ≤
+    * watermark) through [[foldFunnel]], and — when anything is still
+    * buffered — arms a timeout at the earliest buffered event time, so the
+    * buffer drains as the watermark advances even if the user never sends
+    * another event. Per-user state is the pending buffer (bounded by the
+    * watermark window, the same bound windowed aggs hold) + one long per
+    * step + the horizon. */
+  def funnelStepsStream(events: DataFrame, steps: Seq[String],
+      watermark: String): org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepsArr: IndexedSeq[String] = steps.toIndexedSeq
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(steps.distinct: _*))
+      // the watermarked ts column must reach the state operator AS a column
+      // (the event-time-timeout checker requires it); micros are derived
+      // inside the state function instead of a projection
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, String)], Seq[Long], Long), (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[(Seq[(Long, String)], Seq[Long], Long)]) =>
+          val (pending0, acc0, horizon0) = state.getOption
+            .getOrElse((Seq.empty[(Long, String)],
+              Seq.fill(stepsArr.length)(-1L), Long.MinValue))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val arrived = rows.map { r =>
+            val i = r._2.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, r._3)
+          }.filter(_._1 > horizon0).toSeq
+          val (ripe, hold) = (pending0 ++ arrived).partition(_._1 <= wmMicros)
+          val acc = acc0.toArray
+          val completed = foldFunnel(stepsArr, acc, ripe)
+          state.update((hold, acc.toSeq, math.max(horizon0, wmMicros)))
+          if (hold.nonEmpty) {
+            // strictly above the current watermark by construction of hold;
+            // +1 ms because the timeout must exceed the watermark, and a
+            // micros-to-ms floor could land exactly on it
+            state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+          }
+          completed.iterator.map { case (i, t) =>
+            (user, s"${i + 1}_${stepsArr(i)}", t)
+          }
+      }
+  }
 }

@@ -532,6 +532,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel folds out-of-order arrivals in event-time order") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.funnelStepsStream(
+        input.toDF().toDF("ts", "user_id", "event_type"),
+        Seq("signup", "click", "purchase"), "10 minutes")
+      .toDF("user_id", "stage", "tus")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // u1's CLICK arrives first, its SIGNUP second (out of order, both
+      // above watermark): an arrival-order fold would complete only stage 1
+      input.addData((ts("2024-01-01 10:05:00"), 1L, "click"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 0,
+        "nothing may finalize before the watermark passes the events")
+      // watermark advance (another user far in the future) drains the buffer
+      input.addData((ts("2024-01-01 12:00:00"), 99L, "signup"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 98L, "signup"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out")
+        .as[(Long, String, Long)].collect().filter(_._1 == 1L)
+        .map(r => r._2 -> r._3).toMap
+      assert(out.keySet == Set("1_signup", "2_click"),
+        s"click must fold AFTER the later-arriving signup: $out")
+      assert(out("1_signup") < out("2_click"))
+      // a purchase delivered above the watermark completes stage 3 once the
+      // watermark passes it (timeout drain, no further u1 events needed)
+      input.addData((ts("2024-01-01 13:30:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:30:00"), 97L, "signup"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 96L, "signup"))
+      q.processAllAvailable()
+      val stages = spark.table("funnel_out")
+        .as[(Long, String, Long)].collect().filter(_._1 == 1L).map(_._2).toSet
+      assert(stages == Set("1_signup", "2_click", "3_purchase"))
+    } finally q.stop()
+  }
+
+  test("streaming funnel stage times equal the batch fold on the same data") {
+    implicit val sql = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    // real corpus slice: 3 users' events, shuffled arrival across batches
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter($"user_id".isin(1L, 2L, 3L) && $"event_type".isin(steps: _*))
+      .select($"ts", $"user_id", $"event_type")
+      .as[(Timestamp, Long, String)].collect()
+    val shuffled = ev.sortBy(e => (e._1.getTime % 7, e._2))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.funnelStepsStream(
+        input.toDF().toDF("ts", "user_id", "event_type"), steps, "365 days")
+      .toDF("user_id", "stage", "tus")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_batch_par").start()
+    try {
+      // wide watermark: nothing is ever too late; deliver in 3 scrambled
+      // chunks, then flush far in the future
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      input.addData((ts("2030-01-01 00:00:00"), 99999L, "signup"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_batch_par")
+        .as[(Long, String, Long)].collect().filter(_._1 <= 3L)
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // driver recompute with the same shared fold
+      val expected = ev.groupBy(_._2).flatMap { case (u, es) =>
+        val acc = Array.fill(steps.length)(-1L)
+        EventStreams.foldFunnel(steps.toIndexedSeq, acc,
+          // full micros (getTime is ms-truncated; the corpus has sub-ms)
+          es.map(e => (e._1.toInstant.getEpochSecond * 1000000L +
+            e._1.toInstant.getNano / 1000L, e._3)).toSeq)
+          .map { case (i, t) => (u, s"${i + 1}_${steps(i)}") -> t }
+      }.toMap
+      assert(got == expected,
+        s"stream-only=${got.toSet.diff(expected.toSet).take(3)} " +
+          s"batch-only=${expected.toSet.diff(got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming domain cap: single-batch ≡ batch operator, budget persists") {
     implicit val sql = spark.sqlContext
     import graft.queries.DataPipeline
