@@ -920,7 +920,23 @@ object DataPipeline {
       ("q25_approx_percentiles", "approx_percentile sketch (accuracy = 10000)",
         None, None, None, None,
         "rank error bounded by 1/accuracy; exact-percentile q21 is the " +
-          "hash-checked twin"))
+          "hash-checked twin"),
+      ("prep_domain_cap", "md5-hash-order token-budget prefix per domain",
+        None, None, None, None,
+        "the kept prefix of an over-budget domain is a UNIFORM RANDOM " +
+          "sample of it (the draw is a content hash), not a curated " +
+          "selection; under-budget domains pass whole and every domain " +
+          "keeps at least one document"),
+      ("prep_negative_pairs", "hash-drawn partners + exact-jaccard verify",
+        None, None, Some(0.5), None,
+        "negatives verified non-similar at jaccard < 0.5 EXACTLY (only " +
+          "sampled pairs are scored); partner draw assumes a dense doc_id " +
+          "space — absent ids silently drop that pair"),
+      ("dedup_lines", "cross-document line df >= 2 removal",
+        None, None, None, None,
+        "exact, not sampled — listed for its policy caveat: a quote " +
+          "legitimately shared by 2+ documents is removed as boilerplate; " +
+          "raise minDf for quote-heavy corpora"))
   }
 
   /** Per-operator method card for the sampled / sketch-approximate
