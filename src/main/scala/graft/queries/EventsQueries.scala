@@ -349,7 +349,49 @@ object EventsQueries {
       |ORDER BY n DESC, path
       |LIMIT 20""".stripMargin
 
+  /** Rolling 7-day active users per day (the WAU-by-day shape), plus the
+    * day's own actives (DAU). Exact distinct, not a sketch: activity dedupes
+    * to (user, day) FIRST — ids+dates only — then each active day lands in
+    * the 7 windows it contributes to (map-side explode, the sliding-window
+    * trick: no self-join, no range join) and a distinct-agg per window day
+    * counts users. The 7× row amplification is of 16-byte id/date pairs,
+    * not events — the same bound events_sliding accepts. Window days with
+    * no activity in the trailing 6 days simply don't appear (same contract
+    * as a group-by; the oracle mirrors it). */
+  def eventsRollingActives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val activity = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val windows = activity
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("k"),
+        date_add($"day", $"k".cast("int")).as("window_day"))
+    val wau = windows.groupBy($"window_day")
+      .agg(countDistinct($"user_id").as("wau"))
+    val dau = activity.groupBy($"day".as("window_day"))
+      .agg(countDistinct($"user_id").as("dau"))
+    wau.join(dau, Seq("window_day"), "left")
+      .select(date_format($"window_day", "yyyy-MM-dd").as("day"),
+        coalesce($"dau", lit(0L)).as("dau"), $"wau")
+      .orderBy($"day")
+  }
+
+  val eventsRollingActivesSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |w AS (
+      |  SELECT a.day + CAST(k.k AS INTEGER) AS window_day, a.user_id
+      |  FROM a, (SELECT unnest(range(0, 7)) AS k) k),
+      |wau AS (SELECT window_day, count(DISTINCT user_id) AS wau
+      |        FROM w GROUP BY 1),
+      |dau AS (SELECT day AS window_day, count(DISTINCT user_id) AS dau
+      |        FROM a GROUP BY 1)
+      |SELECT strftime(wau.window_day, '%Y-%m-%d') AS day,
+      |  coalesce(dau.dau, 0) AS dau, wau.wau
+      |FROM wau LEFT JOIN dau ON wau.window_day = dau.window_day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_actives" -> (eventsRollingActives _),
     "events_paths" -> (eventsPaths _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -362,6 +404,7 @@ object EventsQueries {
     "events_asof_forward" -> (eventsAsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "events_rolling_actives" -> eventsRollingActivesSql,
     "events_paths" -> eventsPathsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,

@@ -137,6 +137,21 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
   }
 
+  test("rolling actives: 7-day window includes day 7, excludes day 8") {
+    // u1 active Jan 1 only; u2 active Jan 7 and Jan 8
+    val dir = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "view"),
+      (0L, "2024-01-07 10:00:00", 2L, "view"),
+      (0L, "2024-01-08 10:00:00", 2L, "view")))
+    val got = EventsQueries.eventsRollingActives(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01") == ((1L, 1L)))
+    assert(got("2024-01-07") == ((1L, 2L)), "u1's Jan 1 still in the Jan 7 window")
+    assert(got("2024-01-08") == ((1L, 1L)), "u1 aged out; u2 counted once")
+    // u2's two active days never double-count within one window
+    assert(got("2024-01-13") == ((0L, 1L)), "no activity that day, u2 in window")
+  }
+
   test("retention: offset 0 is the full cohort; actives never exceed it") {
     val rows = EventsQueries.eventsRetention(spark, sf).collect()
     assert(rows.nonEmpty)
