@@ -170,4 +170,34 @@ object Layout {
       throw new java.io.IOException(s"could not move $tmp to $path")
     rm(bak)
   }
+
+  /** Deterministic shard manifest of a written dataset: one row per physical
+    * file with row count, an ORDER-INDEPENDENT content fingerprint
+    * (bit_xor of a per-row 64-bit hash over every column — commutative, so
+    * the fingerprint is a function of the file's row multiset-up-to-xor,
+    * not of row order or write parallelism), and min/max of the cluster
+    * keys (the same bounds the parquet footer serves to pruning). The
+    * reproducibility record a training run should archive next to its data:
+    * two writes of the same rows with the same layout produce the same
+    * content column set even though part-file NAMES are fresh UUIDs — so
+    * manifests compare as sets of content rows (spec-pinned). One pass, one
+    * per-file aggregate; xor's known blind spot (a duplicated row pair xors
+    * away) is covered by the row count next to it.
+    *
+    * The per-row hash spans ALL columns via the canonical struct hash —
+    * a changed value in any row flips the file's fingerprint (spec-pinned). */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    val rowHash = xxhash64(struct(df.columns.map(col): _*))
+    val keyAggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      expr("bit_xor(rh)").as("fingerprint")) ++ keyAggs
+    df.withColumn("rh", rowHash)
+      .withColumn("file", regexp_extract(input_file_name(), "[^/]+$", 0))
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("file"))
+  }
 }

@@ -93,4 +93,30 @@ class ZOrderSpec extends AnyFunSuite {
       s"fact scan must carry a runtime partition-pruning predicate:\n$plan")
     assert(joined.count() == fact.filter($"o_yr" === years.head).count())
   }
+
+  test("manifest: rewrite-stable content rows, any changed value detected") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+    def write(df: org.apache.spark.sql.DataFrame): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_mani_").toString + "/t"
+      Layout.writeClustered(df, p, Seq("doc_id"), numFiles = 4)
+      p
+    }
+    // content rows (everything but the uuid part-file name)
+    def content(path: String) = Layout.manifest(spark, path, Seq("doc_id"))
+      .select($"n_rows", $"fingerprint", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val a = content(write(docs))
+    val b = content(write(docs))
+    assert(a == b, "same rows + same layout must give identical manifests")
+    assert(a.toSeq.map(_._1).sum == docs.count(), "row counts cover the dataset")
+    // flip ONE character of one row: exactly one file's fingerprint changes
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 137L, concat($"text", lit("X"))).otherwise($"text"))
+    val c = content(write(mutated))
+    assert(a != c, "a single changed value must change the manifest")
+    assert(a.map(t => (t._1, t._3, t._4)) == c.map(t => (t._1, t._3, t._4)),
+      "counts and key ranges unchanged — only a fingerprint moved")
+    assert((a -- c).size == 1 && (c -- a).size == 1,
+      "exactly one file's fingerprint differs")
+  }
 }
