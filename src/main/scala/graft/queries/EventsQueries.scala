@@ -390,6 +390,31 @@ object EventsQueries {
       |FROM wau LEFT JOIN dau ON wau.window_day = dau.window_day
       |ORDER BY day""".stripMargin
 
+  /** Sketch form of [[eventsRollingActives]] — the stated 100 TB path made
+    * code: per-day HyperLogLog sketches (DataSketches `hll_sketch_agg`,
+    * lgConfigK = 14 ≈ 0.8% relative error) are built ONCE from the deduped
+    * activity, and each trailing window is a sketch UNION — so the window
+    * aggregation shuffles one ~16 KB sketch per (day, window) instead of
+    * re-shuffling every (user, day) id into 7 windows, and a year-long
+    * backfill unions 365×7 sketches rather than re-counting ids 2,500×.
+    * DuckDB has no DataSketches-compatible HLL, so this is a library
+    * operator (no driver query); the spec bounds its deviation against the
+    * exact [[eventsRollingActives]] per window day — the q20 pattern. */
+  def rollingActivesApprox(events: DataFrame, days: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val perDay = events
+      .select($"user_id", to_date($"ts").as("day"))
+      .groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    perDay
+      .select(explode(sequence(lit(0), lit(days - 1))).as("k"), $"day", $"sk")
+      .select(date_add($"day", $"k".cast("int")).as("window_day"), $"sk")
+      .groupBy($"window_day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("wau_approx"))
+      .select(date_format($"window_day", "yyyy-MM-dd").as("day"), $"wau_approx")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling_actives" -> (eventsRollingActives _),
     "events_paths" -> (eventsPaths _),

@@ -152,6 +152,20 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(got("2024-01-13") == ((0L, 1L)), "no activity that day, u2 in window")
   }
 
+  test("rolling actives sketch form tracks the exact form within 5%") {
+    val exact = EventsQueries.eventsRollingActives(spark, sf)
+      .select($"day", $"wau").as[(String, Long)].collect().toMap
+    val approx = EventsQueries.rollingActivesApprox(
+        graft.sources.Tables.events(spark, sf))
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet, "same window days")
+    exact.foreach { case (day, wau) =>
+      val est = approx(day)
+      assert(math.abs(est - wau) <= math.max(1.0, 0.05 * wau),
+        s"$day: estimate $est vs exact $wau")
+    }
+  }
+
   test("retention: offset 0 is the full cohort; actives never exceed it") {
     val rows = EventsQueries.eventsRetention(spark, sf).collect()
     assert(rows.nonEmpty)
