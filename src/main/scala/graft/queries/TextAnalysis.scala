@@ -362,21 +362,30 @@ object TextAnalysis {
     * gibberish-discrimination fixture spec. */
   def textLmScoreOn(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    def bigrams(toks: DataFrame): DataFrame = toks.select($"doc_id",
-      explode(transform(slice($"toks", lit(1), size($"toks") - 1),
-        (x, i) => struct(x.as("w1"), element_at($"toks", i + 2).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), concat_ws(" ", $"b.w1", $"b.w2").as("b"))
     val toks = documents
       .select($"doc_id", TF.wordTokens($"text").as("toks"))
       .filter(size($"toks") >= 2)
-    val train = toks.filter(DataPipeline.splitCol($"doc_id") === "train")
-    val uni = train.select(explode($"toks").as("w1"))
-      .groupBy($"w1").agg(count(lit(1)).as("cu"))
-    val big = bigrams(train).groupBy($"b").agg(count(lit(1)).as("cb"))
+    val isTrain = DataPipeline.splitCol($"doc_id") === "train"
+    // ONE bigram derivation serves both the train-side counts (filter) and
+    // the scoring side; join keys are 64-bit hashes of the gram strings —
+    // 8-byte shuffle keys, exact w.h.p. (the dedup_minhash_pairs collision
+    // argument: a collision would merge two counts, P ≈ grams²/2⁶⁴)
+    val docBigrams = toks.select($"doc_id", isTrain.as("train"),
+      explode(transform(slice($"toks", lit(1), size($"toks") - 1),
+        (x, i) => struct(x.as("w1"), element_at($"toks", i + 2).as("w2")))).as("bg"))
+      .select($"doc_id", $"train",
+        xxhash64($"bg.w1").as("w1h"),
+        xxhash64($"bg.w1", $"bg.w2").as("bh"))
+    val uni = toks.filter(isTrain)
+      .select(explode($"toks").as("w"))
+      .select(xxhash64($"w").as("w1h"))
+      .groupBy($"w1h").agg(count(lit(1)).as("cu"))
+    val big = docBigrams.filter($"train")
+      .groupBy($"bh").agg(count(lit(1)).as("cb"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    bigrams(toks)
-      .join(big, Seq("b"), "left")
-      .join(uni, Seq("w1"), "left")
+    docBigrams
+      .join(big, Seq("bh"), "left")
+      .join(uni, Seq("w1h"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
