@@ -210,6 +210,47 @@ class Sf01DedupParitySpec extends AnyFunSuite {
       s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
   }
 
+  test("text_lm_score at sf0.1 equals a driver-side smoothed-LM recompute", SlowTest) {
+    val engine = graft.queries.TextAnalysis.textLmScore(spark, sfBig)
+      .as[(Long, Long, Double)].collect()
+    def toksOf(t: String): Array[String] = {
+      val n = t.toLowerCase.replaceAll("[ \t\n\f\r]+", " ").trim
+      if (n.isEmpty) Array.empty else n.split(' ')
+    }
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      md.take(1).map("%02x".format(_)).mkString < "cc"
+    }
+    val raw = Tables.documents(spark, sfBig)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, toksOf(t)) }.filter(_._2.length >= 2)
+    val cu = scala.collection.mutable.Map.empty[String, Long]
+    val cb = scala.collection.mutable.Map.empty[(String, String), Long]
+    raw.filter(d => isTrain(d._1)).foreach { case (_, ts) =>
+      ts.foreach(w => cu(w) = cu.getOrElse(w, 0L) + 1)
+      ts.sliding(2).foreach(p => if (p.length == 2) {
+        val k = (p(0), p(1)); cb(k) = cb.getOrElse(k, 0L) + 1
+      })
+    }
+    val v = cu.size.toLong
+    val expected = raw.map { case (id, ts) =>
+      val terms = ts.sliding(2).filter(_.length == 2).map { p =>
+        val num = (cb.getOrElse((p(0), p(1)), 0L) + 1).toDouble
+        val den = (cu.getOrElse(p(0), 0L) + v).toDouble
+        math.log(num / den) / math.log(2.0)
+      }.toSeq
+      id -> ((terms.length.toLong, terms.sum / terms.length))
+    }.toMap
+    assert(engine.length == expected.size)
+    engine.foreach { case (id, n, score) =>
+      val (en, es) = expected(id)
+      assert(n == en, s"doc $id bigram count")
+      // engine output passed round(_, 6); driver sum order differs by ulps
+      assert(math.abs(score - es) < 5.1e-7, s"doc $id: $score vs $es")
+    }
+  }
+
   test("prep_domain_cap at sf0.1 equals a driver-side running-sum recompute", SlowTest) {
     val budget = 1300L
     val engine = graft.queries.DataPipeline.domainCap(spark, sfBig, budget)
