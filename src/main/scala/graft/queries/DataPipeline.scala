@@ -453,6 +453,57 @@ object DataPipeline {
        |WHERE rn <= $k
        |ORDER BY source, rn""".stripMargin
 
+  /** Deterministic epoch ordering: assign every document a position in a
+    * pseudo-random GLOBAL permutation — the reproducible "shuffle the
+    * corpus each epoch" a training run needs — WITHOUT any global sort. The
+    * permutation is addressed as (shard, pos): shard = first byte of the
+    * salted md5 draw (256 shards a reader streams in parallel), pos = the
+    * doc's exact rank within its shard in draw order. Epoch e re-salts the
+    * draw, so each epoch is an independent permutation reproducible from
+    * (corpus, epoch) alone — no RNG state, stable under repartitioning.
+    *
+    * Scale design — rank-within-shard is the [[domainCapOn]] distributed
+    * prefix pattern with COUNTS instead of token sums: sub-bucket = the
+    * draw's second byte, per-(shard, sub) counts are a tiny
+    * map-side-combinable agg (≤ 65,536 rows total), exclusive offsets come
+    * from a window over that tiny table and broadcast back, and each row's
+    * pos = its sub-bucket offset + its rank within the (shard, sub) window
+    * — 65,536-way parallel windows, never one task per shard, never a
+    * global sort. The naive one-window-per-shard form is the oracle. */
+  def epochOrder(spark: SparkSession, dir: String, epoch: Int = 0): DataFrame =
+    epochOrderOn(Tables.documents(spark, dir), epoch)
+
+  def epochOrderOn(documents: DataFrame, epoch: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    val draw = md5(concat_ws(":", lit("epoch"), lit(epoch), $"doc_id"))
+    val docs = documents.select($"doc_id")
+      .withColumn("draw", draw)
+      .withColumn("shard", substring($"draw", 1, 2))
+      .withColumn("sub", substring($"draw", 3, 2))
+    val counts = docs.groupBy($"shard", $"sub").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy($"shard").orderBy($"sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum($"c").over(wOff), lit(0L)))
+      .select($"shard", $"sub", $"offset")
+    val wIn = Window.partitionBy($"shard", $"sub").orderBy($"draw", $"doc_id")
+    docs.join(broadcast(offsets), Seq("shard", "sub"))
+      .withColumn("pos", $"offset" + row_number().over(wIn) - 1)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  def epochOrderSql(epoch: Int = 0): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    md5(concat_ws(':', 'epoch', '$epoch', CAST(doc_id AS VARCHAR))) AS draw
+       |  FROM documents)
+       |SELECT doc_id, substring(draw, 1, 2) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY substring(draw, 1, 2)
+       |    ORDER BY draw, doc_id) - 1 AS BIGINT) AS pos
+       |FROM d
+       |ORDER BY shard, pos""".stripMargin
+
   /** Streaming face of [[domainCapOn]]: admit documents from an unbounded
     * stream until each source's cumulative token budget is exhausted, with
     * the consumed-token count as exactly-once keyed state
@@ -986,6 +1037,7 @@ object DataPipeline {
     "prep_datacard" -> (datacard _),
     "prep_method_card" -> (methodCard _),
     "prep_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "prep_epoch_order" -> ((s: SparkSession, d: String) => epochOrder(s, d)),
     "prep_negative_pairs" -> ((s: SparkSession, d: String) => negativePairs(s, d)),
     "prep_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
@@ -1005,6 +1057,7 @@ object DataPipeline {
     "prep_datacard" -> datacardSql,
     "prep_method_card" -> methodCardSql,
     "prep_domain_cap" -> domainCapSql(),
+    "prep_epoch_order" -> epochOrderSql(),
     "prep_negative_pairs" -> negativePairsSql(),
     "prep_stratified" -> stratifiedSampleSql(),
     "text_chunks" -> textChunksSql(),

@@ -516,6 +516,29 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 0L), "unrelated anchors keep their negatives")
   }
 
+  test("prep_epoch_order: per-shard bijection, epoch independence, determinism") {
+    val e0 = DataPipeline.epochOrder(spark, sf, epoch = 0)
+      .as[(Long, String, Long)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(e0.length == n, "every doc gets exactly one position")
+    // positions within each shard are exactly 0..count-1 (bijection)
+    e0.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions must be a dense 0-based range")
+    }
+    // a different epoch is a different permutation of the SAME docs
+    val e1 = DataPipeline.epochOrder(spark, sf, epoch = 1)
+      .as[(Long, String, Long)].collect()
+    assert(e1.map(_._1).sorted.sameElements(e0.map(_._1).sorted))
+    val order0 = e0.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    val order1 = e1.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order0 != order1, "epochs must reshuffle")
+    // rerun of the same epoch is bit-identical
+    val again = DataPipeline.epochOrder(spark, sf, epoch = 0)
+      .as[(Long, String, Long)].collect()
+    assert(e0.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("text_lm_score: held-out LM ranks fluent above degenerate probes") {
     // ids chosen so the md5 split puts trainers in 'train' (bucket < cc) and
     // the three probes land wherever — scoring covers every split
