@@ -474,6 +474,7 @@ object DataPipeline {
     epochOrderOn(Tables.documents(spark, dir), epoch)
 
   def epochOrderOn(documents: DataFrame, epoch: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     import documents.sparkSession.implicits._
     val draw = md5(concat_ws(":", lit("epoch"), lit(epoch), $"doc_id"))
     val docs = documents.select($"doc_id")
@@ -527,6 +528,7 @@ object DataPipeline {
     * broadcast as a pre-filter if micro-batches stay hot-domain-heavy. */
   def domainCapStream(docs: DataFrame, budget: Long):
       org.apache.spark.sql.Dataset[(Long, String, Long, Long)] = {
+    require(budget > 0, s"budget must be positive, got $budget")
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
@@ -580,6 +582,8 @@ object DataPipeline {
     * and keeps 0/0 out of the ratio). */
   def negativePairs(spark: SparkSession, dir: String, m: Int = 2,
       maxJaccard: Double = 0.5): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(maxJaccard > 0 && maxJaccard <= 1, s"maxJaccard in (0,1], got $maxJaccard")
     import spark.implicits._
     val sh = Dedup.shingledDocs(spark, dir).filter($"sz" > 0)
     val n = Tables.documents(spark, dir).agg(max($"doc_id")).head().getLong(0) + 1
@@ -667,6 +671,7 @@ object DataPipeline {
     * proper; split out so fixtures and the streaming face's single-batch
     * parity spec can drive it directly. */
   def domainCapOn(documents: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     import documents.sparkSession.implicits._
     val draw = md5(concat_ws(":", lit("cap"), $"doc_id", $"source"))
     val docs = documents

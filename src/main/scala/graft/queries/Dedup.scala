@@ -872,6 +872,7 @@ object Dedup {
     * lines. Nothing is ever quadratic; line text shuffles exactly once (into
     * the rebuild). */
   def dedupLines(spark: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would strip every line, got $minDf")
     import spark.implicits._
     // limit -1: keep trailing empty lines (DuckDB string_split does; Spark's
     // default limit 0 drops them and would desync n_lines on \n-final text)

@@ -401,6 +401,7 @@ object EventsQueries {
     * operator (no driver query); the spec bounds its deviation against the
     * exact [[eventsRollingActives]] per window day — the q20 pattern. */
   def rollingActivesApprox(events: DataFrame, days: Int = 7): DataFrame = {
+    require(days >= 1, s"window must be >= 1 day, got $days")
     import events.sparkSession.implicits._
     val perDay = events
       .select($"user_id", to_date($"ts").as("day"))
