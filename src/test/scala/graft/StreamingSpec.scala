@@ -575,6 +575,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel buffer and acc survive a checkpoint restart") {
+    implicit val sql = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt_").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    def mkQuery() = EventStreams.funnelStepsStream(
+        input.toDF().toDF("ts", "user_id", "event_type"),
+        Seq("signup", "click"), "10 minutes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[(Long, String, Long)], _: Long) =>
+          batch.collect().foreach(seen.add)
+      }
+    val q1 = mkQuery().start()
+    try {
+      // both events buffered (watermark still behind them) when q1 dies
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "signup"))
+      q1.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 1L, "click"))
+      q1.processAllAvailable()
+      assert(seen.isEmpty, "nothing finalized before the watermark advance")
+    } finally q1.stop()
+    val q2 = mkQuery().start()
+    try {
+      input.addData((ts("2024-01-01 12:00:00"), 99L, "signup"))
+      q2.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 98L, "signup"))
+      q2.processAllAvailable()
+      val u1 = seen.toArray(Array.empty[(Long, String, Long)]).filter(_._1 == 1L)
+      assert(u1.map(_._2).toSet == Set("1_signup", "2_click"),
+        s"buffered events must finalize after restart: ${u1.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming funnel stage times equal the batch fold on the same data") {
     implicit val sql = spark.sqlContext
     val steps = Seq("signup", "click", "purchase")
