@@ -371,7 +371,82 @@ object SimilaritySearch {
        |FROM ranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Two-stage retrieval: int8 shortlist → fp32 exact re-rank — the standard
+    * production shape around scalar quantization (the quantized column is
+    * the cheap first pass; survivors re-score against the fp32 source of
+    * truth). Stage 1 takes the top `Shortlist` per query by dequantized
+    * int8 score (WindowGroupLimit — bounded state); stage 2 rejoins ONLY
+    * those ids to the fp32 vectors and ranks the exact cosine. At 100 TB
+    * the shortlist rejoin touches `queries × Shortlist` rows — the fp32
+    * corpus never re-scans for scoring, it serves point lookups keyed on
+    * vec_id. Fully deterministic both stages → DuckDB-oracle-checked, and
+    * the spec pins that re-ranking recovers exact-cosine order where the
+    * quantized order differs. */
+  private[graft] val Shortlist = 20
+
+  def simQuantizedRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val quant = base.select($"vec_id",
+      VectorFunctions.quantizeInt8($"v").as("qv"),
+      VectorFunctions.maxAbs($"v").as("m"))
+    val queries = quant.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"qv".as("qq"), $"m".as("mq"))
+    val w1 = Window.partitionBy($"query_id").orderBy($"qscore".desc, $"vec_id")
+    val shortlist = quant.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("qscore",
+        VectorFunctions.dotInt($"qq", $"qv").cast("double") * $"mq" * $"m" / lit(16129.0))
+      .withColumn("qrank", row_number().over(w1))
+      .filter($"qrank" <= Shortlist)
+      .select($"query_id", $"vec_id")
+    val w2 = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    shortlist
+      .join(base.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
+      .join(base, "vec_id")
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
+      .withColumn("rank", row_number().over(w2))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val simQuantizedRerankSql: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |s AS (SELECT vec_id, emb,
+       |        list_max(list_transform(emb, x -> abs(x))) AS m,
+       |        CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+       |             THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+       |             ELSE 0.0 END AS scale
+       |      FROM v),
+       |q AS (SELECT vec_id, emb, m,
+       |        list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+       |      FROM s),
+       |stage1 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT)
+       |        * a.m * b.m / 16129.0 DESC, b.vec_id) AS qrank
+       |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < $NQueries),
+       |short AS (SELECT query_id, neighbor_id FROM stage1 WHERE qrank <= $Shortlist),
+       |stage2 AS (
+       |  SELECT sh.query_id, sh.neighbor_id,
+       |    list_cosine_similarity(qa.emb, vb.emb) AS cos
+       |  FROM short sh
+       |  JOIN v qa ON qa.vec_id = sh.query_id
+       |  JOIN v vb ON vb.vec_id = sh.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM stage2)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantized_rerank" -> (simQuantizedRerank _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_filtered_topk" -> (simFilteredTopk _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -380,6 +455,7 @@ object SimilaritySearch {
     "sim_label_centroids" -> (simLabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "sim_quantized_rerank" -> simQuantizedRerankSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,

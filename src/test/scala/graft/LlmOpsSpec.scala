@@ -494,4 +494,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
+
+  test("sim_quantized_rerank: exact order on the shortlist, near-brute recall") {
+    val reranked = SimilaritySearch.simQuantizedRerank(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val brute = SimilaritySearch.simBruteforceTopk(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(reranked.keySet == brute.keySet)
+    // stage 2 is EXACT cosine, so any brute-force top-5 member that made the
+    // int8 shortlist must appear in the same relative order
+    var hits = 0; var total = 0
+    brute.foreach { case (q, bIds) =>
+      val rIds = reranked(q)
+      val common = bIds.filter(rIds.contains)
+      assert(common == rIds.filter(common.contains),
+        s"query $q: exact re-rank must preserve exact-cosine order")
+      hits += common.size; total += bIds.size
+    }
+    // int8 on 64 dims with a 4x shortlist: near-perfect recall of the top-5
+    assert(hits.toDouble / total >= 0.9,
+      s"recall@5 through the int8 shortlist fell to $hits/$total")
+  }
 }
