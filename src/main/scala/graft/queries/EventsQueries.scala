@@ -309,6 +309,85 @@ object EventsQueries {
       |FROM j JOIN cs ON j.cohort_day = cs.cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Sessionized funnel: how many SESSIONS complete signup → click →
+    * purchase with all steps inside one session (30-minute gap) — product
+    * analytics' "did the user convert in a single sitting". Composes
+    * sessionization INTO the funnel fold instead of chaining operators: the
+    * per-user fold carries (last event time, step times, per-stage session
+    * counts) and RESETS the step times whenever the gap opens a new session
+    * — so the whole query is still ONE user shuffle + one fold, where
+    * window-sessionize-then-groupBy(user, session)-fold would shuffle
+    * twice. Same strictly-after step semantics as [[funnelSteps]]
+    * (pre-event accumulator, ties excluded), fixture-pinned. */
+  def eventsSessionFunnel(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    val steps = Seq("signup", "click", "purchase")
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      .microseconds
+    val k = steps.length
+    val stepsLit = array(steps.map(lit): _*)
+    val nilTimes = array((1 to k).map(_ => lit(null).cast("long")): _*)
+    val init = struct(lit(null).cast("long").as("last"),
+      nilTimes.as("times"),
+      array((1 to k).map(_ => lit(0L)): _*).as("counts"))
+    val folded = Tables.events(spark, dir)
+      .filter($"event_type".isin(steps: _*))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_type"))).as("evs"))
+      .select(aggregate($"evs", init, (acc, e) => {
+        val newSession = acc("last").isNull || (e("tus") - acc("last") >= gapUs)
+        val t0 = when(newSession, nilTimes).otherwise(acc("times"))
+        val fired = transform(t0, (x, i) =>
+          x.isNull && e("event_type") === element_at(stepsLit, i + 1) &&
+            (i === 0 || (element_at(t0, i).isNotNull && e("tus") > element_at(t0, i))))
+        struct(
+          e("tus").as("last"),
+          zip_with(t0, fired, (x, f) => when(f, e("tus")).otherwise(x)).as("times"),
+          zip_with(acc("counts"), fired,
+            (c, f) => c + when(f, 1L).otherwise(0L)).as("counts"))
+      }).as("f"))
+    val sums = (0 until k).map(i =>
+      sum(element_at($"f.counts", i + 1)).as(s"n$i"))
+    folded.agg(sums.head, sums.tail: _*)
+      .select(explode(array((0 until k).map(i =>
+        struct(lit(s"${i + 1}_${steps(i)}").as("stage"),
+          col(s"n$i").as("sessions"))): _*)).as("r"))
+      .select($"r.stage", $"r.sessions")
+      .orderBy($"stage")
+  }
+
+  // Oracle: explicit gaps-and-islands session ids (the eventsSessions shape),
+  // then the textbook per-session 3-CTE funnel.
+  val eventsSessionFunnelSql: String =
+    """WITH f AS (SELECT user_id, ts, event_type FROM events
+      |           WHERE event_type IN ('signup', 'click', 'purchase')),
+      |marked AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type))
+      |              >= 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, ts, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_type
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |s1 AS (SELECT user_id, sid, min(ts) AS t1 FROM sess
+      |       WHERE event_type = 'signup' GROUP BY 1, 2),
+      |s2 AS (SELECT e.user_id, e.sid, min(e.ts) AS t2 FROM sess e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, e.sid, min(e.ts) AS t3 FROM sess e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.sid = s2.sid
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1, 2)
+      |SELECT '1_signup' AS stage, count(*) AS sessions FROM s1
+      |UNION ALL SELECT '2_click', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
   /** Top event-type paths: the 20 most common length-3 event sequences
     * across users (clickstream path analysis). Ties in event time break on
     * event_id so the per-user sequence — and therefore every count — is
@@ -418,6 +497,7 @@ object EventsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rolling_actives" -> (eventsRollingActives _),
+    "events_session_funnel" -> ((s: SparkSession, d: String) => eventsSessionFunnel(s, d)),
     "events_paths" -> (eventsPaths _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
@@ -431,6 +511,7 @@ object EventsQueries {
 
   val oracles: Map[String, String] = Map(
     "events_rolling_actives" -> eventsRollingActivesSql,
+    "events_session_funnel" -> eventsSessionFunnelSql,
     "events_paths" -> eventsPathsSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,

@@ -121,6 +121,31 @@ class FunnelRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("session funnel: gap resets steps; two complete sessions count twice") {
+    val dir = eventsDir(Seq(
+      // u1: completes within one sitting
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (0L, "2024-01-01 10:05:00", 1L, "click"),
+      (0L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // u2: signup, then the click 31 minutes later — NEW session, so the
+      // click cannot complete stage 2 (an unsessionized funnel would count it)
+      (0L, "2024-01-01 10:00:00", 2L, "signup"),
+      (0L, "2024-01-01 10:31:00", 2L, "click"),
+      // u3: TWO complete sessions in one day -> contributes 2 to every stage
+      (0L, "2024-01-01 09:00:00", 3L, "signup"),
+      (0L, "2024-01-01 09:01:00", 3L, "click"),
+      (0L, "2024-01-01 09:02:00", 3L, "purchase"),
+      (0L, "2024-01-01 15:00:00", 3L, "signup"),
+      (0L, "2024-01-01 15:01:00", 3L, "click"),
+      (0L, "2024-01-01 15:02:00", 3L, "purchase")))
+    val got = EventsQueries.eventsSessionFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // sessions reaching each stage: u1 (1) + u2's first session (signup
+    // only) + u2's second session (click alone, no signup -> stage 0) +
+    // u3 (2 sessions)
+    assert(got == Map("1_signup" -> 4L, "2_click" -> 3L, "3_purchase" -> 3L))
+  }
+
   test("events_paths: trigram counts with event_id tie-break at equal ts") {
     // u1 emits a>b>c>d (two trigrams); u2 emits a>b>c with b,c at the SAME
     // timestamp — event_id order (insertion order here) must break the tie

@@ -143,6 +143,14 @@ class PlanSpec extends AnyFunSuite {
       s"verification must stay linear in sampled pairs:\n$plan")
   }
 
+  test("events_session_funnel is one user shuffle (sessionize inside the fold)") {
+    val plan = planOf("events_session_funnel")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"sessionized funnel should shuffle once on user_id, found $keyShuffles:\n$plan")
+    assert(!plan.contains("Join"), s"no session-id join round allowed:\n$plan")
+  }
+
   test("events_funnel is one user shuffle (fold, not three join rounds)") {
     val plan = planOf("events_funnel")
     val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
