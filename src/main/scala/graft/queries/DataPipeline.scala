@@ -505,6 +505,67 @@ object DataPipeline {
        |FROM d
        |ORDER BY shard, pos""".stripMargin
 
+  /** Epoch-shuffled sequence packing: [[packSequences]]' token-budget packs,
+    * but in the EPOCH-SHUFFLED order of [[epochOrder]] rather than doc_id
+    * order — the composition a pretraining run actually executes (shuffle
+    * the corpus, then pack the shuffled stream into fixed-budget
+    * sequences). Packs are scoped per shard (256 parallel pack streams;
+    * packs never cross shards), so the global structure stays deterministic
+    * AND parallel: (epoch, shard, pack_id) addresses a pack exactly.
+    *
+    * Scale: the running token total within a shard is the same two-level
+    * distributed prefix sum as [[domainCapOn]] — per-(shard, sub) token
+    * sums → broadcast exclusive offsets → 65,536-way parallel windows.
+    * (Shards are hash-uniform so even the naive 256-way window has no hot
+    * task, but a 100 TB corpus still puts ~400 GB in each; the sub-bucket
+    * level keeps window inputs at ~1.5 GB.) Docs may straddle a pack
+    * boundary — the [[packSequences]] contract. */
+  def packShuffled(spark: SparkSession, dir: String, epoch: Int = 0,
+      budget: Long = 512): DataFrame = {
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    val draw = md5(concat_ws(":", lit("epoch"), lit(epoch), $"doc_id"))
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
+      .withColumn("draw", draw)
+      .withColumn("shard", substring($"draw", 1, 2))
+      .withColumn("sub", substring($"draw", 3, 2))
+    val sums = docs.groupBy($"shard", $"sub").agg(sum($"n_tokens").as("stok"))
+    val wOff = Window.partitionBy($"shard").orderBy($"sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("offset", coalesce(sum($"stok").over(wOff), lit(0L)))
+      .select($"shard", $"sub", $"offset")
+    val wIn = Window.partitionBy($"shard", $"sub").orderBy($"draw", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("shard", "sub"))
+      .withColumn("cum_before",
+        $"offset" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .select($"doc_id", $"shard", $"n_tokens",
+        floor($"cum_before" / budget).cast("long").as("pack_id"),
+        $"cum_before")
+      .orderBy($"shard", $"cum_before")
+  }
+
+  def packShuffledSql(epoch: Int = 0, budget: Long = 512): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(${OracleFragments.tokenCount("text")} AS BIGINT) AS n_tokens,
+       |    md5(concat_ws(':', 'epoch', '$epoch', CAST(doc_id AS VARCHAR))) AS draw
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, substring(draw, 1, 2) AS shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY substring(draw, 1, 2)
+       |      ORDER BY draw, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(floor(CAST(cum_before AS DOUBLE) / $budget) AS BIGINT) AS pack_id,
+       |  cum_before
+       |FROM c
+       |ORDER BY shard, cum_before""".stripMargin
+
   /** Streaming face of [[domainCapOn]]: admit documents from an unbounded
     * stream until each source's cumulative token budget is exhausted, with
     * the consumed-token count as exactly-once keyed state
@@ -1043,6 +1104,7 @@ object DataPipeline {
     "prep_method_card" -> (methodCard _),
     "prep_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "prep_epoch_order" -> ((s: SparkSession, d: String) => epochOrder(s, d)),
+    "prep_pack_shuffled" -> ((s: SparkSession, d: String) => packShuffled(s, d)),
     "prep_negative_pairs" -> ((s: SparkSession, d: String) => negativePairs(s, d)),
     "prep_stratified" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "text_chunks" -> ((s: SparkSession, d: String) => textChunks(s, d)),
@@ -1063,6 +1125,7 @@ object DataPipeline {
     "prep_method_card" -> methodCardSql,
     "prep_domain_cap" -> domainCapSql(),
     "prep_epoch_order" -> epochOrderSql(),
+    "prep_pack_shuffled" -> packShuffledSql(),
     "prep_negative_pairs" -> negativePairsSql(),
     "prep_stratified" -> stratifiedSampleSql(),
     "text_chunks" -> textChunksSql(),

@@ -539,6 +539,29 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(e0.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("prep_pack_shuffled packs exactly the epoch-0 permutation, dense packs") {
+    val packed = DataPipeline.packShuffled(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val order = DataPipeline.epochOrder(spark, sf, epoch = 0)
+      .as[(Long, String, Long)].collect()
+    // the pack stream is the SAME permutation the epoch order addresses
+    val packSeq = packed.sortBy(r => (r._2, r._5)).map(r => (r._2, r._1)).toSeq
+    val epochSeq = order.sortBy(r => (r._2, r._3)).map(r => (r._2, r._1)).toSeq
+    assert(packSeq == epochSeq, "pack order must be the epoch permutation")
+    packed.groupBy(_._2).foreach { case (shard, rows) =>
+      // pack ids are dense from 0 and recompute from the running total
+      val sorted = rows.sortBy(_._5)
+      var cum = 0L
+      sorted.foreach { case (_, _, nTok, packId, cumBefore) =>
+        assert(cumBefore == cum, s"shard $shard running total")
+        assert(packId == cum / 512, s"shard $shard pack assignment")
+        cum += nTok
+      }
+      val ids = sorted.map(_._4).distinct
+      assert(ids.toList == (0L to ids.max).toList, s"shard $shard pack ids dense")
+    }
+  }
+
   test("text_lm_score: held-out LM ranks fluent above degenerate probes") {
     // ids chosen so the md5 split puts trainers in 'train' (bucket < cc) and
     // the three probes land wherever — scoring covers every split
