@@ -775,6 +775,72 @@ object DataPipeline {
        |FROM c WHERE cum_before < $budget
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Global token-budget curation: keep the HIGHEST-QUALITY documents until
+    * a corpus-wide token budget fills — "give me the best 500B tokens" — the
+    * selection rule behind quality-pruned pretraining sets. Selection order
+    * is (quality DESC, doc_id): the unique global prefix of the
+    * quality-ranked corpus whose cumulative token count stays under budget.
+    *
+    * Scale design — logically a global sort + running sum, executed with
+    * NEITHER: quality is binned onto a 257-value grid (floor(q·256); bin
+    * order ≡ quality order across bins because floor is monotone), per-bin
+    * token sums are a tiny map-side-combinable agg, exclusive bin offsets
+    * come from one window over that ≤257-row table (single-partition is fine
+    * at metadata size — same rationale as [[domainCapOn]]'s broadcast), and
+    * each doc's cum_before = its bin's offset + a within-bin prefix sum
+    * (256-way parallel windows). The oracle is the naive one-window global
+    * form; matching it hash-exactly proves the decomposition. Within-bin
+    * ties in quality break by doc_id on both sides, so the kept set is
+    * unique. Docs straddling nothing: a doc whose cum_before < budget is
+    * kept even if it overshoots — the prefix rule, mirrored exactly. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 8000): DataFrame =
+    tokenBudgetOn(Tables.documents(spark, dir), budget)
+
+  /** [[tokenBudget]] over any (doc_id, text) frame — split out for fixture
+    * specs, like [[domainCapOn]]. */
+  def tokenBudgetOn(documents: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import documents.sparkSession.implicits._
+    val docs = documents
+      .select($"doc_id",
+        // kernel token count ≡ tokenCount (FunctionsSpec differential)
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"),
+        TF.qualityScore($"text").as("quality"))
+      .withColumn("bin", floor($"quality" * 256).cast("int"))
+    val binSums = docs.groupBy($"bin").agg(sum($"n_tokens").as("btok"))
+    // exclusive prefix over bins in DESCENDING quality order; ≤257 rows, so
+    // the single-partition window is metadata-sized, never a data shuffle
+    val wOff = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binSums
+      .withColumn("offset", coalesce(sum($"btok").over(wOff), lit(0L)))
+      .select($"bin", $"offset")
+    val wIn = Window.partitionBy($"bin").orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("bin"))
+      .withColumn("cum_before",
+        $"offset" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .filter($"cum_before" < budget)
+      .select($"doc_id", $"quality", $"n_tokens", $"cum_before")
+      .orderBy($"doc_id")
+  }
+
+  def tokenBudgetSql(budget: Long = 8000): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(${OracleFragments.tokenCount("text")} AS BIGINT) AS n_tokens,
+       |    ${OracleFragments.quality("text")} AS quality
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, quality, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM d)
+       |SELECT doc_id, quality, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budget
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram decontamination: train-split documents sharing any verbatim
     * 8-gram with a test-split document — the standard exact-overlap
     * decontamination check (the GPT-3 paper used 13-grams; 8 fits this
@@ -1103,6 +1169,7 @@ object DataPipeline {
     "prep_datacard" -> (datacard _),
     "prep_method_card" -> (methodCard _),
     "prep_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "prep_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "prep_epoch_order" -> ((s: SparkSession, d: String) => epochOrder(s, d)),
     "prep_pack_shuffled" -> ((s: SparkSession, d: String) => packShuffled(s, d)),
     "prep_negative_pairs" -> ((s: SparkSession, d: String) => negativePairs(s, d)),
@@ -1124,6 +1191,7 @@ object DataPipeline {
     "prep_datacard" -> datacardSql,
     "prep_method_card" -> methodCardSql,
     "prep_domain_cap" -> domainCapSql(),
+    "prep_token_budget" -> tokenBudgetSql(),
     "prep_epoch_order" -> epochOrderSql(),
     "prep_pack_shuffled" -> packShuffledSql(),
     "prep_negative_pairs" -> negativePairsSql(),

@@ -495,7 +495,54 @@ object EventsQueries {
       .orderBy($"day")
   }
 
+  /** Daily-volume anomaly detection: per event type, the days whose event
+    * count deviates from that type's mean by more than two standard
+    * deviations — the monitoring query behind every "traffic dropped
+    * overnight" alert.
+    *
+    * The 2σ test is evaluated in EXACT integer arithmetic:
+    * |cnt − s/n| > 2σ  ⇔  (n·cnt − s)² > 4·(n·q − s²), with s = Σcnt,
+    * q = Σcnt², n = #days — all BIGINT, so the result is bit-identical to
+    * the oracle regardless of float accumulation order (a `stddev_pop`
+    * formulation would diverge by ulps between engines and between
+    * partition schedules). `dev_n = n·cnt − s` is reported so the SIGN of
+    * the deviation (spike vs drop) travels with the flag.
+    *
+    * Scale design: the only full-data shuffle is the (type, day) count,
+    * which partial-aggregates map-side; the per-type moment table is
+    * #types rows and broadcasts back onto the daily counts. Nothing else
+    * moves. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
+        sum($"cnt" * $"cnt").as("q"))
+    val devN = $"n" * $"cnt" - $"s"
+    daily.join(broadcast(stats), "event_type")
+      .filter(devN * devN > lit(4L) * ($"n" * $"q" - $"s" * $"s"))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"cnt", devN.as("dev_n"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS q
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+      |  CAST(s.n * d.cnt - s.s AS BIGINT) AS dev_n
+      |FROM d JOIN s USING (event_type)
+      |WHERE (s.n*d.cnt - s.s)*(s.n*d.cnt - s.s) > 4*(s.n*s.q - s.s*s.s)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "events_rolling_actives" -> (eventsRollingActives _),
     "events_session_funnel" -> ((s: SparkSession, d: String) => eventsSessionFunnel(s, d)),
     "events_paths" -> (eventsPaths _),
@@ -510,6 +557,7 @@ object EventsQueries {
     "events_asof_forward" -> (eventsAsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" -> eventsAnomalySql,
     "events_rolling_actives" -> eventsRollingActivesSql,
     "events_session_funnel" -> eventsSessionFunnelSql,
     "events_paths" -> eventsPathsSql,

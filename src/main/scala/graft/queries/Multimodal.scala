@@ -221,7 +221,90 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY fp""".stripMargin
 
+  /** 64-bit SimHash over a payload's sliding byte 4-grams: every 4-byte
+    * window FNV-hashes to 64 bits, each bit position accumulates ±1 by that
+    * bit's value, and the output bit is the accumulator's sign (Charikar's
+    * scheme, fed by content-defined byte shingles). A near-identical payload
+    * (re-encode, small splice) shares almost all windows — only the O(edit)
+    * windows overlapping the change differ — so its hash lands within a few
+    * bits; unrelated payloads land ~32 bits apart. Position-chunked or
+    * histogram hashes both fail here (the former breaks under a 1-byte
+    * shift, the latter can't tell two ASCII documents apart); window-content
+    * hashing is the shape real binary near-dup uses. For an image pipeline
+    * the input would be the decoder's pixel buffer; the hash math, banding,
+    * and join plumbing are the real thing either way. Payloads shorter than
+    * one window hash to 0. */
+  private[graft] def byteSimHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i + 4 <= n) {
+      var h = 0xCBF29CE484222325L // FNV-1a over the 4-byte window
+      var k = i
+      while (k < i + 4) {
+        h ^= (bytes(k) & 0xffL)
+        h *= 0x100000001B3L
+        k += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Near-duplicate media detection: banded Hamming search over the 64-bit
+    * [[byteSimHash64]] perceptual hash — the image-dedup step after
+    * [[multimodalExactDedup]] catches octet-identical copies (re-encoded /
+    * lightly-edited media share a perceptual hash neighborhood, not an md5).
+    *
+    * Same pigeonhole design as `dedup_simhash`: 4 bands of 16 bits; a pair
+    * within Hamming ≤ 3 differs in at most 3 bands, so at least one band
+    * matches EXACTLY — candidate recall 1.0 by construction, then the full
+    * 64-bit popcount verifies. Hashing is a batched `mapPartitions` pass
+    * (the decoder-adjacent shape every multimodal op here uses); the join
+    * shuffles only (band-key, doc_id, hash) rows — never payload bytes.
+    * Rows-only driver check (byte-chunk means aren't ANSI SQL); the spec
+    * pins band-candidate ≡ brute-force Hamming ≤ 3 parity and determinism. */
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // per-partition decoder setup would precede the loop, as in decode
+        batch.map { case (id, bytes) => (id, byteSimHash64(bytes)) }
+      }
+      .toDF("doc_id", "ph")
+    val banded = hashed.select($"doc_id", $"ph",
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright($"ph", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"ph", $"bk.band".as("band"), $"bk.key".as("key"))
+    banded.select($"band", $"key", $"doc_id".as("doc_a"), $"ph".as("ph_a"))
+      .join(banded.select($"band", $"key", $"doc_id".as("doc_b"), $"ph".as("ph_b")),
+        Seq("band", "key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "multimodal_exact_dedup" -> (multimodalExactDedup _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_bytes" -> (multimodalBytes _),

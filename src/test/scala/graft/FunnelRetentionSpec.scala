@@ -214,4 +214,41 @@ class FunnelRetentionSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq(("2024-01-01", 0, 2L, 2L), ("2024-01-01", 1, 1L, 2L)))
   }
+
+  test("anomaly: a 10x spike day flags, steady days don't, zero-variance " +
+      "types never flag (strict inequality)") {
+    // click: ten days of 10 events, then one day of 100. mean ≈ 18.2,
+    // σ ≈ 25.9 — the spike (dev ≈ 81.8 > 2σ) flags, steady days
+    // (dev ≈ 8.2) don't. view: three identical days — variance 0, and the
+    // STRICT > keeps dev-0 days unflagged rather than flagging everything.
+    val rows =
+      (1 to 10).flatMap { d =>
+        (0 until 10).map(k => (0L, f"2024-01-$d%02d 10:00:$k%02d", k.toLong, "click"))
+      } ++
+      (0 until 100).map(k => (0L, f"2024-01-11 10:${k / 60}%02d:${k % 60}%02d", k.toLong, "click")) ++
+      (1 to 3).map(d => (0L, f"2024-02-$d%02d 09:00:00", 7L, "view"))
+    val got = EventsQueries.eventsAnomaly(spark, eventsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("click", "2024-01-11", 100L, 900L)),
+      s"got ${got.toSeq}")
+    // dev_n = n*cnt - s = 11*100 - 200 = 900: positive = spike (a drop
+    // would carry a negative dev_n)
+  }
+
+  test("anomaly on sf matches an independent double-precision recompute") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val expect = daily.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val n = rows.length
+      val mean = rows.map(_._3).sum.toDouble / n
+      val sigma = math.sqrt(rows.map(r => (r._3 - mean) * (r._3 - mean)).sum / n)
+      rows.filter(r => math.abs(r._3 - mean) > 2 * sigma)
+        .map(r => (r._1, r._2.toString, r._3))
+    }.toSet
+    val got = EventsQueries.eventsAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect, s"only=${got -- expect} missing=${expect -- got}")
+  }
 }

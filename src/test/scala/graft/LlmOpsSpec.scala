@@ -358,6 +358,46 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq("format", "n_docs", "total_bytes", "max_width", "max_height"))
   }
 
+  test("multimodal_phash_dedup ≡ brute-force Hamming<=3 over byte simhashes") {
+    val got = Multimodal.multimodalPhashDedup(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    // driver-side brute force over all C(500,2) pairs: the 4x16 banding's
+    // pigeonhole recall is EXACT at d<=3, so the sets must be identical
+    val hashes = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, Multimodal.byteSimHash64(t.getBytes("UTF-8")))
+      }
+    val exact = (for {
+      (a, ha) <- hashes.iterator
+      (b, hb) <- hashes.iterator
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == exact, s"only=${got -- exact} missing=${exact -- got}")
+    assert(got.nonEmpty, "corpus near-dups must surface as phash pairs")
+  }
+
+  test("byte simhash: a small splice moves the hash a few bits; unrelated " +
+      "payloads land far apart") {
+    val base = (0 until 80).map(i => s"token$i payload segment")
+      .mkString(" ").getBytes("UTF-8")
+    val edited = new String(base, "UTF-8")
+      .replace("token40", "spliced").getBytes("UTF-8")
+    val unrelated = (0 until 80).map(i => s"other$i corpus chunk")
+      .mkString(" ").getBytes("UTF-8")
+    val (hB, hE, hU) = (Multimodal.byteSimHash64(base),
+      Multimodal.byteSimHash64(edited), Multimodal.byteSimHash64(unrelated))
+    val near = java.lang.Long.bitCount(hB ^ hE)
+    val far = java.lang.Long.bitCount(hB ^ hU)
+    assert(near <= 3, s"one-word splice moved $near bits")
+    assert(far > 10, s"unrelated payloads only $far bits apart")
+    assert(Multimodal.byteSimHash64(Array.emptyByteArray) == 0L)
+    assert(Multimodal.byteSimHash64("abc".getBytes) == 0L,
+      "sub-window payload hashes to 0")
+  }
+
   test("text fingerprint is invariant to case and whitespace") {
     val fps = Seq("Hello  World", "hello world", " HELLO\tWORLD ")
       .toDF("text").select(TF.fingerprintMd5($"text")).as[String].collect()

@@ -389,6 +389,41 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(got.map(_._2) == sources, "every domain keeps at least one doc")
   }
 
+  test("prep_token_budget: bin decomposition ≡ naive global sort + running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 8000L
+    val got = DataPipeline.tokenBudget(spark, sf, budget)
+      .as[(Long, Double, Long, Long)].collect()
+    // the naive form the 100 TB decomposition must reproduce exactly: ONE
+    // global window in (quality DESC, doc_id) order
+    val w = Window.orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = Tables.documents(spark, sf)
+      .select($"doc_id",
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"),
+        TF.qualityScore($"text").as("quality"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"cum_before" < budget)
+      .select($"doc_id", $"quality", $"n_tokens", $"cum_before")
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(got.toSet == ref,
+      s"only=${got.toSet.diff(ref).take(5)} missing=${ref.diff(got.toSet).take(5)}")
+    // prefix property: the kept set is exactly the head of the full
+    // quality-ranked corpus — no doc outside the prefix sneaks in
+    val ranked = Tables.documents(spark, sf)
+      .select($"doc_id", TF.qualityScore($"text").as("quality"))
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, q) => (-q, id) }.map(_._1)
+    assert(got.map(_._1).toSet == ranked.take(got.length).toSet,
+      "kept set is the quality-ranked prefix")
+    // budget semantics: every kept doc STARTED under budget, and the kept
+    // tokens cross it (the prefix rule) unless the corpus ran out
+    assert(got.forall(_._4 < budget))
+    val totalKept = got.map(_._3).sum
+    assert(totalKept >= budget || got.length == ranked.length,
+      s"kept $totalKept tokens of a $budget budget without exhausting the corpus")
+  }
+
   test("prep_domain_cap caps a mega-domain and keeps the hash-order prefix") {
     // one hot domain (200 docs x 8 tokens) + one tiny (3 docs): the cap must
     // trim the hot one to the md5-order prefix and pass the tiny one whole
