@@ -273,19 +273,44 @@ object Multimodal {
     * 64-bit popcount verifies. Hashing is a batched `mapPartitions` pass
     * (the decoder-adjacent shape every multimodal op here uses); the join
     * shuffles only (band-key, doc_id, hash) rows — never payload bytes.
-    * Rows-only driver check (byte-chunk means aren't ANSI SQL); the spec
-    * pins band-candidate ≡ brute-force Hamming ≤ 3 parity and determinism. */
-  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashed = Tables.documents(spark, dir)
+    *
+    * Scale guard: only DISTINCT payloads are hashed and banded — one
+    * representative (min doc_id) per md5 fingerprint. A 100 TB media corpus
+    * carries millions of octet-identical copies ([[multimodalExactDedup]]'s
+    * whole reason to exist), and every copy shares every band key, so
+    * banding raw doc_ids would make the self-join QUADRATIC in copy count;
+    * collapsing to representatives first makes exact copies cost one row
+    * each, and their pairs are already owned by the exact-dedup operator.
+    * Output pairs relate representatives (equivalently: payload equivalence
+    * classes). Rows-only driver check (the byte-window hash isn't ANSI
+    * SQL); the spec pins rep-pairs ≡ brute-force Hamming ≤ 3 parity and the
+    * no-quadratic-blowup property on an all-copies fixture. */
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalPhashDedupOn(Tables.documents(spark, dir))
+
+  /** [[multimodalPhashDedup]] over any (doc_id, text) frame — split out for
+    * the all-copies fixture spec. */
+  def multimodalPhashDedupOn(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val hashed = documents
       .filter($"text".isNotNull)
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // per-partition decoder setup would precede the loop, as in decode
-        batch.map { case (id, bytes) => (id, byteSimHash64(bytes)) }
+        // both hashes in ONE payload pass (per-partition decoder setup
+        // would precede the loop): the shuffle that follows carries only
+        // (fp, doc_id, ph) — payload bytes never leave their scan task
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { case (id, bytes) =>
+          md.reset()
+          val fp = md.digest(bytes).map("%02x".format(_)).mkString
+          (fp, id, byteSimHash64(bytes))
+        }
       }
-      .toDF("doc_id", "ph")
+      .toDF("fp", "doc_id", "ph")
+      .groupBy($"fp") // distinct payloads only: copies collapse to one rep
+      .agg(min($"doc_id").as("doc_id"), first($"ph").as("ph"))
+      .select($"doc_id", $"ph")
     val banded = hashed.select($"doc_id", $"ph",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

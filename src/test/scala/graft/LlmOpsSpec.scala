@@ -358,25 +358,54 @@ class LlmOpsSpec extends AnyFunSuite {
       Seq("format", "n_docs", "total_bytes", "max_width", "max_height"))
   }
 
-  test("multimodal_phash_dedup ≡ brute-force Hamming<=3 over byte simhashes") {
+  test("multimodal_phash_dedup ≡ brute-force Hamming<=3 over distinct-payload reps") {
     val got = Multimodal.multimodalPhashDedup(spark, sf)
       .as[(Long, Long, Int)].collect().toSet
-    // driver-side brute force over all C(500,2) pairs: the 4x16 banding's
+    // driver-side mirror: collapse octet-identical payloads to their min
+    // doc_id rep, then brute-force all rep pairs — the 4x16 banding's
     // pigeonhole recall is EXACT at d<=3, so the sets must be identical
-    val hashes = Tables.documents(spark, sf)
+    val reps = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
-      .map { case (id, t) =>
-        (id, Multimodal.byteSimHash64(t.getBytes("UTF-8")))
-      }
+      .groupBy(_._2).map { case (t, ds) =>
+        (ds.map(_._1).min, Multimodal.byteSimHash64(t.getBytes("UTF-8")))
+      }.toArray
     val exact = (for {
-      (a, ha) <- hashes.iterator
-      (b, hb) <- hashes.iterator
+      (a, ha) <- reps.iterator
+      (b, hb) <- reps.iterator
       if a < b
       d = java.lang.Long.bitCount(ha ^ hb)
       if d <= 3
     } yield (a, b, d)).toSet
     assert(got == exact, s"only=${got -- exact} missing=${exact -- got}")
     assert(got.nonEmpty, "corpus near-dups must surface as phash pairs")
+  }
+
+  test("phash dedup collapses exact copies: an all-copies block yields one " +
+      "rep, never a quadratic pair set") {
+    // 300 octet-identical payloads + 2 distinct near-dups: without the rep
+    // collapse the identical block alone would band-join 300x300 rows;
+    // with it the block is ONE rep (doc 0) and the output is exactly the
+    // brute force over the 3 distinct payloads
+    val same = (0 until 60).map(i => s"shared$i block payload").mkString(" ")
+    val varA = (0 until 60).map(i => s"variant$i media chunk").mkString(" ")
+    val varB = varA.replace("variant30", "retouched")
+    val docs = ((0 until 300).map(i => (i.toLong, same)) ++
+      Seq((300L, varA), (301L, varB))).toDF("doc_id", "text")
+    val got = Multimodal.multimodalPhashDedupOn(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    val reps = Seq((0L, same), (300L, varA), (301L, varB))
+      .map { case (id, t) => (id, Multimodal.byteSimHash64(t.getBytes("UTF-8"))) }
+    val exact = (for {
+      (a, ha) <- reps.iterator; (b, hb) <- reps.iterator
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == exact, s"got=$got expected=$exact")
+    assert(got.contains((300L, 301L,
+      java.lang.Long.bitCount(reps(1)._2 ^ reps(2)._2))),
+      "the retouched variant must pair with its original")
+    assert(got.size <= 3, s"rep collapse failed: ${got.size} pairs")
   }
 
   test("byte simhash: a small splice moves the hash a few bits; unrelated " +
