@@ -56,7 +56,10 @@ class PlanSpec extends AnyFunSuite {
       "q34_minmax_by" -> Seq("o_custkey", "o_orderdate", "o_orderstatus"),
       "q35_scd2" -> Seq("o_orderstatus", "o_orderpriority"),
       "q36_range_frame" -> Seq("o_orderstatus", "o_orderpriority"),
-      "prep_outliers" -> Seq("l_quantity", "l_discount", "l_tax", "l_shipdate"))
+      "prep_outliers" -> Seq("l_quantity", "l_discount", "l_tax", "l_shipdate"),
+      "events_anomaly" -> Seq("event_id", "user_id", "value", "props"), // uses ts+event_type
+      "prep_token_budget" -> Seq("lang", "source", "n_chars"),          // uses doc_id+text
+      "multimodal_phash_dedup" -> Seq("lang", "source", "n_chars"))     // uses doc_id+text
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
       assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
   }
@@ -289,5 +292,41 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc metrics must not shuffle:\n$plan")
     assert(!plan.contains("Join") && !plan.contains("Generate"),
       s"per-doc metrics must not join or explode:\n$plan")
+  }
+
+  test("events_anomaly broadcasts the moment table and AQE reuses the " +
+      "daily-count shuffle (events scan once at runtime)") {
+    val df = SparkEntry.queries("events_anomaly")(spark, sf)
+    df.collect() // exchange reuse is an AQE runtime fact: finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"moment table must broadcast:\n$finalSection")
+    assert(!finalSection.contains("SortMergeJoin"))
+    // the stats side must REUSE the daily-count exchange, not rescan events:
+    // exactly one FileScan survives in the final plan
+    assert(finalSection.contains("ReusedExchange"),
+      s"daily-count shuffle must be reused by the moment agg:\n$finalSection")
+    assert(finalSection.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"events must scan once:\n$finalSection")
+  }
+
+  test("prep_token_budget shuffles doc rows once (on bin) and broadcasts " +
+      "the offset table — no global sort before the output orderBy") {
+    val plan = planOf("prep_token_budget")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bin offsets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("bin#")),
+      s"doc rows may shuffle only on the quality bin: $hashEx")
+    // exactly one rangepartitioning: the deterministic output orderBy —
+    // the RANKING itself must never plan a global sort
+    assert(plan.linesIterator.count(_.contains("rangepartitioning")) == 1,
+      s"ranking must not global-sort:\n$plan")
   }
 }

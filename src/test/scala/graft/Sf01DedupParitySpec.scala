@@ -274,4 +274,48 @@ class Sf01DedupParitySpec extends AnyFunSuite {
     assert(engine == expected,
       s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
   }
+
+  test("prep_token_budget at sf0.1 equals a driver-side global running sum", SlowTest) {
+    val budget = 8000L
+    val engine = graft.queries.DataPipeline.tokenBudget(spark, sfBig, budget)
+      .as[(Long, Double, Long, Long)].collect().toSet
+    // independent path: collect (quality, tokens), ONE driver-side sort +
+    // running sum — no bins, no windows, no broadcast
+    val docs = Tables.documents(spark, sfBig)
+      .select($"doc_id", TF.qualityScore($"text").as("q"),
+        TF.textScanStats($"text").getItem(0).cast("long").as("t"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = docs.flatMap { case (id, q, t) =>
+      val r = if (cum < budget) Some((id, q, t, cum)) else None
+      cum += t
+      r
+    }.toSet
+    assert(engine == expected,
+      s"engine-only=${(engine -- expected).take(3)} driver-only=${(expected -- engine).take(3)}")
+  }
+
+  test("events_anomaly at sf0.1 equals an exact-rational driver recompute", SlowTest) {
+    // independent arithmetic: BigInt, so even a boundary day exactly AT 2σ
+    // is decided identically (the engine's BIGINT inequality is exact too —
+    // this differential would catch an accidental drift to float stddev)
+    val daily = Tables.events(spark, sfBig)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val expected = daily.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      rows.filter { r =>
+        val dev = n * BigInt(r._3) - s
+        dev * dev > 4 * (n * q - s * s)
+      }.map(r => (r._1, r._2.toString, r._3))
+    }.toSet
+    val got = graft.queries.EventsQueries.eventsAnomaly(spark, sfBig).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, s"only=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "sf0.1 must surface at least the partial boundary days")
+  }
 }
