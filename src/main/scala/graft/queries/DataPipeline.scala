@@ -792,7 +792,12 @@ object DataPipeline {
     * form; matching it hash-exactly proves the decomposition. Within-bin
     * ties in quality break by doc_id on both sides, so the kept set is
     * unique. Docs straddling nothing: a doc whose cum_before < budget is
-    * kept even if it overshoots — the prefix rule, mirrored exactly. */
+    * kept even if it overshoots — the prefix rule, mirrored exactly.
+    *
+    * Like [[domainCapOn]], the bin-sum side re-reads the (doc_id, text)
+    * scan rather than caching it: two pruned two-column scans beat pinning
+    * the scored corpus in cluster memory at 100 TB; persist the projection
+    * first if the quality kernel ever dominates the scan. */
   def tokenBudget(spark: SparkSession, dir: String, budget: Long = 8000): DataFrame =
     tokenBudgetOn(Tables.documents(spark, dir), budget)
 

@@ -311,6 +311,20 @@ object Multimodal {
       .groupBy($"fp") // distinct payloads only: copies collapse to one rep
       .agg(min($"doc_id").as("doc_id"), first($"ph").as("ph"))
       .select($"doc_id", $"ph")
+    phashBandCandidates(hashed)
+      .select($"doc_a", $"doc_b",
+        graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The band-join candidate stage of [[multimodalPhashDedupOn]] over a
+    * (doc_id, ph) frame — split out so CandidateVolumeSpec can pin its
+    * volume through the production path. One candidate row per (band, key)
+    * agreement; the caller dedups and verifies. */
+  private[graft] def phashBandCandidates(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val banded = hashed.select($"doc_id", $"ph",
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -321,11 +335,6 @@ object Multimodal {
       .join(banded.select($"band", $"key", $"doc_id".as("doc_b"), $"ph".as("ph_b")),
         Seq("band", "key"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 3)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

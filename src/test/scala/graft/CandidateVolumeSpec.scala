@@ -123,4 +123,39 @@ class CandidateVolumeSpec extends AnyFunSuite {
     assert(pairs == expected,
       s"missing=${expected -- pairs} extra=${pairs -- expected}")
   }
+
+  test("phash band-join candidates stay linear over distinct payloads " +
+      "(copies having collapsed upstream)") {
+    import graft.queries.Multimodal
+    // 600 UNRELATED payloads: their 64-bit simhashes are ~uniform, so a
+    // 16-bit band key collides between two docs w.p. ~2^-16 and expected
+    // candidate volume is 4·C(600,2)/65536 ≈ 11 — the linear regime the
+    // banding scheme promises once exact copies are collapsed to reps (the
+    // quadratic failure mode, pinned separately in LlmOpsSpec). A planted
+    // twin pair keeps the fixture non-degenerate.
+    // RANDOM payloads, not templated text: docs sharing a template share
+    // most 4-byte windows and land simhash-close — which is near-dup
+    // behavior, not the unrelated-corpus regime this fixture pins
+    val rnd = new scala.util.Random(7)
+    val n = 600
+    def randPayload(): String =
+      (0 until 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (0 until n).map(i => (i.toLong, randPayload())) :+
+      ((n.toLong, (0 until 200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    val twinned = docs.updated(n, (n.toLong, docs.head._2 + "tail"))
+    val hashed = twinned.toDF("doc_id", "text")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, t) => (id, Multimodal.byteSimHash64(t.getBytes("UTF-8"))) }
+      .toDF("doc_id", "ph")
+    val candCount = Multimodal.phashBandCandidates(hashed).count()
+    assert(candCount <= 2L * (n + 1),
+      s"phash candidate volume $candCount exceeds 2n on distinct payloads — " +
+        "banding has regressed toward quadratic")
+    // non-degeneracy: the planted twin must survive to a verified pair
+    val pairs = Multimodal.multimodalPhashDedupOn(twinned.toDF("doc_id", "text"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == n.toLong },
+      s"planted twin lost: $pairs")
+  }
 }
