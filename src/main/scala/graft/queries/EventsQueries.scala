@@ -514,9 +514,16 @@ object EventsQueries {
     * moves. */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, dir)
+    anomalyFlagsOn(Tables.events(spark, dir)
       .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The flag evaluation of [[eventsAnomaly]] over any (event_type, day,
+    * cnt) daily-count frame — ONE definition shared with the incremental
+    * face ([[anomalyAdmitBatch]]), so the two cannot drift. */
+  private[graft] def anomalyFlagsOn(daily: DataFrame): DataFrame = {
+    import daily.sparkSession.implicits._
     val stats = daily.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
         sum($"cnt" * $"cnt").as("q"))
@@ -526,6 +533,35 @@ object EventsQueries {
       .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
         $"cnt", devN.as("dev_n"))
       .orderBy($"event_type", $"day")
+  }
+
+  /** Incremental face of [[eventsAnomaly]] — the monitoring shape at
+    * production scale, where events arrive as micro-batches or daily drops
+    * and the flag set must stay current without rescanning history. Same
+    * design family as `IncrementalDedup`: the persisted store IS the state,
+    * so the call works identically from a scheduled batch job or inside
+    * `foreachBatch` of a streaming query, and survives restarts.
+    *
+    * Each admit appends the batch's (event_type, day, cnt_delta) counts —
+    * the only full-data work, a map-side-combinable aggregate of the BATCH
+    * — then re-evaluates flags over the merged store, which holds
+    * aggregate-sized rows (#types × #days × #batches deltas; sum-merged on
+    * read, compactable by rewriting). Late events simply add a delta to
+    * their day: flags are REVISED on the next admit, which is the honest
+    * semantic for anomaly monitoring (a day can stop being anomalous once
+    * its stragglers land). After all data is admitted, the flag set equals
+    * the batch operator's exactly (spec-pinned). Plain parquet append is
+    * atomic per task file, not transactional across job failures — same
+    * stated trade as the dedup index. */
+  def anomalyAdmitBatch(batch: DataFrame, storeDir: String): DataFrame = {
+    import batch.sparkSession.implicits._
+    batch
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt_delta"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
+    anomalyFlagsOn(batch.sparkSession.read.parquet(storeDir)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"cnt_delta").as("cnt")))
   }
 
   val eventsAnomalySql: String =
