@@ -521,17 +521,27 @@ object EventsQueries {
 
   /** The flag evaluation of [[eventsAnomaly]] over any (event_type, day,
     * cnt) daily-count frame — ONE definition shared with the incremental
-    * face ([[anomalyAdmitBatch]]), so the two cannot drift. */
+    * face ([[anomalyAdmitBatch]]), so the two cannot drift.
+    *
+    * All moment arithmetic runs in DECIMAL(38,0) (128-bit), not BIGINT: at
+    * production volume a day of cnt ≈ 10¹² events puts Σcnt² ≈ 10²⁶ and the
+    * squared deviation ≈ 10³⁴ — both far past 2⁶³, where a BIGINT
+    * formulation would throw under ANSI mode (or silently wrap without it).
+    * The decimal form is exact through cnt ≈ 10¹⁴ with 10⁵ days per type
+    * (dev² < 10³⁸); the oracle mirrors it in HUGEINT. The reported dev_n
+    * (= n·cnt − s) is cast back to BIGINT for the output row. */
   private[graft] def anomalyFlagsOn(daily: DataFrame): DataFrame = {
     import daily.sparkSession.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cntD = $"cnt".cast(dec)
     val stats = daily.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
-        sum($"cnt" * $"cnt").as("q"))
-    val devN = $"n" * $"cnt" - $"s"
+      .agg(count(lit(1)).cast(dec).as("n"), sum(cntD).as("s"),
+        sum(cntD * cntD).as("q"))
+    val devN = $"n" * cntD - $"s"
     daily.join(broadcast(stats), "event_type")
-      .filter(devN * devN > lit(4L) * ($"n" * $"q" - $"s" * $"s"))
+      .filter(devN * devN > lit(4).cast(dec) * ($"n" * $"q" - $"s" * $"s"))
       .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
-        $"cnt", devN.as("dev_n"))
+        $"cnt", devN.cast("long").as("dev_n"))
       .orderBy($"event_type", $"day")
   }
 
@@ -564,12 +574,14 @@ object EventsQueries {
       .agg(sum($"cnt_delta").as("cnt")))
   }
 
+  // moment arithmetic in HUGEINT (128-bit) to mirror the engine's
+  // DECIMAL(38,0) — Σcnt² and dev² overflow BIGINT at production volumes
   val eventsAnomalySql: String =
     """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
       |             CAST(count(*) AS BIGINT) AS cnt
       |           FROM events GROUP BY 1, 2),
-      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |        CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt*cnt) AS BIGINT) AS q
+      |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |        sum(CAST(cnt AS HUGEINT)) AS s, sum(CAST(cnt AS HUGEINT)*cnt) AS q
       |      FROM d GROUP BY 1)
       |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
       |  CAST(s.n * d.cnt - s.s AS BIGINT) AS dev_n

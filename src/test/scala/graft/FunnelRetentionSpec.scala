@@ -288,6 +288,31 @@ class FunnelRetentionSpec extends AnyFunSuite {
       s"spike must flag after its batch lands: ${lastFlags.toSeq}")
   }
 
+  test("anomaly flags survive production-scale counts (BIGINT would overflow)") {
+    // cnt ≈ 4·10^12: Σcnt² ≈ 10^26 and dev² ≈ 10^27 — far past 2^63 ≈
+    // 9.2·10^18, so a BIGINT formulation throws under ANSI mode. The
+    // decimal form must both EVALUATE and agree with exact BigInt flags.
+    val base = 4_000_000_000_000L
+    val rnd = new scala.util.Random(11)
+    val counts = (1 to 30).map(d =>
+      (java.sql.Date.valueOf(f"2024-03-$d%02d"),
+        base + rnd.nextLong(200_000_000_000L))) :+
+      ((java.sql.Date.valueOf("2024-03-31"), 9_000_000_000_000L)) // spike
+    val daily = counts.map { case (day, c) => ("ingest", day, c) }
+      .toDF("event_type", "day", "cnt")
+    val got = EventsQueries.anomalyFlagsOn(daily).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    val n = BigInt(counts.length)
+    val s = counts.map(c => BigInt(c._2)).sum
+    val q = counts.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    val expect = counts.filter { case (_, c) =>
+      val dev = n * BigInt(c) - s
+      dev * dev > 4 * (n * q - s * s)
+    }.map { case (day, c) => (day.toString, c) }.toSet
+    assert(got == expect, s"only=${got -- expect} missing=${expect -- got}")
+    assert(got.exists(_._2 == 9_000_000_000_000L), "the spike day must flag")
+  }
+
   test("anomaly on sf matches an independent double-precision recompute") {
     val daily = graft.sources.Tables.events(spark, sf)
       .groupBy($"event_type", to_date($"ts").as("day"))
