@@ -184,4 +184,65 @@ object IncrementalDedup {
       .write.mode(SaveMode.Append).parquet(indexDir)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
+
+  // ---- perceptual (media phash) index -----------------------------------
+
+  /** Create (overwrite) the perceptual media index: one (doc_id, ph) row
+    * per DISTINCT payload (octet-identical copies collapse to their min-id
+    * representative upstream) — 16 bytes per distinct payload, the cheapest
+    * signature store here. */
+  def writePhashIndex(docs: DataFrame, indexDir: String): Unit =
+    Multimodal.distinctPayloadHashes(docs)
+      .write.mode(SaveMode.Overwrite).parquet(indexDir)
+
+  /** Admit `batch` (doc_id, text/payload, ...) against the phash index: drop
+    * batch payloads within Hamming ≤ `maxHamming` of ANY indexed payload
+    * (or of an octet-identical batch sibling — the rep collapse), resolve
+    * near-dups WITHIN the batch by min-id connected component, append the
+    * admitted hashes — continuous media ingestion's dedup gate.
+    *
+    * Unlike the minhash store there is no estimator error: the 64-bit hash
+    * IS the similarity state, the Hamming verify is exact on it, and the
+    * 4×16 banding's pigeonhole recall is exact at d ≤ 3 (hence the
+    * `maxHamming` bound). What IS approximate is the hash itself — byte
+    * simhash collisions/misses against a true perceptual metric are the
+    * operator's stated trade (`multimodal_phash_dedup`'s method).
+    *
+    * Scale shape: identical to [[dedupeBatchExact]] — batch band keys
+    * broadcast INTO the index scan's derived-key projection (the index is
+    * never shuffled, never broadcast), only matched ids come back, and the
+    * within-batch resolution is batch-sized. */
+  def dedupeBatchPhash(batch: DataFrame, indexDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only to Hamming 3, got $maxHamming")
+    val batchPh = Multimodal.distinctPayloadHashes(batch).localCheckpoint()
+    val batchBands = batchPh
+      .select($"doc_id", $"ph", Multimodal.phashBandStructs.as("bk"))
+      .select($"doc_id", $"ph", $"bk.band".as("band"), $"bk.key".as("key"))
+    val index = spark.read.parquet(indexDir)
+    val indexBands = index
+      .select($"ph", Multimodal.phashBandStructs.as("bk"))
+      .select($"ph".as("ph_i"), $"bk.band".as("band"), $"bk.key".as("key"))
+    val dropByIndex = indexBands
+      .join(broadcast(batchBands), Seq("band", "key"))
+      .filter(graft.functions.SimHash.hammingDistance($"ph", $"ph_i") <= maxHamming)
+      .select($"doc_id").distinct()
+    val survivors = batchPh
+      .join(broadcast(dropByIndex), Seq("doc_id"), "left_anti")
+    val pairs = Multimodal.phashBandCandidates(survivors)
+      .filter(graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b") <= maxHamming)
+      .select($"doc_a", $"doc_b").distinct()
+    val labels = Dedup.connectedComponents(
+      survivors.select($"doc_id".as("id"), $"doc_id".as("label")),
+      pairs, _.localCheckpoint())
+    val admitted = survivors
+      .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
+      .localCheckpoint() // same refreshByPath trap as the exact path
+    admitted.select($"doc_id", $"ph")
+      .write.mode(SaveMode.Append).parquet(indexDir)
+    admitted.select($"doc_id").orderBy($"doc_id")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -292,7 +292,21 @@ object Multimodal {
     * the all-copies fixture spec. */
   def multimodalPhashDedupOn(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val hashed = documents
+    phashBandCandidates(distinctPayloadHashes(documents))
+      .select($"doc_a", $"doc_b",
+        graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** (doc_id, ph) with octet-identical payloads collapsed to their min-id
+    * representative — the hashing stage shared by [[multimodalPhashDedupOn]]
+    * and the incremental phash index (`IncrementalDedup`), 16 bytes per
+    * distinct payload. */
+  private[graft] def distinctPayloadHashes(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
       .filter($"text".isNotNull)
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
@@ -311,13 +325,17 @@ object Multimodal {
       .groupBy($"fp") // distinct payloads only: copies collapse to one rep
       .agg(min($"doc_id").as("doc_id"), first($"ph").as("ph"))
       .select($"doc_id", $"ph")
-    phashBandCandidates(hashed)
-      .select($"doc_a", $"doc_b",
-        graft.functions.SimHash.hammingDistance($"ph_a", $"ph_b").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 3)
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  /** The 4×16-bit band keys of a `ph` column, as an explodable column —
+    * ONE definition shared by the pair join and the incremental index's
+    * writer and prober, so a keying change cannot strand an existing index
+    * silently (keys simply stop matching — the `bandKeys` discipline). */
+  private[graft] def phashBandStructs: Column =
+    explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }: _*))
 
   /** The band-join candidate stage of [[multimodalPhashDedupOn]] over a
     * (doc_id, ph) frame — split out so CandidateVolumeSpec can pin its
@@ -325,11 +343,7 @@ object Multimodal {
     * agreement; the caller dedups and verifies. */
   private[graft] def phashBandCandidates(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
-    val banded = hashed.select($"doc_id", $"ph",
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright($"ph", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("bk"))
+    val banded = hashed.select($"doc_id", $"ph", phashBandStructs.as("bk"))
       .select($"doc_id", $"ph", $"bk.band".as("band"), $"bk.key".as("key"))
     banded.select($"band", $"key", $"doc_id".as("doc_a"), $"ph".as("ph_a"))
       .join(banded.select($"band", $"key", $"doc_id".as("doc_b"), $"ph".as("ph_b")),

@@ -128,4 +128,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast probes of the index scan:\n$plan")
   }
+
+  test("phash index: near-indexed payloads drop, within-batch twins resolve " +
+      "to one rep, re-admission is a no-op") {
+    val idx = tmpIndex() + "/phash"
+    val seedText = (0 until 60).map(i => s"seed$i media payload").mkString(" ")
+    IncrementalDedup.writePhashIndex(
+      Seq((0L, seedText)).toDF("doc_id", "text"), idx)
+    val nearSeed = seedText.replace("seed30", "retouch") // hamming <= 3 of seed
+    val twinA = (0 until 60).map(i => s"fresh$i media frame").mkString(" ")
+    val twinB = twinA.replace("fresh12", "spliced")
+    val unrelated = (0 until 200).map(i =>
+      ('a' + ((i * 7 + 3) % 26)).toChar.toString * 3).mkString("x")
+    val batch = Seq(
+      (10L, nearSeed),   // near an INDEXED payload -> dropped
+      (11L, twinA),      // within-batch twins -> min id 11 admitted
+      (12L, twinB),
+      (13L, twinA),      // octet-identical to 11 -> collapses pre-banding
+      (14L, unrelated))  // genuinely new -> admitted
+      .toDF("doc_id", "text")
+    val admitted = IncrementalDedup.dedupeBatchPhash(batch, idx)
+      .as[Long].collect().toSet
+    assert(admitted == Set(11L, 14L), s"admitted=$admitted")
+    val stored = spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
+    assert(stored == Set(0L, 11L, 14L), s"index=$stored")
+    // idempotence: everything in the batch is now represented in the index
+    val again = IncrementalDedup.dedupeBatchPhash(batch, idx)
+      .as[Long].collect().toSet
+    assert(again.isEmpty, s"re-admission must be a no-op, got $again")
+    assert(spark.read.parquet(idx).count() == 3)
+  }
 }
