@@ -24,15 +24,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-    * ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert with integral
-    * division (`div`, NOT double `/` — epoch-nanos ≈ 1.7e18 overflows double's
-    * 53-bit mantissa) to a proper microsecond TimestampType column. */
+  /** Normalize an events frame's `ts` to a session-zone TimestampType column
+    * whatever the physical parquet spelling of the generator that wrote it:
+    *  - TIMESTAMP(NANOS), which Spark cannot read natively
+    *    ([PARQUET_TYPE_ILLEGAL]) — read as long via the legacy `nanosAsLong`
+    *    flag and converted with integral division (`div`, NOT double `/` —
+    *    epoch-nanos ≈ 1.7e18 overflows double's 53-bit mantissa);
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false — inferred as
+    *    TIMESTAMP_NTZ; cast to TimestampType (lossless: every session in
+    *    this engine pins spark.sql.session.timeZone=UTC);
+    *  - an already-zoned TIMESTAMP — passed through.
+    * Schema-adaptive because the testdata generator has shipped more than
+    * one spelling across rounds; a 100 TB lake accretes exactly this kind of
+    * writer drift, so the loader, not every query, owns the normalization. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -281,12 +281,12 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // file-stream sources need an explicit schema: take the staged file's own
+    // (ts arrives as long nanos or TIMESTAMP_NTZ depending on the generator;
+    // the loader's normalizer owns the difference)
+    val schema = spark.read.parquet(dir.toString).schema
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.sources.Tables.normalizeEventTs(df)
     val stream = normalize(
       spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStreams.tumblingCounts(stream, "1 hour")
@@ -450,12 +450,9 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStreams.tumblingCounts(stream, "1 hour")
       .writeStream.outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
@@ -466,8 +463,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(!q.isActive)
     val n = spark.table("avnow_out").count()
     val batchN = EventStreams.tumblingCounts(
-      spark.read.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))), "1 hour").count()
+      graft.sources.Tables.normalizeEventTs(
+        spark.read.schema(schema).parquet(dir.toString)), "1 hour").count()
     assert(n == batchN && n > 0)
   }
 
