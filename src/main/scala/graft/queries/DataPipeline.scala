@@ -1160,7 +1160,68 @@ object DataPipeline {
        |ORDER BY operator""".stripMargin
   }
 
+  /** Snapshot⟂delta corpus upsert — the MERGE primitive of incremental
+    * corpus maintenance: a re-crawl delta lands on the current snapshot and
+    * each document resolves to exactly one action:
+    *   - `insert`: in the delta only (new document),
+    *   - `update`: in both, content hash differs (genuine revision),
+    *   - `noop`:   in both, content byte-identical (re-crawl echo — the case
+    *               that DOMINATES real re-crawls and must not cost a rewrite),
+    *   - `keep`:   in the snapshot only (untouched document).
+    * Both sides derive deterministically from `documents` (snapshot = ids
+    * with id % 10 ≠ 0; delta = ids with id % 3 = 0, texts with id % 6 = 0
+    * carrying a revision marker), so the action mix exercises all four arms
+    * at every SF.
+    *
+    * Scale shape: ONE full-outer equi-join on doc_id, everything else a
+    * projection. At 100 TB the snapshot is bucketed/Hive-partitioned on
+    * doc_id ([[graft.sources.Layout]]) so the join co-locates — the delta
+    * (small by definition) shuffles, the snapshot does not; and the `noop`
+    * arm is the write saver: only partitions holding an insert/update row
+    * rewrite (copy-on-write), which the [[graft.sources.Layout.manifest]]
+    * shard manifest makes a per-file decision. The md5 comparison is the
+    * same content-fingerprint rule as dedup_exact — hash equality stands in
+    * for byte equality w.h.p., and a false merge costs a skipped rewrite of
+    * a 1-in-2⁶⁴ colliding revision, never data loss of a new document. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val snap = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"text".as("snap_text"))
+    val delta = docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id",
+        when($"doc_id" % 6 === 0, concat($"text", lit(" [rev2]")))
+          .otherwise($"text").as("delta_text"))
+    snap.join(delta, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"snap_text".isNull, "insert")
+          .when($"delta_text".isNull, "keep")
+          .when(md5($"delta_text") === md5($"snap_text"), "noop")
+          .otherwise("update").as("action"),
+        length(coalesce($"delta_text", $"snap_text")).cast("long").as("n_chars"),
+        md5(coalesce($"delta_text", $"snap_text")).as("content_hash"))
+      .orderBy($"doc_id")
+  }
+
+  val upsertSql: String =
+    """WITH snap AS (
+      |  SELECT doc_id, text AS snap_text FROM documents WHERE doc_id % 10 <> 0),
+      |delta AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN text || ' [rev2]' ELSE text END AS delta_text
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+      |  CASE WHEN s.doc_id IS NULL THEN 'insert'
+      |       WHEN d.doc_id IS NULL THEN 'keep'
+      |       WHEN md5(d.delta_text) = md5(s.snap_text) THEN 'noop'
+      |       ELSE 'update' END AS action,
+      |  CAST(length(coalesce(d.delta_text, s.snap_text)) AS BIGINT) AS n_chars,
+      |  md5(coalesce(d.delta_text, s.snap_text)) AS content_hash
+      |FROM snap s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prep_upsert" -> (upsert _),
     "prep_corpus" -> (prepCorpus _),
     "prep_split" -> (splitAssign _),
     "prep_mix" -> (mixWeighted _),
@@ -1183,6 +1244,7 @@ object DataPipeline {
     "text_redact" -> (textRedact _))
 
   val oracles: Map[String, String] = Map(
+    "prep_upsert" -> upsertSql,
     "prep_corpus" -> prepCorpusSql,
     "prep_split" -> splitAssignSql,
     "prep_mix" -> mixWeightedSql,

@@ -196,7 +196,41 @@ object Relational4 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** `NOT IN (subquery)` over nullable keys — the NULL-AWARE ANTI JOIN plan
+    * shape, the one subquery rewrite q04/q05/q37 do NOT cover. Parquet
+    * columns read as nullable, so Catalyst cannot legally degrade
+    * `c_custkey NOT IN (SELECT o_custkey ...)` to the plain left-anti join
+    * of q05: three-valued logic says one NULL in the subquery empties the
+    * result and a NULL outer key can never pass. The single-column form
+    * plans as a BroadcastHashJoin LeftAnti BuildRight marked NULL-AWARE
+    * (`spark.sql.optimizeNullAwareAntiJoin`, on by default) — the build
+    * side carries one extra "saw a null" bit instead of the quadratic
+    * BroadcastNestedLoopJoin the bare `(k = v) OR isnull(k = v)` condition
+    * would need. Plan-pinned in PlanSpec. At 100 TB the build side is the
+    * DISTINCT filtered key set (here: very-large-order' custkeys), exactly what
+    * q05's scale note prescribes for anti joins with small right sides; a
+    * large build side falls back to the regular null-aware rewrite and
+    * should be re-expressed as q05's NOT EXISTS (null-free key) instead. */
+  def q40NullAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q40")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q40")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer_q40
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_q40
+        |                        WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q40Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_null_anti" -> (q40NullAnti _),
     "q34_minmax_by" -> (q34MinmaxBy _),
     "q35_scd2" -> (q35Scd2 _),
     "q36_range_frame" -> (q36RangeFrame _),
@@ -204,6 +238,7 @@ object Relational4 {
     "q39_window_hicard" -> (q39WindowHicard _))
 
   val oracles: Map[String, String] = Map(
+    "q40_null_anti" -> q40Sql,
     "q34_minmax_by" -> q34Sql,
     "q35_scd2" -> q35Sql,
     "q36_range_frame" -> q36Sql,

@@ -419,7 +419,62 @@ object TextAnalysis {
        |GROUP BY bl.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document novelty profile: the fraction of a document's DISTINCT
+    * 8-grams whose FIRST corpus occurrence (minimum doc_id over every
+    * document containing the gram) is this document — "how much new text
+    * does each document add when the corpus is scanned in id order". The
+    * streaming-curation counterpart of [[graft.queries.Dedup]]'s pairwise
+    * operators: a crawl snapshot's marginal value is the novel-gram mass it
+    * contributes, and re-crawls / boilerplate-heavy sources show up as
+    * near-zero novelty long before any pairwise threshold trips.
+    *
+    * Scale shape: per-doc distinct hashed grams (pure projection — the
+    * codegen'd `shingleHashSet` used by prep_decontaminate), ONE gram-keyed
+    * min aggregate (partial aggregation collapses executor-local duplicates;
+    * gram keys are near-unique so the shuffle is ~token volume with no hot
+    * keys), rejoin on the 8-byte gram key, one doc-keyed count aggregate.
+    * Two shuffles total, both on hashed keys — the same bounded shape at
+    * 100 TB. Grams travel as 64-bit hashes, not ~50-char strings; a
+    * cross-gram hash collision merges two posting lists and could only
+    * shift first-occurrence attribution (P ≈ 1e-15 at these set sizes —
+    * the prep_decontaminate argument), so the string-gram oracle matches
+    * exactly w.h.p. Documents with fewer than 8 tokens have no grams and
+    * are absent from the profile on both sides. */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(graft.functions.VectorFunctions.shingleHashSet($"text", 8)).as("g"))
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round($"n_novel".cast("double") / $"n_grams", 6))
+      .orderBy($"doc_id")
+  }
+
+  val textNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleFragments.tokens("text")} AS t
+       |  FROM documents
+       |  WHERE length(${OracleFragments.norm("text")}) > 0),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+       |                          FOR i IN range(1, len(t) - 6)])) AS g
+       |  FROM toks),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS novelty
+       |FROM g JOIN f USING (g)
+       |GROUP BY g.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (textNovelty _),
     "text_lm_score" -> (textLmScore _),
     "text_entropy" -> (textEntropy _),
     "text_stats" -> (textStats _),
@@ -431,6 +486,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> textNoveltySql,
     "text_lm_score" -> textLmScoreSql,
     "text_entropy" -> textEntropySql,
     "text_stats" -> textStatsSql,

@@ -239,6 +239,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"q39 must not join:\n$plan")
   }
 
+  test("q40 NOT IN plans as a single-pass null-aware broadcast anti join") {
+    // three-valued NOT IN cannot degrade to q05's plain anti join; the
+    // single-column form must take the null-aware BroadcastHashJoin (one
+    // hashed build + a saw-a-null bit), NOT the quadratic
+    // BroadcastNestedLoopJoin the bare (k = v) OR isnull(k = v) rewrite needs
+    val exec = SparkEntry.queries("q40_null_anti")(spark, sf)
+      .queryExecution.executedPlan
+    val inner = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joins = inner.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.exists(_.isNullAwareAntiJoin),
+      s"expected a null-aware BroadcastHashJoin:\n$inner")
+    assert(!inner.toString.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN must not fall back to the nested-loop rewrite:\n$inner")
+  }
+
   test("native as-of join plans its own exchanges and sorts") {
     val plan = planOf("events_asof_native")
     assert(plan.contains("AsOfJoin"))

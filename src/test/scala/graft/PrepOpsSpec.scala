@@ -472,6 +472,52 @@ class PrepOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_novelty attributes each gram's first occurrence to the smallest doc_id") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
+    val dir = docsFixture(Seq(
+      (0L, eight, "a"),        // introduces the gram
+      (1L, eight, "a"),        // pure echo of doc 0 -> novelty 0
+      (2L, s"$eight w9", "a"), // grams w1..w8 (seen) and w2..w9 (novel)
+      (3L, "short text", "a"), // < 8 tokens -> no grams -> absent
+      (4L, eight.toUpperCase + "  ", "a"))) // normalizer: echo, not novel
+    val got = TextAnalysis.textNovelty(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 1L, 1L, 1.0)))
+    assert(got(1L) == ((1L, 1L, 0L, 0.0)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(!got.contains(3L), "sub-8-token docs have no novelty row")
+    assert(got(4L) == ((4L, 1L, 0L, 0.0)),
+      "case/whitespace-normalized echo must not count as novel")
+  }
+
+  test("prep_upsert resolves every id to the action its membership implies") {
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .as[Long].collect().toSet
+    val got = DataPipeline.upsert(spark, sf)
+      .select($"doc_id", $"action").as[(Long, String)].collect()
+    val expected = ids.flatMap { id =>
+      val inSnap = id % 10 != 0
+      val inDelta = id % 3 == 0
+      val revised = id % 6 == 0
+      (inSnap, inDelta) match {
+        case (false, true)  => Some(id -> "insert")
+        case (true, false)  => Some(id -> "keep")
+        case (true, true)   => Some(id -> (if (revised) "update" else "noop"))
+        case (false, false) => None // not in either side of the merge
+      }
+    }
+    assert(got.length == got.map(_._1).distinct.length, "one row per doc")
+    assert(got.toSet == expected)
+    // noop rows carry the snapshot's unrevised content hash
+    val hashes = DataPipeline.upsert(spark, sf)
+      .filter($"action" === "noop").select($"doc_id", $"content_hash")
+      .as[(Long, String)].collect().toMap
+    val raw = Tables.documents(spark, sf)
+      .filter($"doc_id".isInCollection(hashes.keys.toSeq))
+      .select($"doc_id", md5($"text")).as[(Long, String)].collect().toMap
+    assert(hashes == raw)
+  }
+
   private def docsFixture(rows: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_docs_").toString
     rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
