@@ -54,7 +54,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => TextScanStats(exprs.head)),
       ("char_entropy",
         "char_entropy(text) - Shannon entropy in bits over code-point counts",
-        exprs => CharEntropy(exprs.head)))
+        exprs => CharEntropy(exprs.head)),
+      ("pq_adc_score",
+        "pq_adc_score(codes, table, ks) - PQ asymmetric-distance sum of per-subspace table lookups",
+        exprs => PqAdcScore(exprs(0), exprs(1), {
+          val e = exprs(2)
+          // foldable-first: a column reference must fail with THIS message,
+          // not an opaque eval-time error (the GraftFunctions.intK rule)
+          (if (e.foldable) e.eval() else null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              "pq_adc_score ks must be an integer literal, got " +
+                (if (e.foldable) s"$other" else s"non-literal $e"))
+          }
+        })))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

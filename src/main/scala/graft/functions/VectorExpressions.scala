@@ -176,6 +176,22 @@ object VectorOps {
     ArrayData.toArrayData(out)
   }
 
+  /** PQ asymmetric-distance score: Σ_m table[m·ks + codes[m]] — one lookup
+    * per subspace into the query's precomputed (M × ks)-entry dot-product
+    * table. The whole point of PQ: candidate scoring costs M array reads,
+    * no floating multiply touches the corpus vector. */
+  def pqAdc(codes: ArrayData, table: ArrayData, ks: Int): Double = {
+    val cs = codes.toIntArray()
+    val ts = table.toDoubleArray()
+    var s = 0.0
+    var m = 0
+    while (m < cs.length) {
+      s += ts(m * ks + cs(m))
+      m += 1
+    }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val xs = a.toDoubleArray()
     val ys = b.toDoubleArray()
@@ -305,6 +321,31 @@ case class DotInt(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance score of an array<int> code column against an
+  * array<double> lookup-table column (see [[VectorOps.pqAdc]]). `ks` is the
+  * per-subspace codebook size — a structural constant of the encoder, carried
+  * on the expression like [[ShingleHashSet]]'s `k`, never per-row data. */
+case class PqAdcScore(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+  require(ks >= 1, s"ks must be >= 1, got $ks")
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<int>, array<double>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.pqAdc($a, $b, $ks)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+}
+
 /** Sorted distinct 64-bit hashes of the k-word shingles of a text column. */
 case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
@@ -390,6 +431,13 @@ object VectorFunctions {
   /** Codegen'd exact integer dot product of two array<int> columns. */
   def dotInt(a: Column, b: Column): Column =
     GraftBridge.column(DotInt(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd PQ asymmetric-distance score: M table lookups per candidate,
+    * the query's dot-product table riding as an array<double> COLUMN (data,
+    * not codegen) — generated code is constant in M and ks. */
+  def pqAdcScore(codes: Column, table: Column, ks: Int): Column =
+    GraftBridge.column(PqAdcScore(
+      GraftBridge.expression(codes), GraftBridge.expression(table), ks))
 
   /** Codegen'd top-`nTop` codebook cell ids (cosine, score DESC / cell DESC)
     * with the codebook attached as a plan reference object — generated code

@@ -264,6 +264,117 @@ object SimilaritySearch {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-PQ parameters — M subspaces × ks centroids each over the 64-dim
+    * embeddings, FAISS-IVFPQ's shape: codes are M bytes per vector (here
+    * M ints for parquet simplicity; a production sink packs them). */
+  private[graft] val PqM = 8
+  private[graft] val PqKs = 16
+  private[graft] val PqShortlist = 30
+
+  /** IVF-PQ ANN — the classic composed production index: IVF cells bound the
+    * candidate set, PRODUCT-QUANTIZED codes make scoring each candidate M
+    * table lookups instead of a dim-length float scan, and an fp32 exact
+    * re-rank fixes the final order. Completes the family: sign-LSH
+    * ([[simLshTopk]]), IVF-flat ([[simIvfTopk]]), SQ8 ([[simQuantizedTopk]]),
+    * two-stage re-rank ([[simQuantizedRerank]]).
+    *
+    * Structure (every step a projection or an equi-join):
+    *  1. encode: one coarse-cell id + M per-subspace PQ codes per vector —
+    *     M+1 constant-size [[graft.functions.CodebookTopCells]] kernel calls
+    *     (codebooks ride as plan reference objects; generated code is
+    *     constant in nCells/ks — the broadcast-codebook discipline).
+    *     At 100 TB this encoded (cell, codes) table is what you materialize:
+    *     4+M·1 bytes/vector ≈ 3% of the fp32 corpus, and the only thing the
+    *     query-time scan reads.
+    *  2. probe: queries explode to their nprobe nearest cells; candidates =
+    *     cell equi-join (each candidate owns ONE cell, so no dedup round —
+    *     cheaper than the LSH multi-band probe).
+    *  3. ADC: per (query, candidate), Σ_m table[m·ks + code_m] via ONE
+    *     codegen'd lookup kernel; the query's M×ks dot-product table is an
+    *     array COLUMN on the broadcast query side — per-query data, zero
+    *     per-query codegen, same scale argument as the codebook kernel.
+    *  4. shortlist + fp32 re-rank: top-[[PqShortlist]] by ADC rejoin the
+    *     fp32 vectors for exact cosine — the [[simQuantizedRerank]] stage-2
+    *     shape; the fp32 corpus serves vec_id point lookups only.
+    *
+    * Codebooks are deterministic seeds (first rows' vectors / subvectors —
+    * the training-free discipline of [[simIvfTopk]]; [[trainIvfCodebook]]
+    * shows the in-engine Lloyd path that would refine them out-of-band).
+    * Driver state: nCells·64 + M·ks·8 + NQueries·64 doubles — bounded,
+    * independent of corpus size. Code assignment is per-subspace cosine
+    * argmax (direction-only); magnitude error is absorbed by the exact
+    * re-rank stage, and recall vs brute force is spec-pinned in LlmOpsSpec.
+    *
+    * No DuckDB oracle: cell and code assignment hinge on argmax-over-
+    * codebook with the engine's exact float-accumulation order and
+    * tie-breaks — not ANSI-expressible without re-implementing the kernel in
+    * SQL, which would pin nothing (the sim_ivf_topk / sim_lsh_topk
+    * argument). Rows-only driver check + LlmOpsSpec recall and
+    * kernel-equivalence differentials. */
+  def simIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    val dsub = dim / PqM
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    val seed = vecs.filter($"vec_id" < math.max(IvfNCells, PqKs))
+      .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val coarse = seed.take(IvfNCells)
+    val sub = Array.tabulate(PqM)(m =>
+      seed.take(PqKs).map(_.slice(m * dsub, (m + 1) * dsub)))
+    val codeCols = (0 until PqM).map { m =>
+      element_at(VectorFunctions.codebookTopCells(
+        slice($"v", m * dsub + 1, dsub), sub(m), nTop = 1), 1)
+    }
+    val encoded = vecs.select($"vec_id",
+      element_at(VectorFunctions.codebookTopCells($"v", coarse, nTop = 1), 1).as("cell"),
+      array(codeCols: _*).as("codes"))
+    // per-query ADC tables: M×ks dot products, built once from the collected
+    // query vectors (NQueries×dim doubles — bounded driver state) and joined
+    // in as DATA on the broadcast side
+    val qTables = vecs.filter($"vec_id" < NQueries).orderBy($"vec_id")
+      .collect().map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val t = new Array[Double](PqM * PqKs)
+        var m = 0
+        while (m < PqM) {
+          var j = 0
+          while (j < PqKs) {
+            var d = 0.0
+            var i = 0
+            while (i < dsub) { d += q(m * dsub + i) * sub(m)(j)(i); i += 1 }
+            t(m * PqKs + j) = d
+            j += 1
+          }
+          m += 1
+        }
+        (r.getLong(0), t)
+      }.toSeq.toDF("query_id", "tbl")
+    val queryProbes = vecs.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"),
+        explode(VectorFunctions.codebookTopCells($"v", coarse, IvfNProbe)).as("cell"))
+    // each candidate owns exactly one cell and a query's probe cells are
+    // distinct -> (query, candidate) pairs are already unique
+    val adc = encoded.join(broadcast(queryProbes), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qTables), "query_id")
+      .withColumn("adc", VectorFunctions.pqAdcScore($"codes", $"tbl", PqKs))
+    val w1 = Window.partitionBy($"query_id").orderBy($"adc".desc, $"vec_id")
+    val shortlist = adc.withColumn("qrank", row_number().over(w1))
+      .filter($"qrank" <= PqShortlist)
+      .select($"query_id", $"vec_id")
+    val w2 = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    shortlist
+      .join(vecs.select($"vec_id".as("query_id"), $"v".as("q")), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
+      .withColumn("rank", row_number().over(w2))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Metadata-filtered vector search: exact top-k over the subset of vectors
     * whose `label` passes a predicate (the RAG "filtered retrieval" shape).
     * The filter is applied BEFORE scoring (pre-filter), which is the only
@@ -452,6 +563,7 @@ object SimilaritySearch {
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_label_centroids" -> (simLabelCentroids _))
 
   val oracles: Map[String, String] = Map(

@@ -36,7 +36,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |       top_token_count('a b a c a') AS t,
         |       quality_score('') AS qs,
         |       text_scan_stats('ab 12 !') AS ts,
-        |       char_entropy('abab') AS ce""".stripMargin)
+        |       char_entropy('abab') AS ce,
+        |       pq_adc_score(array(1, 0), array(0.0d, 2.0d, 3.0d, 4.0d), 2) AS pq""".stripMargin)
       .head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 23.0)
@@ -46,6 +47,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 0.0)
     assert(r.getSeq[Int](6) == Seq(3, 3, 2, 2, 2))
     assert(r.getDouble(7) == 1.0)
+    assert(r.getDouble(8) == 5.0) // tbl[0*2+1] + tbl[1*2+0] = 2 + 3
+    // non-literal ks must fail with the intended message, not an eval NPE
+    val e = intercept[Exception](spark.sql(
+      "SELECT pq_adc_score(array(0), array(1.0d), cast(id AS INT)) FROM range(1)"))
+    assert(e.getMessage.contains("ks must be an integer literal"), e.getMessage)
   }
 
   test("as-of strategy is planned without calling AsOf.register") {

@@ -217,6 +217,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.toDouble / total >= 0.2, s"IVF recall too low: $hits/$total")
   }
 
+  test("IVF-PQ: ADC kernel == driver fold; exact rerank scores; sane recall") {
+    import graft.functions.VectorFunctions
+    // kernel micro-differential: the codegen'd lookup sum must equal an
+    // independent driver-side fold over the same codes/table
+    val ks = 4
+    val rows = Seq(
+      (Array(0, 3, 1), Array.tabulate(12)(i => i * 0.5)),
+      (Array(2, 2, 0), Array.tabulate(12)(i => 1.0 / (i + 1))),
+      (Array(3, 0, 2), Array.tabulate(12)(i => math.sin(i.toDouble))))
+    val kernel = rows.toDF("codes", "tbl")
+      .select(VectorFunctions.pqAdcScore($"codes", $"tbl", ks)).as[Double].collect()
+    val folded = rows.map { case (cs, ts) =>
+      cs.zipWithIndex.map { case (c, m) => ts(m * ks + c) }.sum }
+    kernel.zip(folded).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"kernel $g vs fold $e") }
+
+    val pq = SimilaritySearch.simIvfPqTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    val brute = SimilaritySearch.simBruteforceTopk(spark, sf)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    // stage 4 re-ranks with the exact fp32 cosine, so scores are exact
+    // wherever IVF-PQ surfaced a true top-k neighbor
+    pq.foreach { case (q, n, c) =>
+      brute.get(q).flatMap(_.get(n)).foreach { exact =>
+        assert(math.abs(exact - c) < 1e-9, s"score mismatch ($q,$n)")
+      }
+    }
+    // same probe set as IVF-flat; the PQ shortlist (30 ≥ 6×K) keeps most
+    // candidate-set true neighbors through the approximate stage, so the
+    // floor matches the IVF-flat one
+    val hits = pq.count { case (q, n, _) => brute.get(q).exists(_.contains(n)) }
+    val total = brute.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.2, s"IVF-PQ recall too low: $hits/$total")
+  }
+
   test("codebook kernel matches the literal-inlined scoring path at nCells=64") {
     import graft.functions.VectorFunctions
     val nCells = 64

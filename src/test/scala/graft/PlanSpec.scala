@@ -59,7 +59,9 @@ class PlanSpec extends AnyFunSuite {
       "prep_outliers" -> Seq("l_quantity", "l_discount", "l_tax", "l_shipdate"),
       "events_anomaly" -> Seq("event_id", "user_id", "value", "props"), // uses ts+event_type
       "prep_token_budget" -> Seq("lang", "source", "n_chars"),          // uses doc_id+text
-      "multimodal_phash_dedup" -> Seq("lang", "source", "n_chars"))     // uses doc_id+text
+      "multimodal_phash_dedup" -> Seq("lang", "source", "n_chars"),     // uses doc_id+text
+      "text_novelty" -> Seq("lang", "source", "n_chars"),               // uses doc_id+text
+      "prep_upsert" -> Seq("lang", "source", "n_chars"))                // uses doc_id+text
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
       assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
   }
