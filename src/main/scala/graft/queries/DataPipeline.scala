@@ -1094,6 +1094,16 @@ object DataPipeline {
         "expected_recall is the spec-pinned FLOOR vs brute force on " +
           "near-random test vectors; real embeddings cluster, so raise " +
           "nCells/nprobe together; returned scores are exact cosines"),
+      ("sim_ivfpq_topk",
+        s"ivf nCells = ${SimilaritySearch.IvfNCells}, " +
+          s"nprobe = ${SimilaritySearch.IvfNProbe}; pq M = " +
+          s"${SimilaritySearch.PqM}, ks = ${SimilaritySearch.PqKs}, " +
+          s"shortlist = ${SimilaritySearch.PqShortlist}",
+        None, None, None, Some(SimilaritySearch.IvfSpecRecallFloor),
+        "candidate recall matches sim_ivf_topk (same cells/probes); the PQ " +
+          "stage ranks candidates by direction-only reconstruction, so the " +
+          "shortlist can drop a true neighbor the flat scan keeps — final " +
+          "scores are exact fp32 cosines on the shortlist"),
       ("dedup_span_overlap",
         s"verbatim ${Dedup.SpanGramTokens}-token-run pairs, " +
           s"gram df cap ${Dedup.SpanDfCap}",
@@ -1151,8 +1161,11 @@ object DataPipeline {
     def d(o: Option[Double]) =
       o.map(v => s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
         .getOrElse("CAST(NULL AS DOUBLE)")
+    // SQL-escape the free-text fields: an apostrophe in a caveat must become
+    // a doubled quote, not a parser error in the generated oracle
+    def q(s: String) = s"'${s.replace("'", "''")}'"
     val rows = methodCardRows.map { case (op, m, b, r, t, rec, cav) =>
-      s"('$op', '$m', ${i(b)}, ${i(r)}, ${d(t)}, ${d(rec)}, '$cav')"
+      s"(${q(op)}, ${q(m)}, ${i(b)}, ${i(r)}, ${d(t)}, ${d(rec)}, ${q(cav)})"
     }.mkString(",\n  ")
     s"""SELECT * FROM (VALUES
        |  $rows)
