@@ -318,4 +318,34 @@ class Sf01DedupParitySpec extends AnyFunSuite {
     assert(got == expected, s"only=${got -- expected} missing=${expected -- got}")
     assert(got.nonEmpty, "sf0.1 must surface at least the partial boundary days")
   }
+
+  test("text_novelty at sf0.1 equals a driver-side string-gram recompute", SlowTest) {
+    // independent path end to end: STRING 8-grams built by a driver fold
+    // (no hashed-shingle kernel, no shuffled min-agg), so this catches both
+    // a gram-hash collision merging posting lists at 10× the oracle corpus
+    // and any first-occurrence attribution drift in the join shape
+    val texts = Tables.documents(spark, sfBig)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def grams(text: String): Set[String] = {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val toks = if (norm.isEmpty) Array.empty[String] else norm.split(' ')
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docGrams = texts.map { case (id, t) => id -> grams(t) }
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    docGrams.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!first.contains(g) || first(g) > id) first(g) = id)
+    }
+    val expected = docGrams.collect { case (id, gs) if gs.nonEmpty =>
+      val novel = gs.count(first(_) == id)
+      (id, gs.size.toLong, novel.toLong,
+        BigDecimal(novel.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.queries.TextAnalysis.textNovelty(spark, sfBig)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"only=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
 }
