@@ -1199,22 +1199,52 @@ object DataPipeline {
   def upsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val snap = docs.filter($"doc_id" % 10 =!= 0)
-      .select($"doc_id", $"text".as("snap_text"))
-    val delta = docs.filter($"doc_id" % 3 === 0)
-      .select($"doc_id",
-        when($"doc_id" % 6 === 0, concat($"text", lit(" [rev2]")))
-          .otherwise($"text").as("delta_text"))
-    snap.join(delta, Seq("doc_id"), "full_outer")
-      .select($"doc_id",
-        when($"snap_text".isNull, "insert")
-          .when($"delta_text".isNull, "keep")
-          .when(md5($"delta_text") === md5($"snap_text"), "noop")
-          .otherwise("update").as("action"),
-        length(coalesce($"delta_text", $"snap_text")).cast("long").as("n_chars"),
-        md5(coalesce($"delta_text", $"snap_text")).as("content_hash"))
+    upsertResolved(
+      upsertSnapshotOf(docs).join(upsertDeltaOf(docs), Seq("doc_id"), "full_outer"))
       .orderBy($"doc_id")
   }
+
+  /** The deterministic snapshot / delta derivations behind [[upsert]] —
+    * factored out so the streaming admission spec exercises the SAME sides
+    * the batch operator merges. */
+  private[graft] def upsertSnapshotOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text").as("snap_text"))
+
+  private[graft] def upsertDeltaOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("delta_text"))
+
+  /** The ONE action-resolution projection, shared by the batch merge
+    * ([[upsert]], full-outer) and the streaming admission guard
+    * ([[upsertAdmit]], delta-left) — an action-policy change cannot drift
+    * between the two faces (the prep_corpus stage-fragment rule). Input must
+    * carry `doc_id`, `snap_text`, `delta_text` with nulls encoding side
+    * membership. */
+  private[graft] def upsertResolved(joined: DataFrame): DataFrame =
+    joined.select(col("doc_id"),
+      when(col("snap_text").isNull, "insert")
+        .when(col("delta_text").isNull, "keep")
+        .when(md5(col("delta_text")) === md5(col("snap_text")), "noop")
+        .otherwise("update").as("action"),
+      length(coalesce(col("delta_text"), col("snap_text"))).cast("long").as("n_chars"),
+      md5(coalesce(col("delta_text"), col("snap_text"))).as("content_hash"))
+
+  /** Streaming face of [[upsert]]: resolve an arriving delta micro-batch
+    * against the current snapshot — `insert`/`update`/`noop` per batch
+    * document (never `keep`: a snapshot row with no arriving delta is not a
+    * per-batch statement, it is the absence of one — so batch splits cannot
+    * duplicate rows and the union over micro-batches of a split stream
+    * equals the batch operator's non-keep rows exactly, which StreamingSpec
+    * pins). State-free by design, like the fuzzy-decontam guard: the
+    * snapshot is the state, read per batch; at 100 TB the delta side is
+    * micro-batch-sized and broadcasts into a probe of the snapshot scan
+    * (or, bucketed on doc_id, co-locates with zero snapshot shuffle). */
+  def upsertAdmit(delta: DataFrame, snap: DataFrame): DataFrame =
+    upsertResolved(
+      delta.join(snap, Seq("doc_id"), "left"))
 
   val upsertSql: String =
     """WITH snap AS (

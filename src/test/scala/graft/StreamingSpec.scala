@@ -372,6 +372,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert admission (foreachBatch) equals the batch merge minus keeps") {
+    // ingestion-time corpus upsert: each arriving delta micro-batch resolves
+    // against a STATIC snapshot through the same action projection the batch
+    // operator uses. State-free; 'keep' is definitionally absent (no delta
+    // arrived), so batch splits can't duplicate rows and the union over any
+    // arrival partitioning equals the batch merge's non-keep rows.
+    implicit val sql = spark.sqlContext
+    import graft.queries.DataPipeline
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val snap = DataPipeline.upsertSnapshotOf(docs)
+    val deltaRows = DataPipeline.upsertDeltaOf(docs)
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, String, Long, String)]()
+    val q = input.toDF().toDF("doc_id", "delta_text")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= DataPipeline.upsertAdmit(batch, snap)
+          .as[(Long, String, Long, String)].collect(); ()
+      }.start()
+    try {
+      val (b1, b2) = deltaRows.splitAt(deltaRows.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val batchRun = DataPipeline.upsert(spark, sf)
+        .filter($"action" =!= "keep")
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(got.toSet == batchRun,
+        s"stream-only=${got.toSet.diff(batchRun).take(5)} " +
+          s"batch-only=${batchRun.diff(got.toSet).take(5)}")
+      Seq("insert", "update", "noop").foreach(a =>
+        assert(batchRun.exists(_._2 == a), s"fixture must exercise '$a'"))
+    } finally q.stop()
+  }
+
   test("streaming fuzzy contamination guard (foreachBatch) equals the batch cross-join") {
     // ingestion-time fuzzy decontamination: each arriving micro-batch of
     // documents is PassJoin-probed against a STATIC reference corpus (the
