@@ -229,7 +229,40 @@ object Relational4 {
       |                        WHERE o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated LATERAL subquery with ORDER BY ... LIMIT — per-nation top-2
+    * customers by balance, the "top-k per group as a join" front end.
+    * Catalyst DECORRELATES the lateral limit into a window (rank over the
+    * correlation key) + join — no per-outer-row re-execution of the inner
+    * query survives planning (the shape that cannot scale), and the window
+    * itself gets the WindowGroupLimit pushdown q16/prep_stratified pin. The
+    * Column-API face of this result is q07's window top-k; this pins the
+    * SQL LATERAL path end to end. */
+  def q41Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_q41")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q41")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation_q41 n,
+        |LATERAL (SELECT c_custkey, c_acctbal
+        |         FROM customer_q41 c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey
+        |         LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
+  val q41Sql: String =
+    """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey
+      |         LIMIT 2) t
+      |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_lateral" -> (q41Lateral _),
     "q40_null_anti" -> (q40NullAnti _),
     "q34_minmax_by" -> (q34MinmaxBy _),
     "q35_scd2" -> (q35Scd2 _),
@@ -238,6 +271,7 @@ object Relational4 {
     "q39_window_hicard" -> (q39WindowHicard _))
 
   val oracles: Map[String, String] = Map(
+    "q41_lateral" -> q41Sql,
     "q40_null_anti" -> q40Sql,
     "q34_minmax_by" -> q34Sql,
     "q35_scd2" -> q35Sql,

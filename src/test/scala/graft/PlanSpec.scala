@@ -262,6 +262,15 @@ class PlanSpec extends AnyFunSuite {
       s"NOT IN must not fall back to the nested-loop rewrite:\n$inner")
   }
 
+  test("q41 LATERAL limit decorrelates to WindowGroupLimit, not a per-row loop") {
+    val plan = planOf("q41_lateral")
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral ORDER BY/LIMIT must lower to a rank-limit window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral join must not plan as a nested loop:\n$plan")
+  }
+
   test("native as-of join plans its own exchanges and sorts") {
     val plan = planOf("events_asof_native")
     assert(plan.contains("AsOfJoin"))
