@@ -372,6 +372,49 @@ object DataPipeline {
        |WHERE ${OracleFragments.quality("text")} >= 0.75
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-gate counters for a screening run, measured as free riders. */
+  final case class ScreenGate(in: org.apache.spark.sql.Observation,
+      kept: org.apache.spark.sql.Observation) {
+    /** Blocks until the observed frame has been run by an action. */
+    def nIn: Long = in.get("n_in").asInstanceOf[Long]
+    def nKept: Long = kept.get("n_kept").asInstanceOf[Long]
+    def tokensKept: Long = kept.get("tokens_kept").asInstanceOf[Long]
+  }
+
+  /** [[qualityScreen]] with production observability: `Dataset.observe`
+    * counters ride the SAME job that runs the screen — pre-filter volume,
+    * post-filter volume, and kept-token mass are aggregated inline by the
+    * scan/filter stages, so a 100 TB quality gate reports its numbers with
+    * ZERO additional jobs or scans (spec-pinned: exactly one job runs, and
+    * the counters equal independent recomputes). The frame's rows, schema,
+    * and plan shape are unchanged — `observe` inserts a CollectMetrics node
+    * that aggregates map-side as rows stream through. This is the mechanism
+    * a scheduled ingestion wires to its alerting: the action it already
+    * performs (the write) yields the gate metrics as a side channel.
+    *
+    * Deliberately NO global `orderBy`, unlike the driver-facing
+    * [[qualityScreen]]: a range sort's partitioner runs a boundary-SAMPLING
+    * pass over the same subtree before the real pass, so every observe
+    * point upstream of it would accumulate twice (measured: n_in doubles).
+    * A 100 TB screen feeding a write has no business globally sorting — and
+    * if a consumer adds one, the observe points must sit above it. */
+  def qualityScreenObserved(spark: SparkSession, dir: String): (DataFrame, ScreenGate) = {
+    import spark.implicits._
+    val gate = ScreenGate(
+      org.apache.spark.sql.Observation("screen_in"),
+      org.apache.spark.sql.Observation("screen_kept"))
+    val df = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text")
+      .observe(gate.in, count(lit(1)).as("n_in"))
+      .select($"doc_id", $"source", TF.qualityScore($"text").as("quality"),
+        TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"))
+      .filter($"quality" >= 0.75)
+      .observe(gate.kept, count(lit(1)).as("n_kept"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("tokens_kept"))
+      .select($"doc_id", $"source", $"quality")
+    (df, gate)
+  }
+
   /** Per-source dataset card: the summary statistics a training-mixture
     * design reads off before setting weights — doc/token/char totals, length
     * spread (exact p50), language diversity. ONE partial+final hash aggregate
