@@ -271,6 +271,15 @@ class PlanSpec extends AnyFunSuite {
       s"lateral join must not plan as a nested loop:\n$plan")
   }
 
+  test("prep_upsert is exactly one full-outer sort-merge join") {
+    val plan = planOf("prep_upsert")
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"snapshot/delta merge must be one full-outer SMJ (outer joins cannot broadcast):\n$plan")
+    val joins = plan.linesIterator.count(l =>
+      l.contains("Join") && !l.contains("AdaptiveSparkPlan"))
+    assert(joins == 1, s"expected exactly one join, found $joins:\n$plan")
+  }
+
   test("native as-of join plans its own exchanges and sorts") {
     val plan = planOf("events_asof_native")
     assert(plan.contains("AsOfJoin"))
