@@ -589,7 +589,73 @@ object EventsQueries {
       |WHERE (s.n*d.cnt - s.s)*(s.n*d.cnt - s.s) > 4*(s.n*s.q - s.s*s.s)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Per-type equi-width value histogram — the distribution-profiling
+    * primitive next to the exact/sketch percentiles (q21/q25): `NBuckets`
+    * equal-width bins between each type's min and max, last edge inclusive.
+    *
+    * Two aggregates: a types-sized bounds pass (min/max per type — partial
+    * agg, broadcast back), then ONE map-side-combinable (type, bucket)
+    * count — at 100 TB the second shuffle carries ≤ types×buckets rows.
+    * Bucket index is floor((v−lo)/w) clamped into [0, nb−1]: both engines
+    * evaluate the same double arithmetic on the same values, and the clamp
+    * (not an epsilon) handles v = hi exactly — so the bucket assignment is
+    * bit-identical cross-engine and the oracle hash-matches. Empty buckets
+    * are emitted with cnt = 0 via a sequence/unnest spine on the bounds
+    * table (a histogram with silent gaps misleads); edges are reported on a
+    * rounded display grid, counts are exact. Degenerate lo = hi types would
+    * divide by zero — w is floored at a tiny positive width so every value
+    * lands in bucket 0 deterministically (not exercised by this corpus but
+    * guarded the same way in both engines). */
+  private val HistBuckets = 10
+
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nb = HistBuckets
+    val bounds = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .withColumn("w", greatest(($"hi" - $"lo") / nb, lit(1e-12)))
+    val counts = Tables.events(spark, dir)
+      .join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        least(greatest(floor(($"value" - $"lo") / $"w"), lit(0.0)), lit((nb - 1).toDouble))
+          .cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val spine = bounds
+      .select($"event_type", $"lo", $"w", explode(sequence(lit(0L), lit((nb - 1).toLong))).as("bucket"))
+    spine.join(counts, Seq("event_type", "bucket"), "left")
+      .select($"event_type", $"bucket",
+        round($"lo" + $"bucket" * $"w", 6).as("lo_edge"),
+        round($"lo" + ($"bucket" + 1) * $"w", 6).as("hi_edge"),
+        coalesce($"cnt", lit(0L)).as("cnt"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val eventsHistogramSql: String =
+    s"""WITH b AS (
+       |  SELECT event_type, min(value) AS lo, max(value) AS hi,
+       |    greatest((max(value) - min(value)) / ${HistBuckets}, 1e-12) AS w
+       |  FROM events GROUP BY 1),
+       |c AS (
+       |  SELECT e.event_type,
+       |    CAST(least(greatest(floor((e.value - b.lo) / b.w), 0),
+       |               ${HistBuckets - 1}) AS BIGINT) AS bucket,
+       |    count(*) AS cnt
+       |  FROM events e JOIN b USING (event_type)
+       |  GROUP BY 1, 2),
+       |s AS (
+       |  SELECT b.event_type, b.lo, b.w, g.bucket
+       |  FROM b, LATERAL (SELECT unnest(range(0, ${HistBuckets})) AS bucket) g)
+       |SELECT s.event_type, s.bucket,
+       |  round(s.lo + s.bucket * s.w, 6) AS lo_edge,
+       |  round(s.lo + (s.bucket + 1) * s.w, 6) AS hi_edge,
+       |  coalesce(c.cnt, 0) AS cnt
+       |FROM s LEFT JOIN c ON c.event_type = s.event_type AND c.bucket = s.bucket
+       |ORDER BY s.event_type, s.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_histogram" -> (eventsHistogram _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_rolling_actives" -> (eventsRollingActives _),
     "events_session_funnel" -> ((s: SparkSession, d: String) => eventsSessionFunnel(s, d)),
@@ -605,6 +671,7 @@ object EventsQueries {
     "events_asof_forward" -> (eventsAsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "events_histogram" -> eventsHistogramSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_rolling_actives" -> eventsRollingActivesSql,
     "events_session_funnel" -> eventsSessionFunnelSql,

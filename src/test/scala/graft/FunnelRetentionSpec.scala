@@ -28,6 +28,29 @@ class FunnelRetentionSpec extends AnyFunSuite {
     dir
   }
 
+  test("events_histogram: exact edges, v=hi clamp, empty buckets emitted") {
+    // one type, values 0..10: lo=0, hi=10, w=1; v=10 must clamp into bucket
+    // 9 (last edge inclusive), bucket 5 is deliberately empty
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+    val values = Seq(0.0, 0.5, 1.5, 2.5, 3.5, 4.5, 6.5, 7.5, 8.5, 9.5, 10.0)
+    values.zipWithIndex
+      .map { case (v, i) =>
+        (i.toLong, 1700000000000000000L + i, 1L, "click", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventsQueries.eventsHistogram(spark, dir)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(got.length == 10, "full bucket spine even with gaps")
+    val byBucket = got.map(r => r._2 -> r).toMap
+    assert(byBucket(5L)._5 == 0L, "empty bucket must appear with cnt 0")
+    assert(byBucket(9L)._5 == 2L, "v = hi clamps into the last bucket (9.5 and 10.0)")
+    assert(byBucket(0L)._5 == 2L, "bucket 0 holds 0.0 and 0.5")
+    got.foreach { case (_, b, lo, hi, _) =>
+      assert(lo == b.toDouble && hi == (b + 1).toDouble, s"edges of bucket $b")
+    }
+    assert(got.map(_._5).sum == values.length.toLong, "counts partition the rows")
+  }
+
   /** The textbook 3-aggregation funnel (the oracle's shape) in DataFrame
     * form — the differential reference for the fold. */
   private def threeJoinFunnel(dir: String): DataFrame = {
