@@ -261,7 +261,42 @@ object Relational4 {
       |         LIMIT 2) t
       |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin
 
+  /** FILTER-clause aggregates: one pass computing differently-predicated
+    * aggregates side by side — the ANSI form of the "conditional sum"
+    * (q26 does the CASE-expression face; this pins `FILTER (WHERE ...)`,
+    * including a filtered DISTINCT). Catalyst folds every FILTER into the
+    * same partial+final hash aggregate — ONE scan, ONE shuffle, no
+    * per-predicate passes (the multi-scan form is what this replaces at
+    * 100 TB). Sum on an exact DECIMAL cast per the repo big-sum rule. */
+  def q42FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q42")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+        |    AS n_big_custs,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value
+        |FROM orders_q42
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+      |    AS n_big_custs,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+      |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_filter_agg" -> (q42FilterAgg _),
     "q41_lateral" -> (q41Lateral _),
     "q40_null_anti" -> (q40NullAnti _),
     "q34_minmax_by" -> (q34MinmaxBy _),
@@ -271,6 +306,7 @@ object Relational4 {
     "q39_window_hicard" -> (q39WindowHicard _))
 
   val oracles: Map[String, String] = Map(
+    "q42_filter_agg" -> q42Sql,
     "q41_lateral" -> q41Sql,
     "q40_null_anti" -> q40Sql,
     "q34_minmax_by" -> q34Sql,

@@ -61,7 +61,8 @@ class PlanSpec extends AnyFunSuite {
       "prep_token_budget" -> Seq("lang", "source", "n_chars"),          // uses doc_id+text
       "multimodal_phash_dedup" -> Seq("lang", "source", "n_chars"),     // uses doc_id+text
       "text_novelty" -> Seq("lang", "source", "n_chars"),               // uses doc_id+text
-      "prep_upsert" -> Seq("lang", "source", "n_chars"))                // uses doc_id+text
+      "prep_upsert" -> Seq("lang", "source", "n_chars"),                // uses doc_id+text
+      "events_histogram" -> Seq("event_id", "user_id", "props", "ts"))  // uses event_type+value
     for ((q, cols) <- unwanted; schema = readSchemas(q); c <- cols)
       assert(!schema.contains(c), s"$q scan reads unused column '$c': $schema")
   }
