@@ -57,17 +57,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs => CharEntropy(exprs.head)),
       ("pq_adc_score",
         "pq_adc_score(codes, table, ks) - PQ asymmetric-distance sum of per-subspace table lookups",
-        exprs => PqAdcScore(exprs(0), exprs(1), {
-          val e = exprs(2)
-          // foldable-first: a column reference must fail with THIS message,
-          // not an opaque eval-time error (the GraftFunctions.intK rule)
-          (if (e.foldable) e.eval() else null) match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              "pq_adc_score ks must be an integer literal, got " +
-                (if (e.foldable) s"$other" else s"non-literal $e"))
-          }
-        })))
+        exprs => {
+          if (exprs.length != 3) throw new IllegalArgumentException(
+            s"pq_adc_score takes 3 arguments (codes, table, ks), got ${exprs.length}")
+          PqAdcScore(exprs(0), exprs(1), {
+            val e = exprs(2)
+            // foldable-first: a column reference must fail with THIS message,
+            // not an opaque eval-time error (the GraftFunctions.intK rule);
+            // any integral foldable is accepted (users write 2 or 2L or
+            // CAST(2 AS BIGINT) interchangeably), range-checked into Int
+            (if (e.foldable) e.eval() else null) match {
+              case i: Int => i
+              case l: Long if l.isValidInt => l.toInt
+              case s: Short => s.toInt
+              case b: Byte => b.toInt
+              case other => throw new IllegalArgumentException(
+                "pq_adc_score ks must be an integer literal, got " +
+                  (if (e.foldable) s"$other" else s"non-literal $e"))
+            }
+          })
+        }))
     fns.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

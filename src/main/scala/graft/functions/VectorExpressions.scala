@@ -183,9 +183,17 @@ object VectorOps {
   def pqAdc(codes: ArrayData, table: ArrayData, ks: Int): Double = {
     val cs = codes.toIntArray()
     val ts = table.toDoubleArray()
+    // shape check up front: a mis-sized table or out-of-range code would
+    // otherwise surface as a bare ArrayIndexOutOfBoundsException from deep
+    // inside generated code, with no hint which expression failed
+    if (cs.length.toLong * ks > ts.length) throw new IllegalArgumentException(
+      s"pq_adc_score: table has ${ts.length} entries, need M*ks = ${cs.length}*$ks")
     var s = 0.0
     var m = 0
     while (m < cs.length) {
+      val c = cs(m)
+      if (c < 0 || c >= ks) throw new IllegalArgumentException(
+        s"pq_adc_score: code $c at subspace $m out of range [0, $ks)")
       s += ts(m * ks + cs(m))
       m += 1
     }

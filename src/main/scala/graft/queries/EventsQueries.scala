@@ -590,8 +590,12 @@ object EventsQueries {
       |ORDER BY event_type, day""".stripMargin
 
   /** Per-type equi-width value histogram — the distribution-profiling
-    * primitive next to the exact/sketch percentiles (q21/q25): `NBuckets`
+    * primitive next to the exact/sketch percentiles (q21/q25): `HistBuckets`
     * equal-width bins between each type's min and max, last edge inclusive.
+    * The lo_edge/hi_edge columns are a rounded DISPLAY grid only (same
+    * round(…, 6) convention as the other oracles) — counts are exact; a
+    * double round-tie between engines could only shift a displayed edge,
+    * never a count.
     *
     * Two aggregates: a types-sized bounds pass (min/max per type — partial
     * agg, broadcast back), then ONE map-side-combinable (type, bucket)

@@ -264,10 +264,14 @@ object Relational4 {
   /** FILTER-clause aggregates: one pass computing differently-predicated
     * aggregates side by side — the ANSI form of the "conditional sum"
     * (q26 does the CASE-expression face; this pins `FILTER (WHERE ...)`,
-    * including a filtered DISTINCT). Catalyst folds every FILTER into the
-    * same partial+final hash aggregate — ONE scan, ONE shuffle, no
-    * per-predicate passes (the multi-scan form is what this replaces at
-    * 100 TB). Sum on an exact DECIMAL cast per the repo big-sum rule. */
+    * including a filtered DISTINCT). Catalyst folds the non-distinct
+    * FILTER aggregates into one partial+final hash aggregate over ONE scan
+    * — no per-predicate passes (the multi-scan form is what this replaces
+    * at 100 TB). The filtered DISTINCT is the priced exception: it forces
+    * an Expand and a second, two-phase distinct aggregation (an extra
+    * shuffle keyed on (group, o_custkey)) — still one scan, and the
+    * distinct shuffle carries only the post-Expand key columns. Sum on an
+    * exact DECIMAL cast per the repo big-sum rule. */
   def q42FilterAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders_q42")
     spark.sql(

@@ -52,6 +52,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "SELECT pq_adc_score(array(0), array(1.0d), cast(id AS INT)) FROM range(1)"))
     assert(e.getMessage.contains("ks must be an integer literal"), e.getMessage)
+    // any integral foldable works, not just an INT literal — 2L is what a
+    // user who writes CAST(2 AS BIGINT) actually hands the builder
+    val big = spark.sql(
+      "SELECT pq_adc_score(array(1, 0), array(0.0d, 2.0d, 3.0d, 4.0d), CAST(2 AS BIGINT))")
+      .head().getDouble(0)
+    assert(big == 5.0)
+    // wrong arity fails with an arity message, not an IndexOutOfBounds
+    val arity = intercept[Exception](spark.sql(
+      "SELECT pq_adc_score(array(0), array(1.0d))"))
+    assert(arity.getMessage.contains("takes 3 arguments"), arity.getMessage)
+    // a mis-shaped call names the function, not a bare array index error
+    val shape = intercept[Exception](spark.sql(
+      "SELECT pq_adc_score(array(7), array(1.0d, 2.0d), 2)").head())
+    assert(shape.getMessage.contains("pq_adc_score"), shape.getMessage)
   }
 
   test("as-of strategy is planned without calling AsOf.register") {
