@@ -556,20 +556,30 @@ object EventsQueries {
     * the only full-data work, a map-side-combinable aggregate of the BATCH
     * — then re-evaluates flags over the merged store, which holds
     * aggregate-sized rows (#types × #days × #batches deltas; sum-merged on
-    * read, compactable by rewriting). Late events simply add a delta to
-    * their day: flags are REVISED on the next admit, which is the honest
-    * semantic for anomaly monitoring (a day can stop being anomalous once
-    * its stragglers land). After all data is admitted, the flag set equals
-    * the batch operator's exactly (spec-pinned). Plain parquet append is
-    * atomic per task file, not transactional across job failures — same
-    * stated trade as the dedup index. */
-  def anomalyAdmitBatch(batch: DataFrame, storeDir: String): DataFrame = {
+    * read). Late events simply add a delta to their day: flags are REVISED
+    * on the next admit, which is the honest semantic for anomaly
+    * monitoring (a day can stop being anomalous once its stragglers land).
+    * After all data is admitted, the flag set equals the batch operator's
+    * exactly (spec-pinned).
+    *
+    * Persistence is [[graft.sources.Store]]: a crashed admit leaves the
+    * store unchanged (stage-then-rename commit), and the admit-count
+    * maintenance compaction here passes the sum-merge as its rewrite — a
+    * compacted store holds ONE row per (type, day), so both file count
+    * and row count stay bounded by live keys, not by admit history. */
+  def anomalyAdmitBatch(batch: DataFrame, storeDir: String,
+      maintainEvery: Int = 16): DataFrame = {
     import batch.sparkSession.implicits._
-    batch
-      .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("cnt_delta"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir)
-    anomalyFlagsOn(batch.sparkSession.read.parquet(storeDir)
+    val spark = batch.sparkSession
+    val mergeDeltas: DataFrame => DataFrame =
+      _.groupBy($"event_type", $"day").agg(sum($"cnt_delta").as("cnt_delta"))
+    graft.sources.Store.append(
+      batch.groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("cnt_delta")),
+      storeDir)
+    graft.sources.Store.maintain(spark, storeDir, maintainEvery,
+      rewrite = mergeDeltas)
+    anomalyFlagsOn(graft.sources.Store.read(spark, storeDir)
       .groupBy($"event_type", $"day")
       .agg(sum($"cnt_delta").as("cnt")))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 
 import graft.functions.{TextFunctions => TF}
+import graft.sources.Store
 
 /** Incremental corpus deduplication — the production shape at 100 TB, where
   * a corpus is never re-deduplicated from scratch: a persisted fingerprint
@@ -22,10 +23,15 @@ import graft.functions.{TextFunctions => TF}
   * NEVER SHUFFLED AND NEVER BROADCAST. A delta batch is orders of magnitude
   * smaller than the corpus index; every join broadcasts the batch (or a
   * ≤ batch-sized derivative) into a map-side probe of the index scan.
-  * Growth is append-only parquet. Plain parquet append is atomic per task
-  * file but not transactional across job failures — a real deployment wraps
-  * the append in a table format's commit protocol; the admit-iff-new
-  * contract is unchanged.
+  *
+  * Persistence is [[graft.sources.Store]]: admissions commit via the
+  * stage-then-rename protocol (a crashed admit leaves the index byte-for-
+  * byte unchanged — never a half-admitted batch), and an admit-count-
+  * triggered [[graft.sources.Store.maintain]] compaction bounds the file
+  * count under continuous admission instead of growing one delta directory
+  * per admit forever. On a real deployment a transactional table format
+  * replaces the file-level protocol; the admit-iff-new contract is
+  * unchanged.
   */
 object IncrementalDedup {
 
@@ -60,13 +66,14 @@ object IncrementalDedup {
     * empty. (Cluster deployments wanting executor-loss durability for the
     * admitted frame swap in reliable `checkpoint()` — the same trade as the
     * CC loop's cut.) */
-  def dedupeBatchExact(batch: DataFrame, indexDir: String): DataFrame = {
+  def dedupeBatchExact(batch: DataFrame, indexDir: String,
+      maintainEvery: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val admitted =
-      admissionFrame(batch, spark.read.parquet(indexDir)).localCheckpoint()
-    admitted.select($"fp", $"doc_id".as("keeper_id"))
-      .write.mode(SaveMode.Append).parquet(indexDir)
+      admissionFrame(batch, Store.read(spark, indexDir)).localCheckpoint()
+    Store.append(admitted.select($"fp", $"doc_id".as("keeper_id")), indexDir)
+    Store.maintain(spark, indexDir, maintainEvery)
     admitted.orderBy($"doc_id")
   }
 
@@ -140,7 +147,8 @@ object IncrementalDedup {
     * map-side via broadcast batch band keys, only candidate (doc pairs ×
     * sig) rows come back, and the index is never shuffled. */
   def dedupeBatchNearDup(batch: DataFrame, indexDir: String,
-      rowsPerBand: Int = 4, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+      rowsPerBand: Int = 4, tNum: Int = 4, tDen: Int = 5,
+      maintainEvery: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(tNum > 0 && tNum <= tDen, s"need 0 < t <= 1, got $tNum/$tDen")
@@ -153,7 +161,7 @@ object IncrementalDedup {
         lit(SigComponents) * tNum
     // 1. index screen: batch band keys broadcast INTO the index scan's
     //    derived-key projection; candidates (ids + sigs) are posting-bounded
-    val index = spark.read.parquet(indexDir)
+    val index = Store.read(spark, indexDir)
     val indexBands = index.select($"doc_id", $"sig", bandKeys(rowsPerBand).as("bk"))
       .select($"sig".as("sig_i"), $"bk.band".as("band"), $"bk.key".as("key"))
     val dropByIndex = indexBands
@@ -180,8 +188,8 @@ object IncrementalDedup {
     val admitted = survivors
       .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
       .localCheckpoint() // same refreshByPath trap as the exact path
-    admitted.select($"doc_id", $"sig")
-      .write.mode(SaveMode.Append).parquet(indexDir)
+    Store.append(admitted.select($"doc_id", $"sig"), indexDir)
+    Store.maintain(spark, indexDir, maintainEvery)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
 
@@ -213,7 +221,7 @@ object IncrementalDedup {
     * never shuffled, never broadcast), only matched ids come back, and the
     * within-batch resolution is batch-sized. */
   def dedupeBatchPhash(batch: DataFrame, indexDir: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maintainEvery: Int = 16): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -222,7 +230,7 @@ object IncrementalDedup {
     val batchBands = batchPh
       .select($"doc_id", $"ph", Multimodal.phashBandStructs.as("bk"))
       .select($"doc_id", $"ph", $"bk.band".as("band"), $"bk.key".as("key"))
-    val index = spark.read.parquet(indexDir)
+    val index = Store.read(spark, indexDir)
     val indexBands = index
       .select($"ph", Multimodal.phashBandStructs.as("bk"))
       .select($"ph".as("ph_i"), $"bk.band".as("band"), $"bk.key".as("key"))
@@ -241,8 +249,8 @@ object IncrementalDedup {
     val admitted = survivors
       .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
       .localCheckpoint() // same refreshByPath trap as the exact path
-    admitted.select($"doc_id", $"ph")
-      .write.mode(SaveMode.Append).parquet(indexDir)
+    Store.append(admitted.select($"doc_id", $"ph"), indexDir)
+    Store.maintain(spark, indexDir, maintainEvery)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
 }

@@ -157,6 +157,14 @@ object Layout {
     val df = spark.read.parquet(path)
     if (clusterCols.nonEmpty) writeClustered(df, tmp, clusterCols, numFiles)
     else df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    promote(tmp, path)
+  }
+
+  /** The rename-aside swap shared by [[compact]] and [[Store.compact]]:
+    * move the live directory aside, promote the rewrite, drop the old copy
+    * — the live data is in `path` or `path + ".old"` at every step
+    * boundary. */
+  private[graft] def promote(tmp: String, path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

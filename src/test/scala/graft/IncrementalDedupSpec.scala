@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{Dedup, IncrementalDedup}
+import graft.sources.Store
 import graft.sources.Tables
 
 /** Incremental-dedup contract: processing a corpus as sequential delta
@@ -34,7 +35,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
 
     // final index state == the keepers a from-scratch dedup over ALL docs
     // picks (batches are id-ordered, so min-per-fingerprint agrees)
-    val indexKeepers = spark.read.parquet(idx)
+    val indexKeepers = Store.read(spark, idx)
       .select($"keeper_id").as[Long].collect().toSet
     val scratch = Dedup.dedupExact(spark, sf)
       .select($"keeper_id").as[Long].collect().toSet
@@ -80,7 +81,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // idempotence: the admitted docs are now indexed; nothing re-admits
     assert(IncrementalDedup.dedupeBatchNearDup(batch, idx).count() == 0)
     // index grew by exactly the admitted signatures
-    assert(spark.read.parquet(idx).count() == 40 + 6)
+    assert(Store.read(spark, idx).count() == 40 + 6)
   }
 
   test("dedupeBatchExact slots into foreachBatch (streaming face)") {
@@ -107,7 +108,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     assert(admittedLog.toSet == Set(10L, 13L), s"admitted=$admittedLog")
-    val keepers = spark.read.parquet(idx).select($"keeper_id").as[Long].collect().toSet
+    val keepers = Store.read(spark, idx).select($"keeper_id").as[Long].collect().toSet
     assert(keepers == Set(0L, 1L, 10L, 13L))
   }
 
@@ -118,7 +119,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // the pre-checkpoint join (dedupeBatchExact cuts lineage eagerly, so
     // its returned plan is just the checkpoint RDD scan)
     val admission = IncrementalDedup.admissionFrame(
-      docs.filter($"doc_id" >= 250), spark.read.parquet(idx))
+      docs.filter($"doc_id" >= 250), Store.read(spark, idx))
     assert(admission.count() == 250) // finalize the adaptive plan
     val plan = admission.queryExecution.executedPlan.toString
     // every join must be a broadcast join building on the batch-derived
@@ -150,12 +151,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val admitted = IncrementalDedup.dedupeBatchPhash(batch, idx)
       .as[Long].collect().toSet
     assert(admitted == Set(11L, 14L), s"admitted=$admitted")
-    val stored = spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
+    val stored = Store.read(spark, idx).select($"doc_id").as[Long].collect().toSet
     assert(stored == Set(0L, 11L, 14L), s"index=$stored")
     // idempotence: everything in the batch is now represented in the index
     val again = IncrementalDedup.dedupeBatchPhash(batch, idx)
       .as[Long].collect().toSet
     assert(again.isEmpty, s"re-admission must be a no-op, got $again")
-    assert(spark.read.parquet(idx).count() == 3)
+    assert(Store.read(spark, idx).count() == 3)
   }
 }
