@@ -1232,7 +1232,9 @@ object DataPipeline {
     * Scale shape: ONE full-outer equi-join on doc_id, everything else a
     * projection. At 100 TB the snapshot is bucketed/Hive-partitioned on
     * doc_id ([[graft.sources.Layout]]) so the join co-locates — the delta
-    * (small by definition) shuffles, the snapshot does not; and the `noop`
+    * (small by definition) shuffles, the snapshot does not (plan-pinned:
+    * ScaleSpec's bucketed-snapshot case asserts exactly one exchange, on
+    * the delta side, with a bucket-aware snapshot scan); and the `noop`
     * arm is the write saver: only partitions holding an insert/update row
     * rewrite (copy-on-write), which the [[graft.sources.Layout.manifest]]
     * shard manifest makes a per-file decision. The md5 comparison is the

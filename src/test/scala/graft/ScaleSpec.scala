@@ -285,4 +285,29 @@ class ScaleSpec extends AnyFunSuite {
     val ds = Pipeline.textFile(spark, s"$dir/mols.sdf", "\n$$$$\n").ds
     assert(ds.collect().toSeq == records)
   }
+
+  test("bucketed-snapshot upsert: only the delta side shuffles") {
+    // prep_upsert's 100 TB claim, previously prose-only: with the corpus
+    // snapshot bucketed on doc_id, the full-outer merge reads the snapshot
+    // in place — exactly ONE exchange in the whole plan, on the (small by
+    // definition) delta side. The snapshot — the 100 TB side — never moves.
+    import graft.queries.DataPipeline
+    val docs = Tables.documents(spark, sf)
+    DataPipeline.upsertSnapshotOf(docs).write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("upsert_snap")
+    try {
+      val merged = DataPipeline.upsertResolved(
+        spark.table("upsert_snap")
+          .join(DataPipeline.upsertDeltaOf(docs), Seq("doc_id"), "full_outer"))
+      val got = merged.orderBy($"doc_id").collect().toSeq
+      val expect = DataPipeline.upsert(spark, sf).collect().toSeq
+      assert(got == expect, "bucketed merge must equal the plain operator")
+      val plan = merged.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly one exchange (delta side only), got $exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"snapshot scan should be bucket-aware:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS upsert_snap")
+  }
 }
