@@ -299,7 +299,68 @@ object Relational4 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers-who-kept-orders-waiting): a four-table join
+    * with BOTH a correlated EXISTS and a correlated NOT EXISTS against the
+    * SAME fact table the outer query scans — the composition stress the
+    * surface covered only piecewise (q04/q05 column-API semi/anti, q37 SQL
+    * EXISTS, q40 null-aware anti). Here: suppliers with a returned line
+    * item on a finished multi-supplier order where NO other supplier on
+    * that order had a return.
+    *
+    * What the plan must do (spec-pinned in Relational4Spec): Catalyst
+    * decorrelates the EXISTS into a left-semi and the NOT EXISTS into a
+    * left-anti join on l_orderkey, each carrying the `<> l_suppkey`
+    * residual as a join condition — no per-row re-execution of the inner
+    * queries, no nested-loop join, no cartesian product. At 100 TB all
+    * three lineitem legs shuffle on l_orderkey (the semi/anti build sides
+    * are the SAME key, so the exchanges reuse partitioning across the
+    * joins), and supplier/nation broadcast. The NOT EXISTS leg is an
+    * ordinary anti join, not the null-aware form — l_suppkey is non-null
+    * by schema, so q40's single-key null-check machinery never engages. */
+  def q43LateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q43")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q43")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q43")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_q43")
+    spark.sql(
+      """SELECT s.s_name, n.n_name, count(*) AS numwait
+        |FROM supplier_q43 s
+        |JOIN lineitem_q43 l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders_q43 o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation_q43 n ON n.n_nationkey = s.s_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem_q43 l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_q43 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name, n.n_name
+        |ORDER BY numwait DESC, s.s_name""".stripMargin)
+  }
+
+  val q43Sql: String =
+    """SELECT s.s_name, n.n_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name, n.n_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_late_suppliers" -> (q43LateSuppliers _),
     "q42_filter_agg" -> (q42FilterAgg _),
     "q41_lateral" -> (q41Lateral _),
     "q40_null_anti" -> (q40NullAnti _),
@@ -310,6 +371,7 @@ object Relational4 {
     "q39_window_hicard" -> (q39WindowHicard _))
 
   val oracles: Map[String, String] = Map(
+    "q43_late_suppliers" -> q43Sql,
     "q42_filter_agg" -> q42Sql,
     "q41_lateral" -> q41Sql,
     "q40_null_anti" -> q40Sql,

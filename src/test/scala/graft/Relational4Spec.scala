@@ -95,4 +95,42 @@ class Relational4Spec extends AnyFunSuite {
       chain.dropRight(1).foreach(r => assert(r._5 == 0L))
     }
   }
+
+  test("q43 decorrelates both EXISTS legs to semi/anti joins; brute-force parity") {
+    val df = Relational4.q43LateSuppliers(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "q43 should flag some suppliers at this SF")
+    // plan pin: EXISTS -> left semi, NOT EXISTS -> left anti, both as real
+    // joins on l_orderkey with the <>-suppkey residual — never a per-row
+    // subquery re-execution, nested loop, or cartesian product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no nested-loop/cartesian fallback allowed:\n$plan")
+
+    // brute-force differential: recompute the waiting set driver-side
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      .as[(Long, Long, String)].collect()
+    val byOrder = li.groupBy(_._1)
+    val finished = Tables.orders(spark, sf).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").as[Long].collect().toSet
+    val supp = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_name", $"s_nationkey").as[(Long, String, Long)].collect()
+      .map(s => s._1 -> (s._2, s._3)).toMap
+    val nation = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val expect = li.iterator
+      .filter { case (ok, sk, rf) =>
+        rf == "R" && finished(ok) && {
+          val others = byOrder(ok).filter(_._2 != sk)
+          others.nonEmpty && !others.exists(_._3 == "R")
+        }
+      }
+      .map { case (_, sk, _) => val (name, nk) = supp(sk); (name, nation(nk)) }
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expect, s"only-got=${got.toSet -- expect.toSet} only-exp=${expect.toSet -- got.toSet}")
+  }
 }
