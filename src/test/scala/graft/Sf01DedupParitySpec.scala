@@ -319,6 +319,36 @@ class Sf01DedupParitySpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.1 must surface at least the partial boundary days")
   }
 
+  test("events_histogram at sf0.1 equals a driver-side bucket recompute", SlowTest) {
+    // the float-boundary class this pins: a value landing exactly ON a
+    // bucket edge at 10× the oracle corpus must bucket identically in the
+    // engine's codegen'd floor((v-lo)/w) and an independent driver fold —
+    // same IEEE ops, same clamp, zero-filled spine, HALF_UP display edges
+    val vals = Tables.events(spark, sfBig)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val nb = 10
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vals.groupBy(_._1).flatMap { case (et, rows) =>
+      val vs = rows.map(_._2)
+      val lo = vs.min
+      val w = math.max((vs.max - lo) / nb, 1e-12)
+      val counts = vs.groupBy { v =>
+        math.min(math.max(math.floor((v - lo) / w), 0.0), (nb - 1).toDouble).toLong
+      }.view.mapValues(_.length.toLong).toMap
+      (0L until nb.toLong).map { b =>
+        (et, b, r6(lo + b * w), r6(lo + (b + 1) * w), counts.getOrElse(b, 0L))
+      }
+    }.toSet
+    val got = graft.queries.EventsQueries.eventsHistogram(spark, sfBig)
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    assert(got == expected,
+      s"only=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // (all buckets are populated at this volume — the empty-spine face is
+    // exercised by the sf0.01 oracle row and the FunnelRetentionSpec fixture)
+    assert(got.nonEmpty)
+  }
+
   test("text_novelty at sf0.1 equals a driver-side string-gram recompute", SlowTest) {
     // independent path end to end: STRING 8-grams built by a driver fold
     // (no hashed-shingle kernel, no shuffled min-agg), so this catches both
