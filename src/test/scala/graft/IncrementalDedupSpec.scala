@@ -159,4 +159,68 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(again.isEmpty, s"re-admission must be a no-op, got $again")
     assert(Store.read(spark, idx).count() == 3)
   }
+
+  test("phash incremental at volume: half+half equals from-scratch reps; " +
+      "admission order shifts which member represents, never the class structure") {
+    // planted corpus: 12 distinct media payloads, each with one re-encode
+    // (single token swapped -> byte-simhash within Hamming <= 3 of its
+    // base), plus two genuinely new payloads
+    def doc(seed: Int): String = (0 until 60).map(j => s"m${seed}p$j").mkString(" ")
+    val bases = (0 until 12).map(i => (i.toLong, doc(i)))
+    val reenc = (0 until 12).map(i => ((100 + i).toLong, doc(i).replace(s"m${i}p30", "reenc")))
+    val fresh = Seq((300L, doc(500)), (301L, doc(501)))
+    val union = (bases ++ reenc ++ fresh).toDF("doc_id", "text")
+
+    // independent ground truth: driver union-find over the BATCH operator's
+    // verified pair list — the classes the incremental face must represent
+    val pairs = graft.queries.Multimodal.multimodalPhashDedupOn(union)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val ids = (bases ++ reenc ++ fresh).map(_._1)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val classes = ids.groupBy(find)
+    val scratchReps = classes.keySet // min-id per component
+
+    // id-ordered half+half (the production shape): final index state equals
+    // the from-scratch min-id representative set exactly
+    val idx1 = tmpIndex() + "/phash1"
+    IncrementalDedup.writePhashIndex(bases.toDF("doc_id", "text"), idx1)
+    val adm1 = IncrementalDedup.dedupeBatchPhash((reenc ++ fresh).toDF("doc_id", "text"), idx1)
+      .as[Long].collect().toSet
+    assert(adm1 == Set(300L, 301L), s"admitted=$adm1")
+    val stored1 = Store.read(spark, idx1).select($"doc_id").as[Long].collect().toSet
+    assert(stored1 == scratchReps,
+      s"idx-only=${stored1 -- scratchReps} scratch-only=${scratchReps -- stored1}")
+
+    // a different batch split must converge to the same state
+    val idx2 = tmpIndex() + "/phash2"
+    IncrementalDedup.writePhashIndex(bases.toDF("doc_id", "text"), idx2)
+    (reenc ++ fresh).grouped(5).foreach { g =>
+      IncrementalDedup.dedupeBatchPhash(g.toDF("doc_id", "text"), idx2).count()
+    }
+    val stored2 = Store.read(spark, idx2).select($"doc_id").as[Long].collect().toSet
+    assert(stored2 == scratchReps, s"split-dependent state: $stored2")
+
+    // adversarial order (re-encodes arrive BEFORE their bases): the rep of
+    // each class shifts to its earliest-arrived member — that is the honest
+    // first-seen-wins semantic — but the class STRUCTURE is order-immune:
+    // one rep per class, every class covered, no class double-represented
+    assert(classes.values.forall(_.count(id => id >= 100) == 1),
+      "fixture: each class must hold exactly one seed-side member")
+    val idx3 = tmpIndex() + "/phash3"
+    IncrementalDedup.writePhashIndex((reenc ++ fresh).toDF("doc_id", "text"), idx3)
+    val admBases = IncrementalDedup.dedupeBatchPhash(bases.toDF("doc_id", "text"), idx3)
+      .as[Long].collect().toSet
+    assert(admBases.isEmpty,
+      s"every base is represented by its re-encode, yet admitted $admBases")
+    val stored3 = Store.read(spark, idx3).select($"doc_id").as[Long].collect().toSet
+    val expected3 = classes.values.map(_.find(_ >= 100).get).toSet
+    assert(stored3 == expected3, s"got=$stored3 expected=$expected3")
+    assert(stored3.size == scratchReps.size,
+      "admission order must never change the number of represented classes")
+  }
 }
