@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Fifth relational widening — four classic warehouse shapes the surface had
+  * not yet composed, each chosen to stress a distinct optimizer path:
+  *
+  *   - q44: aggregate CTE consumed twice (rows + its own max) — exchange
+  *     reuse across the two consumers instead of a double scan.
+  *   - q45: global-threshold filter (above-average balance) + anti join —
+  *     the scalar aggregate broadcasts, never the fact table.
+  *   - q46: two-level re-aggregation (fair-share dominance) — the first
+  *     aggregate consumed as rows AND as input to its own rollup, single
+  *     fact scan via exchange reuse; the correlated-HAVING wording of the
+  *     same predicate is spec-pinned equal and decorrelation-checked.
+  *   - q47: per-group correlated min (TPC-H Q2 shape) — decorrelated to a
+  *     grouped min re-joined on the correlation key, no per-row
+  *     re-execution, and a single fact scan via exchange reuse.
+  *
+  * All money/quantity comparisons run in exact arithmetic (DECIMAL or
+  * integer-valued doubles below 2^53) so threshold rows cannot flip between
+  * engines; doubles appear only as display casts or as values both engines
+  * derive with the identical IEEE operation sequence.
+  */
+object Relational5 {
+
+  /** TPC-H Q15 shape (top supplier by quarterly revenue): a revenue
+    * aggregate is consumed twice — once as rows, once reduced to its own
+    * max — and the winner(s) join back to the supplier dimension.
+    *
+    * Scale shape: revenue is ONE partial+final hash aggregate over the
+    * date-pruned scan (the shipdate filter reaches the parquet scan, so a
+    * quarter of a 100 TB fact is all that's read). The max side reduces the
+    * SAME aggregate to one row — Spark's ReuseExchange collapses the two
+    * identical aggregate subtrees into one exchange read twice, so the fact
+    * scan happens ONCE, not twice (spec-pinned: ReusedExchange present,
+    * exactly one lineitem scan in the final plan). The explicit
+    * `l_suppkey.isNotNull` filter is load-bearing for that reuse: the final
+    * join would inject it on the rows side only, and the asymmetric filter
+    * de-canonicalizes the two subtrees. The 1-row max broadcasts into the
+    * equality filter, and the 100-row supplier dimension broadcasts into
+    * the final join: nothing but the aggregated (suppkey, revenue) pairs
+    * ever shuffles. Revenue compares in exact DECIMAL (ties keep all
+    * winners, deterministically); the DOUBLE cast is display-only. */
+  def q44TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val revenue = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi && $"l_suppkey".isNotNull)
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+        .as("rev_exact"))
+    val best = revenue.agg(max($"rev_exact").as("max_rev"))
+    revenue
+      .join(broadcast(best), $"rev_exact" === $"max_rev")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"rev_exact".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q44Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_exact
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.rev_exact AS DOUBLE) AS total_revenue
+      |FROM revenue r
+      |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.rev_exact = (SELECT max(rev_exact) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape (well-funded customers the sales team never rushed):
+    * customers whose balance exceeds the average positive balance AND who
+    * have never placed a 1-URGENT order, rolled up by nation.
+    *
+    * The above-average threshold is the classic correlated-looking filter
+    * that must NOT become a per-row subquery: the global (count, sum) pair
+    * is ONE 1-row aggregate, broadcast into every partition of the customer
+    * scan. The threshold itself is evaluated in exact arithmetic — balance
+    * is compared as `bal_cents * n > total_cents` with both sides integral
+    * DECIMAL products, so a customer sitting within one double-ulp of the
+    * mean cannot flip between engines (a real hazard: avg() is an
+    * order-dependent double fold in both engines). The never-urgent test is
+    * a LEFT ANTI join against the date-independent slice of orders — at
+    * 100 TB the urgent slice is pre-filtered before the shuffle, and the
+    * rollup output is at most one row per nation. */
+  def q45QuietWealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+      .withColumn("bal_exact", $"c_acctbal".cast("decimal(14,2)"))
+    val thresholds = customer
+      .filter($"bal_exact" > lit(0))
+      .agg(count(lit(1)).as("n_pos"), sum($"bal_exact").as("tot_pos"))
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    customer
+      .crossJoin(broadcast(thresholds))
+      .filter($"bal_exact" * $"n_pos" > $"tot_pos")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum($"bal_exact").cast("double").as("totacctbal"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q45Sql: String =
+    """WITH t AS (
+      |  SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS tot_pos
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(14,2)) > 0)
+      |SELECT c.c_nationkey, count(*) AS numcust,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c, t
+      |WHERE CAST(c.c_acctbal AS DECIMAL(14,2)) * t.n_pos > t.tot_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c.c_nationkey
+      |ORDER BY c.c_nationkey""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers dominating a part's supply): a supplier
+    * "dominates" a part when it ships more than 3x its fair share of the
+    * part's total quantity (share > 3/n_suppliers) — a two-level
+    * re-aggregation where the per-part totals derive from the per-
+    * (part, supplier) aggregate itself.
+    *
+    * Shipped form: the flat re-aggregation. The (partkey, suppkey)
+    * aggregate `ps` is consumed twice — once as rows, once re-aggregated to
+    * per-part (total, supplier-count) — and ReuseExchange collapses the two
+    * identical subtrees, so lineitem scans ONCE (spec-pinned). The
+    * per-part rollup and the rejoin both key on l_partkey, reusing that
+    * partitioning; supplier (dim) broadcasts.
+    *
+    * The same predicate as correlated scalar AGGREGATE subqueries under
+    * HAVING (the classic Q20 wording, `q46CorrelatedSql`) is spec-pinned
+    * equal: Catalyst decorrelates each subquery into a grouped aggregate
+    * re-joined on l_partkey — no nested-loop, no per-group re-scan — but
+    * the two subqueries read different column sets, so that face costs
+    * three pruned fact scans (MergeScalarSubqueries does not merge
+    * correlated aggregates). At 100 TB the flat single-scan form is the
+    * one to run; the correlated face documents that the decorrelation
+    * path is correct when a user writes it anyway.
+    *
+    * Quantities are integral doubles (exact below 2^53) and both predicate
+    * sides are products of exact integers, so the 3x-fair-share boundary
+    * is engine-stable. */
+  def q46DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_partkey".isNotNull && $"l_suppkey".isNotNull)
+    val ps = li.groupBy($"l_partkey", $"l_suppkey").agg(sum($"l_quantity").as("q"))
+    val pt = ps.groupBy($"l_partkey")
+      .agg(sum($"q").as("t"), count(lit(1)).as("ns"))
+      .withColumnRenamed("l_partkey", "pt_partkey")
+    ps.join(pt, $"l_partkey" === $"pt_partkey")
+      .filter($"q" * $"ns" > lit(3) * $"t")
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .orderBy($"n_dominant_parts".desc, $"s_suppkey")
+  }
+
+  /** The correlated-HAVING face of q46 — exercised by Relational5Spec for
+    * decorrelation parity, not shipped as the driver query (see scaladoc
+    * above for why the flat form wins at scale). */
+  def q46Correlated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q46")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q46")
+    spark.sql(
+      """SELECT s.s_suppkey, s.s_name, count(*) AS n_dominant_parts
+        |FROM (
+        |  SELECT l_partkey, l_suppkey
+        |  FROM lineitem_q46 l1
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(l_quantity) *
+        |           (SELECT count(DISTINCT l2.l_suppkey) FROM lineitem_q46 l2
+        |            WHERE l2.l_partkey = l1.l_partkey)
+        |         > 3 * (SELECT sum(l3.l_quantity) FROM lineitem_q46 l3
+        |                WHERE l3.l_partkey = l1.l_partkey)
+        |) d
+        |JOIN supplier_q46 s ON s.s_suppkey = d.l_suppkey
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY n_dominant_parts DESC, s.s_suppkey""".stripMargin)
+  }
+
+  val q46Sql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |pt AS (
+      |  SELECT l_partkey, sum(q) AS t, count(*) AS ns
+      |  FROM ps GROUP BY l_partkey)
+      |SELECT s.s_suppkey, s.s_name, count(*) AS n_dominant_parts
+      |FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      |WHERE ps.q * pt.ns > 3 * pt.t
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY n_dominant_parts DESC, s.s_suppkey""".stripMargin
+
+  /** TPC-H Q2 shape (cheapest supplier per part): for every small part
+    * (p_size <= 10), the supplier(s) whose best unit price for that part
+    * equals the part's minimum unit price — a correlated scalar MIN
+    * subquery whose correlation key (p_partkey) is a join column of the
+    * outer query.
+    *
+    * Scale shape: Catalyst decorrelates the min into ONE grouped aggregate
+    * over the (partkey, suppkey) cost table re-joined on l_partkey — the
+    * cost table is aggregated once per grouping, never once per outer row,
+    * and because the CTE's explicit IS NOT NULL guards keep the two cost
+    * consumers canonically identical, ReuseExchange collapses them: the
+    * fact table scans ONCE (spec-pinned; without the guards the outer
+    * join's inferred not-null filters land on one side only and force a
+    * second scan). At 100 TB the cost table itself is a single
+    * partial+final aggregate of the fact table; part and supplier are
+    * broadcast dims. unit_cost is the same IEEE division then min in both
+    * engines — bit-identical, so the equality keeps identical rows (ties
+    * keep every winning supplier; the ORDER BY is total). */
+  def q47CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q47")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q47")
+    Tables.part(spark, dir).createOrReplaceTempView("part_q47")
+    spark.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem_q47
+        |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, c.unit_cost
+        |FROM part_q47 p
+        |JOIN cost c ON c.l_partkey = p.p_partkey
+        |JOIN supplier_q47 s ON s.s_suppkey = c.l_suppkey
+        |WHERE p.p_size <= 10
+        |  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+        |                     WHERE c2.l_partkey = p.p_partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin)
+  }
+
+  val q47Sql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem
+      |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, c.unit_cost
+      |FROM part p
+      |JOIN cost c ON c.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |WHERE p.p_size <= 10
+      |  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+      |                     WHERE c2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_top_supplier" -> (q44TopSupplier _),
+    "q45_quiet_wealth" -> (q45QuietWealth _),
+    "q46_dominant_suppliers" -> (q46DominantSuppliers _),
+    "q47_cheapest_supplier" -> (q47CheapestSupplier _))
+
+  val oracles: Map[String, String] = Map(
+    "q44_top_supplier" -> q44Sql,
+    "q45_quiet_wealth" -> q45Sql,
+    "q46_dominant_suppliers" -> q46Sql,
+    "q47_cheapest_supplier" -> q47Sql)
+}

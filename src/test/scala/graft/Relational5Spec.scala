@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational5
+import graft.sources.Tables
+
+class Relational5Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q44 winner equals the brute-force quarterly revenue max; no cartesian") {
+    val df = Relational5.q44TopSupplier(spark, sf)
+    val rows = df.select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect()
+    assert(rows.nonEmpty, "q44 must crown at least one supplier")
+
+    // driver-side recompute in cents (exact): revenue per supplier in window
+    val li = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+    // mirror the DECIMAL(12,2) * DECIMAL(4,2) arithmetic: price in cents x
+    // discount in hundredths -> exact integral ten-thousandths
+    val rev = li.groupBy(_._1).view.mapValues(_.map { case (_, p, d) =>
+      math.round(p * 100) * (100L - math.round(d * 100))
+    }.sum).toMap
+    val maxRev = rev.values.max
+    val expect = rev.filter(_._2 == maxRev).keySet
+    assert(rows.map(_._1).toSet == expect)
+    rows.foreach { case (_, tot) =>
+      assert(math.round(tot * 10000) == maxRev, s"revenue $tot != $maxRev/10000")
+    }
+    // the revenue aggregate feeds both the rows side and its own max:
+    // ReuseExchange must collapse the identical subtrees so the fact table
+    // scans exactly once in the final plan (materialize df itself first —
+    // AQE only finalizes reuse on the executed plan)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"revenue exchange must be reused:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"exactly one lineitem scan expected:\n$plan")
+  }
+
+  test("q45 nation rollup equals an exact-cents threshold + never-urgent recompute") {
+    val df = Relational5.q45QuietWealth(spark, sf)
+    val rows = df.select($"c_nationkey", $"numcust", $"totacctbal")
+      .as[(Int, Long, Double)].collect()
+    assert(rows.nonEmpty, "q45 must keep some quiet-wealth customers")
+
+    val cust = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .as[(Long, Int, Double)].collect()
+    val centsOf = (b: Double) => math.round(b * 100)
+    val pos = cust.map(c => centsOf(c._3)).filter(_ > 0)
+    val nPos = pos.length.toLong
+    val totPos = pos.sum
+    val urgent = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").as[Long].collect().toSet
+    val kept = cust.filter(c => centsOf(c._3) * nPos > totPos && !urgent(c._1))
+    val expect = kept.groupBy(_._2).view.mapValues { cs =>
+      (cs.length.toLong, cs.map(c => centsOf(c._3)).sum)
+    }.toMap
+    val got = rows.map(r => r._1 -> ((r._2, math.round(r._3 * 100)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // the never-urgent test must be a real anti join, the threshold a
+    // broadcast 1-row aggregate — never a per-row subquery or cartesian
+    // blow-up of the fact side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS leg must be an anti join:\n$plan")
+  }
+
+  test("q46 dominant suppliers equal the flat recompute; single scan via exchange reuse") {
+    val df = Relational5.q46DominantSuppliers(spark, sf)
+    val rows = df.select($"s_suppkey", $"n_dominant_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty, "q46 must find dominant suppliers")
+
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .as[(Long, Long, Double)].collect()
+    val ps = li.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    val byPart = ps.toSeq.groupBy(_._1._1)
+    val expect = ps.toSeq.filter { case ((pk, _), q) =>
+      val grp = byPart(pk)
+      q * grp.length > 3 * grp.map(_._2).sum
+    }.groupBy(_._1._2).view.mapValues(_.length.toLong).toMap
+    assert(rows.toMap == expect)
+
+    // the shipped flat form reuses the (partkey, suppkey) aggregate
+    // exchange for its own rollup: one fact scan total
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"), s"ps exchange must be reused:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"exactly one lineitem scan expected:\n$plan")
+  }
+
+  test("q46 correlated-HAVING face matches the shipped flat form and decorrelates") {
+    val flat = Relational5.q46DominantSuppliers(spark, sf)
+      .select($"s_suppkey", $"n_dominant_parts").as[(Long, Long)].collect().toMap
+    val corr = Relational5.q46Correlated(spark, sf)
+    val got = corr.select($"s_suppkey", $"n_dominant_parts").as[(Long, Long)].collect().toMap
+    assert(got == flat, "correlated wording must agree with the flat form")
+    // both correlated scalar aggregates must decorrelate to grouped
+    // aggregates + equi-joins — no nested-loop, no cartesian, no per-row
+    // subquery re-execution
+    val plan = corr.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated aggregates must decorrelate to joins:\n$plan")
+  }
+
+  test("q47 keeps exactly the min-unit-cost suppliers per small part") {
+    val df = Relational5.q47CheapestSupplier(spark, sf)
+    val rows = df.select($"p_partkey", $"s_suppkey", $"unit_cost")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "q47 must match suppliers for small parts")
+
+    val smallParts = Tables.part(spark, sf).filter($"p_size" <= 10)
+      .select($"p_partkey").as[Long].collect().toSet
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .as[(Long, Long, Double, Double)].collect()
+    val cost = li.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(t => t._3 / t._4).min).toMap
+    val minPerPart = cost.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = cost.toSeq.collect {
+      case ((pk, sk), uc) if smallParts(pk) && uc == minPerPart(pk) => (pk, sk, uc)
+    }.toSet
+    assert(rows.toSet == expect,
+      s"only-got=${rows.toSet -- expect} only-exp=${expect -- rows.toSet}")
+
+    // decorrelated to aggregate + join, with the cost CTE's exchange reused
+    // between its two consumers: one fact scan total
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated min must decorrelate to an aggregate + join:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"cost exchange must be reused:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"exactly one lineitem scan expected:\n$plan")
+  }
+}
