@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.BpeVocab
+import graft.sources.Tables
+
+class BpeVocabSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Independently-written reference BPE (Sennrich-style): word-frequency
+    * map in, merge rules out. Greedy left-to-right non-overlapping rewrite
+    * per round; ties broken (count desc, left asc, right asc). */
+  private def refBpe(wordFreq: Map[String, Long], n: Int): Seq[(Int, String, String, String, Long)] = {
+    var table: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ "</w>") -> f
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= n && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val merged = l + r
+        out += ((k, l, r, merged, c))
+        table = table.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += merged; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  private def wordFreqOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("known corpus learns the classic merge sequence") {
+    // the textbook BPE example: 'est</w>' dominates via newest/widest
+    val texts = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = BpeVocab.trainOnDocs(docs, 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val exp = refBpe(wordFreqOf(texts), 4)
+    assert(got == exp, s"got=$got exp=$exp")
+    // first merges must be the famous ones: (e,s)->es on 9, then (es,t)
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._5 == 9L)
+    assert(got(1)._2 == "es" && got(1)._3 == "t" && got(1)._5 == 9L)
+  }
+
+  test("greedy non-overlap within a round: aaa merges to (aa, a), not (aa, aa)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = BpeVocab.trainOnDocs(docs, 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val exp = refBpe(wordFreqOf(Seq("aaa aaa")), 2)
+    assert(got == exp, s"got=$got exp=$exp")
+    // round 1: pair (a,a) counts both adjacencies (freq 2 words x 2 = 4)
+    // but the rewrite is non-overlapping: aaa</w> -> [aa, a, </w>]
+    assert(got.head._2 == "a" && got.head._3 == "a" && got.head._5 == 4L)
+  }
+
+  test("documents-table merge table equals the driver-side reference BPE") {
+    val got = BpeVocab.train(spark, sf, 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.size == 10, s"expected 10 merges, got ${got.size}")
+    val texts = Tables.documents(spark, sf).select($"text").as[String].collect().toSeq
+    val exp = refBpe(wordFreqOf(texts), 10)
+    assert(got == exp,
+      s"first-diff=${got.zip(exp).find { case (a, b) => a != b }}")
+  }
+
+  test("training is deterministic across runs") {
+    val a = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
+    val b = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}
