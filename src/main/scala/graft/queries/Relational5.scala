@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -260,13 +261,55 @@ object Relational5 {
       |                     WHERE c2.l_partkey = p.p_partkey)
       |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin
 
+  /** Value-window functions with null skipping: first_value / last_value /
+    * nth_value under IGNORE NULLS over a running frame — the "latest known
+    * good value" idiom (gap-filling, last-seen enrichment) that rank/lag
+    * windows (q07/q08/q31/q36) don't cover. A sparse signal is derived
+    * deterministically (only orders above 150k carry a price), and each
+    * order row reports the first / most recent / second big-order price
+    * seen so far in its customer's history.
+    *
+    * Scale shape: ONE shuffle on o_custkey + a within-partition sort —
+    * identical cost to any windowed scan; all three functions evaluate in
+    * the same window pass. The ROWS frame with a (date, key) total order
+    * makes results engine-stable under date ties; doubles pass through
+    * unchanged (no re-aggregation), so the oracle hash is exact. */
+  def q48ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val big = when($"o_totalprice" > 150000, $"o_totalprice")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        first(big, ignoreNulls = true).over(w).as("first_big"),
+        last(big, ignoreNulls = true).over(w).as("recent_big"),
+        nth_value(big, 2, ignoreNulls = true).over(w).as("second_big"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q48Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+      |    OVER w AS first_big,
+      |  last_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END IGNORE NULLS)
+      |    OVER w AS recent_big,
+      |  nth_value(CASE WHEN o_totalprice > 150000 THEN o_totalprice END, 2 IGNORE NULLS)
+      |    OVER w AS second_big
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_value_windows" -> (q48ValueWindows _),
     "q44_top_supplier" -> (q44TopSupplier _),
     "q45_quiet_wealth" -> (q45QuietWealth _),
     "q46_dominant_suppliers" -> (q46DominantSuppliers _),
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q48_value_windows" -> q48Sql,
     "q44_top_supplier" -> q44Sql,
     "q45_quiet_wealth" -> q45Sql,
     "q46_dominant_suppliers" -> q46Sql,

@@ -143,4 +143,29 @@ class Relational5Spec extends AnyFunSuite {
     assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
       s"exactly one lineitem scan expected:\n$plan")
   }
+
+  test("q48 ignore-nulls value windows equal a driver-side running recompute") {
+    val res = Relational5.q48ValueWindows(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"first_big", $"recent_big", $"second_big")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(res.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")), $"o_totalprice")
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = orders.groupBy(_._1).flatMap { case (cust, os) =>
+      val sorted = os.sortBy(o => (o._3, o._2))
+      sorted.indices.map { i =>
+        val bigs = sorted.take(i + 1).map(_._4).filter(_ > 150000)
+        (cust, sorted(i)._2, bigs.headOption, bigs.lastOption,
+          if (bigs.length >= 2) Some(bigs(1)) else None)
+      }
+    }.toSet
+    assert(res.toSet == expect,
+      s"only-got=${res.toSet -- expect} only-exp=${expect -- res.toSet}")
+  }
 }
