@@ -53,7 +53,36 @@ object BpeVocab {
 
   /** Same trainer over any DataFrame with a `text` column (fixture entry
     * point for BpeVocabSpec's known-corpus cases). */
-  def trainOnDocs(docs: DataFrame, nMerges: Int): DataFrame = {
+  def trainOnDocs(docs: DataFrame, nMerges: Int): DataFrame =
+    trainCore(docs, nMerges)._1
+
+  /** Greedy left-to-right non-overlapping single-merge rewrite of a symbol
+    * array: a higher-order fold with (out, pending) state — a just-merged
+    * token never re-merges within the same round, matching reference BPE. */
+  private def applyMergeTo(syms: Column, l: String, r: String, merged: String): Column = {
+    val lLit = lit(l); val rLit = lit(r); val mLit = lit(merged)
+    aggregate(
+      syms,
+      struct(
+        array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("pending")),
+      (acc: Column, x: Column) =>
+        when(acc.getField("pending").isNull,
+          struct(acc.getField("out").as("out"), x.as("pending")))
+          .when(acc.getField("pending") === lLit && x === rLit,
+            struct(concat(acc.getField("out"), array(mLit)).as("out"),
+              lit(null).cast("string").as("pending")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(acc.getField("pending"))).as("out"),
+              x.as("pending"))),
+      acc => when(acc.getField("pending").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pending")))))
+  }
+
+  /** Runs the merge loop; returns (merge table, final word→symbols table).
+    * The word table keeps the raw word `w` through every rewrite, so after
+    * training it doubles as the encode dictionary (see `encodeOnDocs`). */
+  private def trainCore(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -63,6 +92,7 @@ object BpeVocab {
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select(
+        $"w",
         concat(
           filter(split($"w", ""), s => length(s) > 0),
           array(lit("</w>"))).as("syms"),
@@ -98,43 +128,54 @@ object BpeVocab {
         val cnt: Long = row.getLong(2)
         val merged = l + r
         merges += ((round + 1, l, r, merged, cnt))
-
-        // greedy left-to-right non-overlapping rewrite of every word: a
-        // higher-order fold with (out, pending) state — a just-merged token
-        // never re-merges within the same round, matching reference BPE
-        val lLit = lit(l); val rLit = lit(r); val mLit = lit(merged)
-        val rewritten = aggregate(
-          $"syms",
-          struct(
-            array().cast("array<string>").as("out"),
-            lit(null).cast("string").as("pending")),
-          (acc: Column, x: Column) =>
-            when(acc.getField("pending").isNull,
-              struct(acc.getField("out").as("out"), x.as("pending")))
-              .when(acc.getField("pending") === lLit && x === rLit,
-                struct(concat(acc.getField("out"), array(mLit)).as("out"),
-                  lit(null).cast("string").as("pending")))
-              .otherwise(
-                struct(concat(acc.getField("out"), array(acc.getField("pending"))).as("out"),
-                  x.as("pending"))),
-          acc => when(acc.getField("pending").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"), array(acc.getField("pending")))))
-
-        table = table.select(rewritten.as("syms"), $"freq").localCheckpoint(true)
+        table = table
+          .select($"w", applyMergeTo($"syms", l, r, merged).as("syms"), $"freq")
+          .localCheckpoint(true)
         round += 1
       }
     }
 
-    merges.result()
+    val mergeDf = merges.result()
       .toDF("rank", "left", "right", "merged", "pair_count")
       .repartition(1)
       .orderBy($"rank")
+    (mergeDf, table)
+  }
+
+  /** Tokenize the corpus with its own learned merges — the apply half of
+    * the tokenizer story. The trained word table IS the encode dictionary
+    * (training already rewrote every distinct word through all merges), so
+    * encoding is: explode documents to (doc_id, word), equi-join the
+    * dictionary, and sum token counts per document. Each DISTINCT word is
+    * encoded exactly once no matter how often it occurs — the join, not a
+    * per-occurrence rewrite, carries the result back to the corpus, and the
+    * dictionary is never assumed broadcastable (at 100 TB the distinct-word
+    * table can outgrow any broadcast threshold; AQE may still choose BHJ
+    * when it fits). Output: per-document token accounting. */
+  def encode(spark: SparkSession, dir: String, nMerges: Int): DataFrame =
+    encodeOnDocs(Tables.documents(spark, dir), nMerges)
+
+  def encodeOnDocs(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, dict) = trainCore(docs, nMerges)
+    val occurrences = docs
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+    occurrences
+      .join(dict.select($"w", size($"syms").as("word_tokens")), "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"word_tokens").as("n_tokens"))
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_vocab" -> ((s, d) => train(s, d, nMerges = 16)))
+    "text_bpe_vocab" -> ((s, d) => train(s, d, nMerges = 16)),
+    "text_bpe_encode" -> ((s, d) => encode(s, d, nMerges = 16)))
 
-  // intentionally no oracle entry: iterative data-dependent training loop
-  // (see scaladoc); BpeVocabSpec carries the reference-parity differential
+  // intentionally no oracle entries: iterative data-dependent training loop
+  // (see scaladoc); BpeVocabSpec carries the reference-parity differentials
   val oracles: Map[String, String] = Map.empty
 }

@@ -86,6 +86,43 @@ class BpeVocabSpec extends AnyFunSuite {
       s"first-diff=${got.zip(exp).find { case (a, b) => a != b }}")
   }
 
+  /** Reference encode: apply the reference merges in rank order. */
+  private def refEncode(word: String, merges: Seq[(Int, String, String, String, Long)]): Int = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    merges.foreach { case (_, l, r, merged, _) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += merged; i += 2 }
+        else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms.length
+  }
+
+  test("per-document token counts equal the reference encode under the learned merges") {
+    val got = BpeVocab.encode(spark, sf, 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val texts = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val merges = refBpe(wordFreqOf(texts.map(_._2)), 8)
+    val expect = texts.map { case (id, t) =>
+      val ws = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(w => refEncode(w, merges).toLong).sum)
+    }.filter(_._2 > 0).sortBy(_._1)
+    assert(got.sortBy(_._1) == expect,
+      s"first-diff=${got.sortBy(_._1).zip(expect).find { case (a, b) => a != b }}")
+  }
+
+  test("encode compresses: tokens strictly below characters+1 per word, above word count") {
+    val rows = BpeVocab.encode(spark, sf, 8).as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, nWords, nTokens) =>
+      assert(nTokens >= nWords, s"doc $id: every word is at least one token")
+    }
+  }
+
   test("training is deterministic across runs") {
     val a = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
     val b = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
