@@ -15,6 +15,9 @@ class AqeSkewSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-aqe-skew-spec")
+      // static conf — must match every other context creator in test
+      // scope (see TestSpark's note)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

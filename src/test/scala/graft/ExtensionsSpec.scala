@@ -12,6 +12,10 @@ class ExtensionsSpec extends AnyFunSuite {
   // extensions config — clear active/default first to force a NEW session
   // (over the JVM's single SparkContext), and clear again after so other
   // suites' shared TestSpark session is unaffected by this one.
+  // NOTE spark.sql.extensions is STATIC: it binds to the SparkContext, not
+  // the session, so every context creator in test scope sets it (TestSpark,
+  // AqeSkewSpec, here) — otherwise this suite goes red or green depending
+  // on which suite happens to create the JVM's context first.
   private lazy val spark = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -7,6 +7,14 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // spark.sql.extensions is a STATIC conf: it is read from the
+    // SparkContext at first-session creation and ignored afterwards. The
+    // whole test JVM shares one context, so whichever suite creates it
+    // must carry the conf or ExtensionsSpec's injection test silently
+    // loses the extensions when suite ordering changes (observed: green
+    // when ExtensionsSpec created the context, red once new suites ran
+    // first). Every context creator in test scope sets it.
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
