@@ -301,7 +301,43 @@ object Relational5 {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Three-valued-logic surface in one query: grouping BY a nullable key
+    * (the NULL group must aggregate as one row in both engines),
+    * `count(*)` vs `count(col)` (the latter skips NULLs), distinct
+    * counting under NULLs, and NULLS FIRST ordering. The corpus tables are
+    * NOT NULL throughout, so the nullable key is derived (only orders above
+    * 150k carry a price bucket) — which is exactly how NULL semantics bite
+    * in practice: a CASE/left-join introduces them mid-pipeline.
+    *
+    * Scale shape: one partial+final hash aggregate on the derived bucket —
+    * the NULL group is a single grouping key like any other (it does NOT
+    * fan out), and bucket cardinality is price-range-bounded. floor() is
+    * BIGINT in Spark vs DOUBLE in DuckDB; the oracle casts, and the
+    * division/floor pipeline is the same IEEE sequence in both engines. */
+  def q49NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = when($"o_totalprice" > 150000, $"o_totalprice")
+    Tables.orders(spark, dir)
+      .select(floor(big / 50000).as("bucket"), big.as("big"), $"o_custkey")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"big").as("n_big"),
+        countDistinct($"o_custkey").as("n_custs"))
+      .orderBy($"bucket".asc_nulls_first)
+  }
+
+  val q49Sql: String =
+    """SELECT CAST(floor(CASE WHEN o_totalprice > 150000 THEN o_totalprice END / 50000) AS BIGINT) AS bucket,
+      |  count(*) AS n_rows,
+      |  count(CASE WHEN o_totalprice > 150000 THEN o_totalprice END) AS n_big,
+      |  count(DISTINCT o_custkey) AS n_custs
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_null_semantics" -> (q49NullSemantics _),
     "q48_value_windows" -> (q48ValueWindows _),
     "q44_top_supplier" -> (q44TopSupplier _),
     "q45_quiet_wealth" -> (q45QuietWealth _),
@@ -309,6 +345,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q49_null_semantics" -> q49Sql,
     "q48_value_windows" -> q48Sql,
     "q44_top_supplier" -> q44Sql,
     "q45_quiet_wealth" -> q45Sql,

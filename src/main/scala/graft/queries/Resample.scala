@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Time-series resampling with gap fill — the missing-bucket problem every
+  * monitoring/feature pipeline hits: an hourly aggregate of events has holes
+  * wherever nothing happened, but downstream consumers (charts, joins
+  * against other hourly series, feature windows) need a dense grid. The
+  * operator densifies each event type's hourly series over its own
+  * [first, last] hour and carries the last observed value forward across
+  * gaps (the `ffill` contract).
+  *
+  * Plan: ONE hourly aggregate of the fact table (map-side combinable) → a
+  * per-type bounds row → a generated hour spine (`sequence` + explode) →
+  * LEFT join of spine to the aggregate → one `last_value IGNORE NULLS`
+  * window for the forward fill.
+  *
+  * The hourly rollup is MATERIALIZED once (localCheckpoint here; a real
+  * deployment persists it as a table — it is the reusable artifact of this
+  * pipeline) because two consumers need it: the spine bounds and the fill
+  * join. Without materialization Catalyst "optimizes" the bounds branch by
+  * collapsing min/max(hour) straight onto a second pruned fact scan —
+  * cheaper at test scale, a second 100 TB read at production scale
+  * (observed in the executed plan; the spec pins the single-scan form).
+  *
+  * Scale shape: the fact table is touched exactly once, by the hourly
+  * aggregate; everything after operates on the RESAMPLED grid, whose
+  * cardinality is calendar-bounded (types × hours-in-range — a decade of
+  * hourly buckets is 87 660 rows per type regardless of whether the fact
+  * table holds 60 k or 10^12 events). That bound is also why the per-type
+  * window partition is safe here when it would be a skew hazard on raw
+  * events: the window sorts grid rows, not event rows. Value sums ride as
+  * integral micros (exact, order-independent) so the fill is engine-stable.
+  */
+object Resample {
+
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round($"value" * 1000000).cast("long")).as("val_micro"))
+      .localCheckpoint(true)
+
+    val spine = hourly
+      .groupBy($"event_type")
+      .agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"event_type".as("s_type"),
+        explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("s_h"))
+
+    val fillW = Window.partitionBy($"s_type")
+      .orderBy($"s_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    spine
+      .join(hourly, $"s_type" === $"event_type" && $"s_h" === $"h", "left")
+      .select(
+        $"s_type".as("event_type"),
+        date_format($"s_h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce($"n", lit(0L)).as("n_events"),
+        ($"n".isNull).cast("int").as("is_gap"),
+        last($"val_micro", ignoreNulls = true).over(fillW).as("filled_micro"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val eventsResampleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+      |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS val_micro
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+      |spine AS (SELECT event_type AS s_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS s_h
+      |          FROM bounds)
+      |SELECT s.s_type AS event_type,
+      |  strftime(s.s_h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  coalesce(hr.n, 0) AS n_events,
+      |  CAST(hr.n IS NULL AS INT) AS is_gap,
+      |  last_value(hr.val_micro IGNORE NULLS)
+      |    OVER (PARTITION BY s.s_type ORDER BY s.s_h
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_micro
+      |FROM spine s
+      |LEFT JOIN hourly hr ON hr.event_type = s.s_type AND hr.h = s.s_h
+      |ORDER BY event_type, hour""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample" -> (eventsResample _))
+
+  val oracles: Map[String, String] = Map(
+    "events_resample" -> eventsResampleSql)
+}

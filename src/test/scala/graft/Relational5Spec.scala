@@ -144,6 +144,22 @@ class Relational5Spec extends AnyFunSuite {
       s"exactly one lineitem scan expected:\n$plan")
   }
 
+  test("q49 groups NULL as one row and counts skip NULLs") {
+    val rows = Relational5.q49NullSemantics(spark, sf)
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // exactly one NULL group, and it must be first under NULLS FIRST
+    assert(rows.count(_._1.isEmpty) == 1, "NULL bucket must aggregate as ONE group")
+    assert(rows.head._1.isEmpty, "NULLS FIRST must place the NULL group first")
+    val nullGrp = rows.head
+    assert(nullGrp._3 == 0L, "count(big) must skip NULLs entirely")
+    assert(nullGrp._2 > 0L, "count(*) must still count the rows")
+    // non-null groups: every row carries a big value
+    rows.tail.foreach { g => assert(g._2 == g._3, s"group ${g._1}") }
+  }
+
   test("q48 ignore-nulls value windows equal a driver-side running recompute") {
     val res = Relational5.q48ValueWindows(spark, sf)
       .select($"o_custkey", $"o_orderkey", $"first_big", $"recent_big", $"second_big")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Resample
+import graft.sources.Tables
+
+class ResampleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("resampled grid is dense, gap-filled, and equals a driver recompute") {
+    val df = Resample.eventsResample(spark, sf)
+    val rows = df.select($"event_type", $"hour", $"n_events", $"is_gap", $"filled_micro")
+      .as[(String, String, Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+
+    // driver recompute from raw events
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", (floor(unix_micros($"ts") / 3600000000L) * 3600L).as("hsec"),
+        round($"value" * 1000000).cast("long").as("micro"))
+      .as[(String, Long, Long)].collect()
+    val hourly = raw.groupBy(e => (e._1, e._2)).view
+      .mapValues(es => (es.length.toLong, es.map(_._3).sum)).toMap
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    val expect = raw.map(_._1).distinct.flatMap { t =>
+      val hs = hourly.keys.filter(_._1 == t).map(_._2)
+      val (lo, hi) = (hs.min, hs.max)
+      var lastVal = 0L
+      (lo to hi by 3600L).map { h =>
+        val cell = hourly.get((t, h))
+        cell.foreach { c => lastVal = c._2 }
+        (t, fmt.format(java.time.Instant.ofEpochSecond(h)),
+          cell.map(_._1).getOrElse(0L), if (cell.isEmpty) 1 else 0, lastVal)
+      }
+    }.toSet
+    assert(rows.toSet == expect,
+      s"only-got=${(rows.toSet -- expect).take(3)} only-exp=${(expect -- rows.toSet).take(3)}")
+
+    // the corpus must actually have gaps for the fill to be demonstrated
+    assert(rows.exists(_._4 == 1), "expected at least one gap hour")
+    // grid density: per type, rows == (hi - lo)/hour + 1 with no duplicates
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length, s"$t grid must be duplicate-free")
+    }
+    // forward fill: a gap row carries the previous non-gap row's value
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur._4 == 1 =>
+          assert(cur._5 == prev._5, s"$t ${cur._2}: gap must carry ${prev._5}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("fact table scans once: both consumers read the materialized hourly rollup") {
+    val df = Resample.eventsResample(spark, sf)
+    df.collect()
+    // the hourly aggregate is checkpointed before the query under test
+    // executes, so the executed plan must contain NO events.parquet scan at
+    // all — both the spine bounds and the fill join read the rollup
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"fact scans must be absorbed by the materialized rollup:\n$plan")
+  }
+}
