@@ -336,7 +336,47 @@ object Relational5 {
       |GROUP BY bucket
       |ORDER BY bucket NULLS FIRST""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a BOM-style costed
+    * explosion over the implicit binary hierarchy parent(k) = floor(k/2)
+    * rooted at part 1 — every part except key 0 sits in one tree of depth
+    * ~log2(|part|). The recursive step is an EQUI join (child's computed
+    * parent key = frontier key), which is the shape that scales: each
+    * iteration is one hash join of the current frontier against the
+    * dimension, never a cartesian; iteration count is tree depth
+    * (logarithmic), not row count. Subtree totals aggregate per depth in
+    * exact DECIMAL. The acyclic parent function makes UNION ALL safe (no
+    * revisits), so no global dedup fixpoint is paid. */
+  def q50RecursiveBom(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_q50")
+    spark.sql(
+      """WITH RECURSIVE tree(pk, depth) AS (
+        |  SELECT CAST(1 AS BIGINT) AS pk, 0 AS depth
+        |  UNION ALL
+        |  SELECT c.p_partkey, t.depth + 1
+        |  FROM tree t JOIN part_q50 c
+        |    ON CAST(floor(c.p_partkey / 2) AS BIGINT) = t.pk
+        |  WHERE c.p_partkey >= 2)
+        |SELECT depth, count(*) AS n_parts,
+        |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS subtotal
+        |FROM tree JOIN part_q50 p ON p.p_partkey = tree.pk
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """WITH RECURSIVE tree(pk, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS pk, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.p_partkey, t.depth + 1
+      |  FROM tree t JOIN part c
+      |    ON CAST(floor(c.p_partkey / 2) AS BIGINT) = t.pk
+      |  WHERE c.p_partkey >= 2)
+      |SELECT depth, count(*) AS n_parts,
+      |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS subtotal
+      |FROM tree JOIN part p ON p.p_partkey = tree.pk
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_recursive_bom" -> (q50RecursiveBom _),
     "q49_null_semantics" -> (q49NullSemantics _),
     "q48_value_windows" -> (q48ValueWindows _),
     "q44_top_supplier" -> (q44TopSupplier _),
@@ -345,6 +385,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q50_recursive_bom" -> q50Sql,
     "q49_null_semantics" -> q49Sql,
     "q48_value_windows" -> q48Sql,
     "q44_top_supplier" -> q44Sql,

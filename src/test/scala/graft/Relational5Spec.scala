@@ -144,6 +144,32 @@ class Relational5Spec extends AnyFunSuite {
       s"exactly one lineitem scan expected:\n$plan")
   }
 
+  test("q50 recursive BOM explosion equals an iterative driver traversal") {
+    val rows = Relational5.q50RecursiveBom(spark, sf)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice").as[(Long, Double)].collect().toMap
+    // iterative BFS over parent(k) = floor(k/2): the independent recompute
+    val byDepth = collection.mutable.Map.empty[Int, Seq[Long]]
+    var frontier = Seq(1L).filter(parts.contains)
+    var depth = 0
+    while (frontier.nonEmpty) {
+      byDepth(depth) = frontier
+      frontier = frontier.flatMap(pk => Seq(pk * 2, pk * 2 + 1))
+        .filter(k => k >= 2 && parts.contains(k))
+      depth += 1
+    }
+    val expect = byDepth.toSeq.sortBy(_._1).map { case (d, ks) =>
+      (d, ks.length.toLong,
+        ks.map(k => math.round(parts(k) * 100)).sum / 100.0)
+    }
+    assert(rows.map(r => (r._1, r._2, math.rint(r._3 * 100) / 100)) == expect,
+      s"got=$rows exp=$expect")
+    // the hierarchy must actually recurse past a trivial depth
+    assert(rows.length >= 8, s"expected a deep tree, got ${rows.length} levels")
+  }
+
   test("q49 groups NULL as one row and counts skip NULLs") {
     val rows = Relational5.q49NullSemantics(spark, sf)
       .collect()
