@@ -375,7 +375,106 @@ object Relational5 {
       |FROM tree JOIN part p ON p.p_partkey = tree.pk
       |GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** TPC-H Q7 shape (bilateral trade volume): revenue flowing between two
+    * specific nations in BOTH directions, by shipment year — a five-table
+    * star join where the pair filter must prune EARLY. The nation filter
+    * applies to the two nation dims (25 rows) before their joins, so the
+    * customer and supplier legs are semi-filtered by broadcast joins
+    * against 1-row dims — at 100 TB the fact table is filtered by the
+    * broadcast hash lookup, never joined-then-filtered. Exact DECIMAL
+    * revenue; year() is the same UTC extraction in both engines. */
+  def q51TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("n1_key"), $"n_name".as("cust_nation"))
+      .filter($"cust_nation".isin("NATION_3", "NATION_7"))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("supp_nation"))
+      .filter($"supp_nation".isin("NATION_3", "NATION_7"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"c_custkey" === $"o_custkey")
+      .join(broadcast(n1), $"n1_key" === $"c_nationkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(n2), $"n2_key" === $"s_nationkey")
+      .filter($"cust_nation" =!= $"supp_nation")
+      .groupBy($"cust_nation", $"supp_nation", year($"l_shipdate").cast("long").as("l_year"))
+      .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+        .cast("double").as("revenue"))
+      .orderBy($"cust_nation", $"supp_nation", $"l_year")
+  }
+
+  val q51Sql: String =
+    """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape (market share): one supplier nation's fraction of a
+    * customer region's revenue, by order year — the ratio-of-conditional-
+    * aggregates idiom. Both numerator and denominator accumulate in the
+    * SAME exact-DECIMAL aggregate pass (a CASE inside sum, not two query
+    * legs), so the ratio divides two identically-derived doubles and
+    * rounds to the shared 6-decimal display grid. Region/nation dims
+    * broadcast; one fact shuffle for the year grouping. */
+  def q52MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val custNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"r_regionkey" === $"n_regionkey")
+      .select($"n_nationkey".as("n1_key"))
+    val suppNations = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("n2_key"), $"n_name".as("supp_nation"))
+    val vol = $"l_extendedprice".cast("decimal(12,2)") *
+      (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"c_custkey" === $"o_custkey")
+      .join(broadcast(custNations), $"n1_key" === $"c_nationkey")
+      .join(broadcast(Tables.supplier(spark, dir)), $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(suppNations), $"n2_key" === $"s_nationkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_3", vol)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  val q52Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS vol,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE r.r_name = 'EUROPE')
+      |SELECT o_year,
+      |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+      |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |        CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_trade_volume" -> (q51TradeVolume _),
+    "q52_market_share" -> (q52MarketShare _),
     "q50_recursive_bom" -> (q50RecursiveBom _),
     "q49_null_semantics" -> (q49NullSemantics _),
     "q48_value_windows" -> (q48ValueWindows _),
@@ -385,6 +484,8 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q51_trade_volume" -> q51Sql,
+    "q52_market_share" -> q52Sql,
     "q50_recursive_bom" -> q50Sql,
     "q49_null_semantics" -> q49Sql,
     "q48_value_windows" -> q48Sql,

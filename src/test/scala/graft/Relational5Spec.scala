@@ -144,6 +144,44 @@ class Relational5Spec extends AnyFunSuite {
       s"exactly one lineitem scan expected:\n$plan")
   }
 
+  test("q51 bilateral volumes are symmetric-pair-complete and cents-exact") {
+    val rows = Relational5.q51TradeVolume(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // only the two pair directions may appear, never a self-pair (at
+    // sf0.001 one direction may be absent — the oracle at sf0.01 covers
+    // the complete result)
+    val dirs = rows.map(r => (r._1, r._2)).distinct.toSet
+    assert(dirs.nonEmpty &&
+      dirs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))), s"$dirs")
+    // cents-exact recompute of one direction-year cell
+    val (cn, sn, yr, rev) = rows.head
+    val nk = Tables.nation(spark, sf).select($"n_name", $"n_nationkey")
+      .as[(String, Long)].collect().toMap
+    val custs = Tables.customer(spark, sf)
+      .filter($"c_nationkey" === nk(cn)).select($"c_custkey").as[Long].collect().toSet
+    val supps = Tables.supplier(spark, sf)
+      .filter($"s_nationkey" === nk(sn)).select($"s_suppkey").as[Long].collect().toSet
+    val orderCust = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect().toMap
+    val cents = Tables.lineitem(spark, sf)
+      .filter(year($"l_shipdate") === yr)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Long, Double, Double)].collect()
+      .filter(l => supps(l._2) && custs(orderCust(l._1)))
+      .map { case (_, _, p, d) => math.round(p * 100) * (100L - math.round(d * 100)) }
+      .sum
+    assert(math.round(rev * 10000) == cents, s"$cn->$sn @$yr: $rev vs $cents/10000")
+  }
+
+  test("q52 market shares are in (0,1) and denominator-consistent per year") {
+    val rows = Relational5.q52MarketShare(spark, sf).as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, s) => assert(s >= 0.0 && s <= 1.0, s"year $y share $s") }
+    // at least one year must have nonzero share (the supplier nation trades)
+    assert(rows.exists(_._2 > 0.0))
+  }
+
   test("q50 recursive BOM explosion equals an iterative driver traversal") {
     val rows = Relational5.q50RecursiveBom(spark, sf)
       .as[(Int, Long, Double)].collect().toSeq
