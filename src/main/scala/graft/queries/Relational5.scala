@@ -472,7 +472,44 @@ object Relational5 {
       |        CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
       |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  /** Spark 4 VARIANT type: `parse_json` materializes the semi-structured
+    * column ONCE into the binary variant encoding, then `variant_get`
+    * extracts typed paths without re-parsing — the engine-native
+    * replacement for repeated `get_json_object` string walks (q15's face).
+    * A missing path under `variant_get` yields NULL (pinned via the
+    * n_no_missing count, exercising 3VL over semi-structured data).
+    *
+    * Scale shape: parse-once-extract-many is the point — at 100 TB a
+    * per-extraction string re-parse multiplies scan CPU by the number of
+    * paths; the variant decode costs once per row. One partial+final hash
+    * aggregate on the extracted bucket. The oracle speaks DuckDB JSON
+    * (same values, different machinery). */
+  def q53Variant(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_q53")
+    spark.sql(
+      """SELECT k % 10 AS k_mod, count(*) AS n,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  count(missing) AS n_missing
+        |FROM (
+        |  SELECT variant_get(v, '$.k', 'int') AS k,
+        |         variant_get(v, '$.absent', 'int') AS missing
+        |  FROM (SELECT parse_json(props) AS v FROM events_q53))
+        |GROUP BY k_mod
+        |ORDER BY k_mod""".stripMargin)
+  }
+
+  val q53Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+      |  count(CAST(json_extract_string(props, '$.absent') AS INT)) AS n_missing
+      |FROM events
+      |GROUP BY k_mod
+      |ORDER BY k_mod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_variant" -> (q53Variant _),
     "q51_trade_volume" -> (q51TradeVolume _),
     "q52_market_share" -> (q52MarketShare _),
     "q50_recursive_bom" -> (q50RecursiveBom _),
@@ -484,6 +521,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q53_variant" -> q53Sql,
     "q51_trade_volume" -> q51Sql,
     "q52_market_share" -> q52Sql,
     "q50_recursive_bom" -> q50Sql,
