@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{BpeVocab, DataPipeline, Dedup, EventsQueries, Expectations, Multimodal, PipeQueries, Relational, Relational2, Relational3, Relational4, Relational5, Resample, SimilaritySearch, TextAnalysis}
+import graft.queries.{BpeVocab, DataPipeline, Dedup, Drift, EventsQueries, Expectations, Multimodal, PipeQueries, Relational, Relational2, Relational3, Relational4, Relational5, Resample, SimilaritySearch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ Relational5.queries ++ PipeQueries.queries ++ Dedup.queries ++
       SimilaritySearch.queries ++ TextAnalysis.queries ++ BpeVocab.queries ++ Multimodal.queries ++
-      EventsQueries.queries ++ Resample.queries ++ DataPipeline.queries ++ Expectations.queries
+      EventsQueries.queries ++ Resample.queries ++ DataPipeline.queries ++ Expectations.queries ++ Drift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ Relational5.oracles ++ PipeQueries.oracles ++ Dedup.oracles ++
       SimilaritySearch.oracles ++ TextAnalysis.oracles ++ BpeVocab.oracles ++ Multimodal.oracles ++
-      EventsQueries.oracles ++ Resample.oracles ++ DataPipeline.oracles ++ Expectations.oracles
+      EventsQueries.oracles ++ Resample.oracles ++ DataPipeline.oracles ++ Expectations.oracles ++ Drift.oracles
 }
