@@ -123,6 +123,19 @@ class BpeVocabSpec extends AnyFunSuite {
     }
   }
 
+  test("sf0.1 merge table equals the driver reference BPE (scale parity)", SlowTest) {
+    // the sf0.001 parity can miss count-tie reorderings that only appear
+    // with a larger vocabulary; re-pin the full merge table at sf0.1
+    val dir = "/root/testdata/sf0.1"
+    val got = BpeVocab.train(spark, dir, 12)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.size == 12)
+    val texts = Tables.documents(spark, dir).select($"text").as[String].collect().toSeq
+    val exp = refBpe(wordFreqOf(texts), 12)
+    assert(got == exp,
+      s"first-diff=${got.zip(exp).find { case (a, b) => a != b }}")
+  }
+
   test("training is deterministic across runs") {
     val a = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
     val b = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
