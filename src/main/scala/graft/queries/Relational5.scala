@@ -508,7 +508,48 @@ object Relational5 {
       |GROUP BY k_mod
       |ORDER BY k_mod""".stripMargin
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * MULTIPLICITIES (min / difference of per-value counts), which the
+    * distinct forms q12 covers cannot express: a customer with three 1995
+    * orders and one 2000 order contributes two rows to `95 EXCEPT ALL 00`
+    * and one to the intersection. Each leg reduces to a deterministic
+    * (count, keysum) pair so the report is one row per operator.
+    *
+    * Scale shape: Spark plans INTERSECT ALL / EXCEPT ALL as one
+    * count-aggregate per side joined on the value with a generate for the
+    * surviving multiplicity — shuffles carry (value, count) pairs, never
+    * the raw bags; UNION ALL is a free concatenation. */
+  def q54BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q54")
+    spark.sql(
+      """WITH a AS (SELECT o_custkey FROM orders_q54 WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey FROM orders_q54 WHERE year(o_orderdate) = 2000)
+        |SELECT 'except_all' AS op, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS keysum
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*), CAST(sum(o_custkey) AS BIGINT)
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'union_all', count(*), CAST(sum(o_custkey) AS BIGINT)
+        |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY op""".stripMargin)
+  }
+
+  val q54Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000)
+      |SELECT 'except_all' AS op, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS keysum
+      |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'intersect_all', count(*), CAST(sum(o_custkey) AS BIGINT)
+      |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'union_all', count(*), CAST(sum(o_custkey) AS BIGINT)
+      |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |ORDER BY op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_bag_setops" -> (q54BagSetOps _),
     "q53_variant" -> (q53Variant _),
     "q51_trade_volume" -> (q51TradeVolume _),
     "q52_market_share" -> (q52MarketShare _),
@@ -521,6 +562,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q54_bag_setops" -> q54Sql,
     "q53_variant" -> q53Sql,
     "q51_trade_volume" -> q51Sql,
     "q52_market_share" -> q52Sql,

@@ -144,6 +144,31 @@ class Relational5Spec extends AnyFunSuite {
       s"exactly one lineitem scan expected:\n$plan")
   }
 
+  test("q54 bag set ops carry multiplicities: min for intersect, difference for except") {
+    val got = Relational5.q54BagSetOps(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate")).as[(Long, Int)].collect()
+    val a = orders.filter(_._2 == 1995).map(_._1)
+    val b = orders.filter(_._2 == 2000).map(_._1)
+    val ca = a.groupBy(identity).view.mapValues(_.length).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.length).toMap
+    def stats(bag: Iterable[(Long, Int)]): (Long, Long) = {
+      val pairs = bag.toSeq
+      (pairs.map(_._2.toLong).sum, pairs.map { case (k, n) => k * n }.sum)
+    }
+    val inter = stats(ca.map { case (k, n) => k -> math.min(n, cb.getOrElse(k, 0)) })
+    val except = stats(ca.map { case (k, n) => k -> math.max(0, n - cb.getOrElse(k, 0)) })
+    val union = stats((ca.keySet ++ cb.keySet).map(k => k -> (ca.getOrElse(k, 0) + cb.getOrElse(k, 0))))
+    assert(got("intersect_all") == inter, s"intersect: ${got("intersect_all")} vs $inter")
+    assert(got("except_all") == except, s"except: ${got("except_all")} vs $except")
+    assert(got("union_all") == union, s"union: ${got("union_all")} vs $union")
+    // multiplicity matters: the bag intersection must exceed the distinct
+    // one whenever any customer repeats in both years
+    val distinctInter = ca.keySet.intersect(cb.keySet).size.toLong
+    assert(inter._1 >= distinctInter)
+  }
+
   test("q51 bilateral volumes are symmetric-pair-complete and cents-exact") {
     val rows = Relational5.q51TradeVolume(spark, sf)
       .as[(String, String, Long, Double)].collect()
