@@ -548,7 +548,39 @@ object Relational5 {
       |  FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
       |ORDER BY op""".stripMargin
 
+  /** Distinct aggregation OVER a window — "unique customers seen so far" —
+    * which Spark's window functions cannot express as count(DISTINCT):
+    * the standard idiom is size(collect_set() OVER w), pinned here against
+    * DuckDB's native DISTINCT window aggregate.
+    *
+    * Scale note, stated honestly: the running set is O(distinct-so-far)
+    * PER ROW in the window buffer, so this form is for bounded-cardinality
+    * keys (customers per priority here). At true high cardinality the
+    * scalable substitutes are the first-occurrence trick (row_number = 1
+    * per key, then a running SUM of firsts — two windows, constant state)
+    * or an HLL sketch union; q39 covers the entity-key-cardinality window
+    * family. One shuffle on the partition key either way. */
+  def q55DistinctWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        size(collect_set($"o_custkey").over(w)).cast("long").as("run_dist"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  count(DISTINCT o_custkey) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_dist
+      |FROM orders
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_distinct_window" -> (q55DistinctWindow _),
     "q54_bag_setops" -> (q54BagSetOps _),
     "q53_variant" -> (q53Variant _),
     "q51_trade_volume" -> (q51TradeVolume _),
@@ -562,6 +594,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q55_distinct_window" -> q55Sql,
     "q54_bag_setops" -> q54Sql,
     "q53_variant" -> q53Sql,
     "q51_trade_volume" -> q51Sql,
