@@ -136,6 +136,29 @@ class BpeVocabSpec extends AnyFunSuite {
       s"first-diff=${got.zip(exp).find { case (a, b) => a != b }}")
   }
 
+  test("random corpora (incl. multibyte BMP chars) match the reference BPE") {
+    // property-style differential over adversarial small corpora: heavy
+    // count ties (tiny alphabet), repeated words, and multibyte BMP
+    // characters that would expose any code-unit-vs-code-point mismatch
+    // between Spark's split("") and the driver's per-char reference
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abé中ß"
+    (1 to 8).foreach { trial =>
+      val words = Seq.fill(3 + rnd.nextInt(5)) {
+        (0 until 1 + rnd.nextInt(4)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val texts = Seq.fill(2 + rnd.nextInt(3)) {
+        Seq.fill(1 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val n = 1 + rnd.nextInt(4)
+      val got = BpeVocab.trainOnDocs(docs, n)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      val exp = refBpe(wordFreqOf(texts), n)
+      assert(got == exp, s"trial $trial corpus=$texts n=$n:\n got=$got\n exp=$exp")
+    }
+  }
+
   test("training is deterministic across runs") {
     val a = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
     val b = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
