@@ -579,7 +579,62 @@ object Relational5 {
       |FROM orders
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** ANSI ordered-set aggregates (Spark 4): LISTAGG ... WITHIN GROUP and
+    * PERCENTILE_CONT / PERCENTILE_DISC ... WITHIN GROUP — the standard
+    * syntax face of capabilities covered functionally elsewhere (q16's
+    * top-k, q21's percentile()), pinned cross-engine because the
+    * even-count DISC convention (both engines take the LOWER middle: the
+    * first value whose cumulative distribution reaches the fraction) and
+    * the CONT interpolation are classic silent-divergence spots. LISTAGG
+    * aggregates only the per-group top-3 rows (WindowGroupLimit prunes
+    * before the shuffle), so the string payload is bounded — the unbounded
+    * form is the classic driver-killer and is deliberately not shipped.
+    * The CONT median is display-rounded to 3 decimals (midpoints of
+    * 2-decimal prices need at most 3). */
+  def q56OrderedSet(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q56")
+    spark.sql(
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders_q56),
+        |top3 AS (
+        |  SELECT o_orderpriority,
+        |    listagg(CAST(o_orderkey AS STRING), ',')
+        |      WITHIN GROUP (ORDER BY o_orderkey) AS cheapest_keys
+        |  FROM ranked WHERE rn <= 3 GROUP BY o_orderpriority),
+        |pct AS (
+        |  SELECT o_orderpriority,
+        |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 3) AS p50_cont,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc
+        |  FROM orders_q56 GROUP BY o_orderpriority)
+        |SELECT p.o_orderpriority, t.cheapest_keys, p.p50_cont, p.p50_disc
+        |FROM pct p JOIN top3 t ON t.o_orderpriority = p.o_orderpriority
+        |ORDER BY p.o_orderpriority""".stripMargin)
+  }
+
+  val q56Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn
+      |  FROM orders),
+      |top3 AS (
+      |  SELECT o_orderpriority,
+      |    string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS cheapest_keys
+      |  FROM ranked WHERE rn <= 3 GROUP BY o_orderpriority),
+      |pct AS (
+      |  SELECT o_orderpriority,
+      |    round(quantile_cont(o_totalprice, 0.5), 3) AS p50_cont,
+      |    quantile_disc(o_totalprice, 0.5) AS p50_disc
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT p.o_orderpriority, t.cheapest_keys, p.p50_cont, p.p50_disc
+      |FROM pct p JOIN top3 t ON t.o_orderpriority = p.o_orderpriority
+      |ORDER BY p.o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_ordered_set" -> (q56OrderedSet _),
     "q55_distinct_window" -> (q55DistinctWindow _),
     "q54_bag_setops" -> (q54BagSetOps _),
     "q53_variant" -> (q53Variant _),
@@ -594,6 +649,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q56_ordered_set" -> q56Sql,
     "q55_distinct_window" -> q55Sql,
     "q54_bag_setops" -> q54Sql,
     "q53_variant" -> q53Sql,
