@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // rewrite size(collect_set() OVER running-frame) running-distinct
+    // windows into the constant-state first-occurrence running sum — see
+    // RewriteRunningDistinct's scaladoc for the state-size argument
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
     val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array",
         exprs => SimHash64(exprs.head)),
