@@ -633,7 +633,46 @@ object Relational5 {
       |FROM pct p JOIN top3 t ON t.o_orderpriority = p.o_orderpriority
       |ORDER BY p.o_orderpriority""".stripMargin
 
+  /** Null-preserving explode (LATERAL VIEW OUTER semantics):
+    * posexplode_outer keeps a row for customers whose big-order array is
+    * EMPTY — the left-join-shaped flattening plain explode silently drops
+    * (30 customers vanish at sf0.01 with the inner form). The oracle
+    * expresses the same contract in pure ANSI as ranked-rows UNION ALL an
+    * anti-joined NULL leg, which is also exactly what the operator saves
+    * the user from writing.
+    *
+    * Scale shape: one left join + one groupBy on the customer key, then a
+    * generate that is map-side (no shuffle after the aggregate); per-group
+    * array size is bounded by the selective price filter pushed to the
+    * scan. */
+  def q57ExplodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 300000)
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, dir)
+      .join(big, $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(sort_array(collect_list($"o_orderkey")).as("keys"))
+      .select($"c_custkey", posexplode_outer($"keys"))
+      .select($"c_custkey", $"pos".cast("long").as("pos"), $"col".as("big_key"))
+      .orderBy($"c_custkey", $"pos")
+  }
+
+  val q57Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders WHERE o_totalprice > 300000)
+      |SELECT c.c_custkey, b.pos, b.o_orderkey AS big_key
+      |FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT c.c_custkey, NULL, NULL FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_explode_outer" -> (q57ExplodeOuter _),
     "q56_ordered_set" -> (q56OrderedSet _),
     "q55_distinct_window" -> (q55DistinctWindow _),
     "q54_bag_setops" -> (q54BagSetOps _),
@@ -649,6 +688,7 @@ object Relational5 {
     "q47_cheapest_supplier" -> (q47CheapestSupplier _))
 
   val oracles: Map[String, String] = Map(
+    "q57_explode_outer" -> q57Sql,
     "q56_ordered_set" -> q56Sql,
     "q55_distinct_window" -> q55Sql,
     "q54_bag_setops" -> q54Sql,
