@@ -37,15 +37,32 @@ import graft.sources.Tables
   */
 object Resample {
 
-  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+  /** Hourly partial rollup of an events batch — the store row shape. */
+  private def hourlyOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    val hourly = Tables.events(spark, dir)
+    events
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(
         count(lit(1)).as("n"),
         sum(round($"value" * 1000000).cast("long")).as("val_micro"))
-      .localCheckpoint(true)
+  }
 
+  /** Partial rollups merge by addition — count and micro sums are both
+    * decomposable, which is WHY the incremental face can admit deltas
+    * without touching history. */
+  private def mergeHourly(partials: DataFrame): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    partials.groupBy($"event_type", $"h")
+      .agg(sum($"n").as("n"), sum($"val_micro").as("val_micro"))
+  }
+
+  /** Spine + gap flags + forward fill over a MATERIALIZED hourly rollup
+    * (the caller checkpoints; see eventsResample's scaladoc for why). */
+  private def gridOf(hourly: DataFrame): DataFrame = {
+    val spark = hourly.sparkSession
+    import spark.implicits._
     val spine = hourly
       .groupBy($"event_type")
       .agg(min($"h").as("lo"), max($"h").as("hi"))
@@ -65,6 +82,41 @@ object Resample {
         ($"n".isNull).cast("int").as("is_gap"),
         last($"val_micro", ignoreNulls = true).over(fillW).as("filled_micro"))
       .orderBy($"event_type", $"hour")
+  }
+
+  def eventsResample(spark: SparkSession, dir: String): DataFrame =
+    gridOf(hourlyOf(Tables.events(spark, dir)).localCheckpoint(true))
+
+  /** Incremental admission into a persisted hourly store: append the
+    * batch's PARTIAL rollup (crash-safe, see `sources/Store`), let
+    * triggered maintenance sum-merge deltas flat, and serve the grid from
+    * the merged store. Each admit costs one batch-sized rollup plus a
+    * store-sized merge — history is never re-aggregated from raw events,
+    * and late events simply land as another partial for an old hour. */
+  def admitHourly(spark: SparkSession, storeDir: String, batch: DataFrame,
+      maintainEvery: Int = 8): DataFrame = {
+    graft.sources.Store.append(hourlyOf(batch), storeDir)
+    graft.sources.Store.maintain(spark, storeDir, every = maintainEvery,
+      rewrite = mergeHourly)
+    gridOf(mergeHourly(graft.sources.Store.read(spark, storeDir)).localCheckpoint(true))
+  }
+
+  /** Driver face of the incremental path: admit the events table in two
+    * interleaved halves (the second half carries timestamps EARLIER than
+    * already-admitted ones — the late-arrival case) into a throwaway
+    * store, then serve the grid. The oracle is the SAME SQL as
+    * events_resample: incremental admission must be invisible in the
+    * result, and the hash check proves it. */
+  def eventsResampleIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_resample_store_").toString
+    val events = Tables.events(spark, dir)
+    admitHourly(spark, store, events.filter($"event_id" % 2 === 0))
+    val grid = admitHourly(spark, store, events.filter($"event_id" % 2 =!= 0))
+    // the grid is checkpointed past the store files — safe to sweep now
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    grid
   }
 
   val eventsResampleSql: String =
@@ -87,8 +139,12 @@ object Resample {
       |ORDER BY event_type, hour""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_resample" -> (eventsResample _))
+    "events_resample" -> (eventsResample _),
+    "events_resample_incremental" -> (eventsResampleIncremental _))
 
+  // the incremental face must be indistinguishable from the batch form —
+  // same oracle SQL, so the hash check proves admission-order invariance
   val oracles: Map[String, String] = Map(
-    "events_resample" -> eventsResampleSql)
+    "events_resample" -> eventsResampleSql,
+    "events_resample_incremental" -> eventsResampleSql)
 }

@@ -57,6 +57,27 @@ class ResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental admission (with late arrivals and forced compaction) equals from-scratch") {
+    val store = java.nio.file.Files.createTempDirectory("graft_rs_spec_").toString
+    val events = Tables.events(spark, sf)
+    // three interleaved slices: slice 2 lands hours EARLIER than slice 1's
+    // already-admitted data (late arrival); maintainEvery=2 forces a
+    // sum-merge compaction mid-sequence
+    (0 to 2).foreach { i =>
+      Resample.admitHourly(spark, store, events.filter($"event_id" % 3 === i),
+        maintainEvery = 2)
+    }
+    val incremental = Resample.admitHourly(spark, store,
+      events.limit(0), maintainEvery = 0) // empty admit: read-only serve
+    val batch = Resample.eventsResample(spark, sf)
+    assert(incremental.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq,
+      "incremental grid must be byte-identical to the from-scratch grid")
+    // compaction actually fired: deltas were folded flat
+    assert(graft.sources.Store.deltaCount(store) < 4)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("fact table scans once: both consumers read the materialized hourly rollup") {
     val df = Resample.eventsResample(spark, sf)
     df.collect()
