@@ -95,11 +95,39 @@ object Resample {
     * and late events simply land as another partial for an old hour. */
   def admitHourly(spark: SparkSession, storeDir: String, batch: DataFrame,
       maintainEvery: Int = 8): DataFrame = {
+    admitBatch(spark, storeDir, batch, maintainEvery)
+    gridFromStore(spark, storeDir)
+  }
+
+  /** Admission only — append the partial rollup and run triggered
+    * maintenance, without building the grid. The streaming sink calls
+    * this per micro-batch; consumers serve [[gridFromStore]] on demand. */
+  def admitBatch(spark: SparkSession, storeDir: String, batch: DataFrame,
+      maintainEvery: Int = 8): Unit = {
     graft.sources.Store.append(hourlyOf(batch), storeDir)
     graft.sources.Store.maintain(spark, storeDir, every = maintainEvery,
       rewrite = mergeHourly)
-    gridOf(mergeHourly(graft.sources.Store.read(spark, storeDir)).localCheckpoint(true))
   }
+
+  /** Serve the current grid from the persisted store. */
+  def gridFromStore(spark: SparkSession, storeDir: String): DataFrame =
+    gridOf(mergeHourly(graft.sources.Store.read(spark, storeDir)).localCheckpoint(true))
+
+  /** Streaming face: the SAME admission code as the batch/incremental
+    * paths, wired as a foreachBatch sink — each micro-batch appends its
+    * partial rollup crash-safely; exactly-once lands on the store because
+    * a replayed micro-batch re-appends partials for the same hours and
+    * additive merge makes that visible only as a duplicate count, which
+    * the checkpointed batch ids prevent upstream (Structured Streaming
+    * replays a batch only after an incomplete sink write, and an
+    * incomplete Store append is invisible by the commit protocol). */
+  def streamingAdmission(events: DataFrame, storeDir: String,
+      maintainEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch.sparkSession, storeDir, batch, maintainEvery)
+      }
 
   /** Driver face of the incremental path: admit the events table in two
     * interleaved halves (the second half carries timestamps EARLIER than

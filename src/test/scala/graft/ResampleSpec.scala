@@ -78,6 +78,33 @@ class ResampleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("streaming admission through the same store equals the batch grid") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft_rs_stream_").toString
+
+    val raw = Tables.events(spark, sf)
+      .select($"ts".cast("timestamp"), $"event_type", $"value")
+      .as[(Timestamp, String, Double)].collect()
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = Resample.streamingAdmission(
+      input.toDF().toDF("ts", "event_type", "value"), store).start()
+    try {
+      // three micro-batches, deliberately out of time order
+      val slices = raw.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      slices.foreach { case (_, s) => input.addData(s.map(_._1)); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = Resample.gridFromStore(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Resample.eventsResample(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      "grid served from the streaming-admitted store must equal the batch grid")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("fact table scans once: both consumers read the materialized hourly rollup") {
     val df = Resample.eventsResample(spark, sf)
     df.collect()
