@@ -377,11 +377,13 @@ object Relational5 {
 
   /** TPC-H Q7 shape (bilateral trade volume): revenue flowing between two
     * specific nations in BOTH directions, by shipment year — a five-table
-    * star join where the pair filter must prune EARLY. The nation filter
-    * applies to the two nation dims (25 rows) before their joins, so the
-    * customer and supplier legs are semi-filtered by broadcast joins
-    * against 1-row dims — at 100 TB the fact table is filtered by the
-    * broadcast hash lookup, never joined-then-filtered. Exact DECIMAL
+    * star join where the pair filter must prune EARLY: the 1-row nation
+    * filters reduce customer and supplier to their two-nation slices
+    * BEFORE any fact join, so the orders leg is semi-filtered by a
+    * broadcast hash join against the reduced customer dim and the
+    * lineitem rows die at the reduced supplier broadcast — the fact-fact
+    * lineitem⋈orders join still shuffles on the order key (both sides
+    * big), but it shuffles only pair-relevant orders. Exact DECIMAL
     * revenue; year() is the same UTC extraction in both engines. */
   def q51TradeVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -391,12 +393,16 @@ object Relational5 {
     val n2 = Tables.nation(spark, dir)
       .select($"n_nationkey".as("n2_key"), $"n_name".as("supp_nation"))
       .filter($"supp_nation".isin("NATION_3", "NATION_7"))
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"o_orderkey" === $"l_orderkey")
-      .join(Tables.customer(spark, dir), $"c_custkey" === $"o_custkey")
+    val pairCusts = Tables.customer(spark, dir)
       .join(broadcast(n1), $"n1_key" === $"c_nationkey")
-      .join(broadcast(Tables.supplier(spark, dir)), $"s_suppkey" === $"l_suppkey")
+      .select($"c_custkey", $"cust_nation")
+    val pairSupps = Tables.supplier(spark, dir)
       .join(broadcast(n2), $"n2_key" === $"s_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    Tables.orders(spark, dir)
+      .join(broadcast(pairCusts), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(pairSupps), $"s_suppkey" === $"l_suppkey")
       .filter($"cust_nation" =!= $"supp_nation")
       .groupBy($"cust_nation", $"supp_nation", year($"l_shipdate").cast("long").as("l_year"))
       .agg(sum($"l_extendedprice".cast("decimal(12,2)") *
@@ -427,7 +433,8 @@ object Relational5 {
     * SAME exact-DECIMAL aggregate pass (a CASE inside sum, not two query
     * legs), so the ratio divides two identically-derived doubles and
     * rounds to the shared 6-decimal display grid. Region/nation dims
-    * broadcast; one fact shuffle for the year grouping. */
+    * broadcast; the fact-fact lineitem⋈orders join shuffles on the order
+    * key, then ONE aggregate shuffle for the year rollup. */
   def q52MarketShare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val custNations = Tables.nation(spark, dir)
