@@ -101,12 +101,22 @@ object Resample {
 
   /** Admission only — append the partial rollup and run triggered
     * maintenance, without building the grid. The streaming sink calls
-    * this per micro-batch; consumers serve [[gridFromStore]] on demand. */
+    * this per micro-batch; consumers serve [[gridFromStore]] on demand.
+    * With a batch `id`, admission is IDEMPOTENT (a replayed id is a
+    * no-op — see `Store.appendIdempotent`); returns whether this call
+    * admitted the batch. */
   def admitBatch(spark: SparkSession, storeDir: String, batch: DataFrame,
-      maintainEvery: Int = 8): Unit = {
-    graft.sources.Store.append(hourlyOf(batch), storeDir)
-    graft.sources.Store.maintain(spark, storeDir, every = maintainEvery,
-      rewrite = mergeHourly)
+      maintainEvery: Int = 8, id: Option[String] = None): Boolean = {
+    val admitted = id match {
+      case Some(i) =>
+        graft.sources.Store.appendIdempotent(hourlyOf(batch), storeDir, i)
+      case None =>
+        graft.sources.Store.append(hourlyOf(batch), storeDir); true
+    }
+    if (admitted)
+      graft.sources.Store.maintain(spark, storeDir, every = maintainEvery,
+        rewrite = mergeHourly)
+    admitted
   }
 
   /** Serve the current grid from the persisted store. */
@@ -114,19 +124,20 @@ object Resample {
     gridOf(mergeHourly(graft.sources.Store.read(spark, storeDir)).localCheckpoint(true))
 
   /** Streaming face: the SAME admission code as the batch/incremental
-    * paths, wired as a foreachBatch sink — each micro-batch appends its
-    * partial rollup crash-safely; exactly-once lands on the store because
-    * a replayed micro-batch re-appends partials for the same hours and
-    * additive merge makes that visible only as a duplicate count, which
-    * the checkpointed batch ids prevent upstream (Structured Streaming
-    * replays a batch only after an incomplete sink write, and an
-    * incomplete Store append is invisible by the commit protocol). */
+    * paths, wired as a foreachBatch sink. foreachBatch is at-least-once —
+    * a crash after the sink ran but before the streaming checkpoint
+    * committed REPLAYS the micro-batch — so each admission is keyed by the
+    * micro-batch id through `Store.appendIdempotent`: the replay finds the
+    * id already admitted (delta dir or its compaction-surviving marker)
+    * and no-ops, which upgrades the store to exactly-once. Spec-pinned
+    * with a forced duplicate admission, including one after compaction. */
   def streamingAdmission(events: DataFrame, storeDir: String,
       maintainEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(batch.sparkSession, storeDir, batch, maintainEvery)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch.sparkSession, storeDir, batch, maintainEvery,
+          id = Some(s"sb$batchId")): Unit
       }
 
   /** Driver face of the incremental path: admit the events table in two

@@ -76,6 +76,31 @@ object Store {
     commitStaged(tmp, fin)
   }
 
+  /** Idempotent append for at-least-once writers (foreachBatch replays a
+    * micro-batch whose sink ran but whose streaming checkpoint did not
+    * commit): admissions are keyed by the caller's batch id, and a replay
+    * of an already-committed id is a no-op. The already-admitted check
+    * covers BOTH the live delta directory and a hidden `.admitted-<id>`
+    * marker written at commit time — [[compact]] folds delta directories
+    * away but re-creates the markers, so a very late replay after
+    * compaction still skips. Returns true when the batch was admitted by
+    * THIS call. */
+  def appendIdempotent(df: DataFrame, dir: String, id: String): Boolean = {
+    require(id.matches("[A-Za-z0-9_-]+"), s"batch id must be path-safe: $id")
+    val fin = new File(dir, s"delta-$id")
+    val marker = new File(dir, s".admitted-$id")
+    if (fin.exists() || marker.exists()) false
+    else {
+      val tmp = new File(dir, s".inprogress-$id")
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      commitStaged(tmp, fin)
+      // marker creation is post-commit: a crash between the two leaves the
+      // delta dir itself as the admission witness
+      marker.createNewFile(): Unit
+      true
+    }
+  }
+
   /** Number of committed delta directories awaiting compaction. */
   def deltaCount(dir: String): Int = {
     val fs = new File(dir).listFiles()
@@ -97,10 +122,23 @@ object Store {
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
       rewrite: DataFrame => DataFrame = identity): Unit = {
     require(numFiles > 0)
+    // admission markers must survive the swap: collect ids of every
+    // committed delta (and every existing marker) BEFORE the rewrite so an
+    // idempotent writer's replay still skips after its delta is folded away
+    val pre = new File(dir).listFiles()
+    val admittedIds: Seq[String] =
+      if (pre == null) Seq.empty
+      else pre.collect {
+        case f if f.isDirectory && f.getName.startsWith("delta-") =>
+          f.getName.stripPrefix("delta-")
+        case f if f.isFile && f.getName.startsWith(".admitted-") =>
+          f.getName.stripPrefix(".admitted-")
+      }.toSeq.distinct
     val tmp = dir + ".compact"
     rewrite(read(spark, dir)).repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     Layout.promote(tmp, dir)
+    admittedIds.foreach(id => new File(dir, s".admitted-$id").createNewFile(): Unit)
     val leftovers = new File(dir).listFiles()
     if (leftovers != null)
       leftovers.filter(f => f.isDirectory && f.getName.startsWith(".inprogress-"))

@@ -78,6 +78,38 @@ class ResampleSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("replayed micro-batch admissions are no-ops, even after compaction") {
+    val store = java.nio.file.Files.createTempDirectory("graft_rs_idem_").toString
+    val events = Tables.events(spark, sf)
+    val b0 = events.filter($"event_id" % 2 === 0)
+    val b1 = events.filter($"event_id" % 2 =!= 0)
+
+    assert(Resample.admitBatch(spark, store, b0, id = Some("sb0")))
+    // immediate replay (crash before the streaming checkpoint committed)
+    assert(!Resample.admitBatch(spark, store, b0, id = Some("sb0")))
+    assert(Resample.admitBatch(spark, store, b1, id = Some("sb1")))
+    val before = Resample.gridFromStore(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+
+    // compaction folds the delta dirs away; the admission markers survive,
+    // so even a very late replay still skips
+    graft.sources.Store.compact(spark, store, rewrite = df =>
+      df.groupBy("event_type", "h")
+        .agg(sum($"n").as("n"), sum($"val_micro").as("val_micro")))
+    assert(graft.sources.Store.deltaCount(store) == 0)
+    assert(!Resample.admitBatch(spark, store, b0, id = Some("sb0")),
+      "post-compaction replay must still be a no-op")
+    val after = Resample.gridFromStore(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "replays must never change the grid")
+
+    // and the grid equals the batch form throughout
+    val batch = Resample.eventsResample(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("streaming admission through the same store equals the batch grid") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
