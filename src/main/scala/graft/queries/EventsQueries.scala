@@ -568,17 +568,17 @@ object EventsQueries {
     * compacted store holds ONE row per (type, day), so both file count
     * and row count stay bounded by live keys, not by admit history. */
   def anomalyAdmitBatch(batch: DataFrame, storeDir: String,
-      maintainEvery: Int = 16): DataFrame = {
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
     import batch.sparkSession.implicits._
     val spark = batch.sparkSession
     val mergeDeltas: DataFrame => DataFrame =
       _.groupBy($"event_type", $"day").agg(sum($"cnt_delta").as("cnt_delta"))
-    graft.sources.Store.append(
-      batch.groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(count(lit(1)).as("cnt_delta")),
-      storeDir)
-    graft.sources.Store.maintain(spark, storeDir, maintainEvery,
-      rewrite = mergeDeltas)
+    if (graft.sources.Store.appendMaybeIdempotent(
+        batch.groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("cnt_delta")),
+        storeDir, id))
+      graft.sources.Store.maintain(spark, storeDir, maintainEvery,
+        rewrite = mergeDeltas)
     anomalyFlagsOn(graft.sources.Store.read(spark, storeDir)
       .groupBy($"event_type", $"day")
       .agg(sum($"cnt_delta").as("cnt")))

@@ -67,13 +67,14 @@ object IncrementalDedup {
     * admitted frame swap in reliable `checkpoint()` — the same trade as the
     * CC loop's cut.) */
   def dedupeBatchExact(batch: DataFrame, indexDir: String,
-      maintainEvery: Int = 16): DataFrame = {
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val admitted =
       admissionFrame(batch, Store.read(spark, indexDir)).localCheckpoint()
-    Store.append(admitted.select($"fp", $"doc_id".as("keeper_id")), indexDir)
-    Store.maintain(spark, indexDir, maintainEvery)
+    if (Store.appendMaybeIdempotent(
+        admitted.select($"fp", $"doc_id".as("keeper_id")), indexDir, id))
+      Store.maintain(spark, indexDir, maintainEvery)
     admitted.orderBy($"doc_id")
   }
 
@@ -148,7 +149,7 @@ object IncrementalDedup {
     * sig) rows come back, and the index is never shuffled. */
   def dedupeBatchNearDup(batch: DataFrame, indexDir: String,
       rowsPerBand: Int = 4, tNum: Int = 4, tDen: Int = 5,
-      maintainEvery: Int = 16): DataFrame = {
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(tNum > 0 && tNum <= tDen, s"need 0 < t <= 1, got $tNum/$tDen")
@@ -188,8 +189,8 @@ object IncrementalDedup {
     val admitted = survivors
       .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
       .localCheckpoint() // same refreshByPath trap as the exact path
-    Store.append(admitted.select($"doc_id", $"sig"), indexDir)
-    Store.maintain(spark, indexDir, maintainEvery)
+    if (Store.appendMaybeIdempotent(admitted.select($"doc_id", $"sig"), indexDir, id))
+      Store.maintain(spark, indexDir, maintainEvery)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
 
@@ -221,7 +222,8 @@ object IncrementalDedup {
     * never shuffled, never broadcast), only matched ids come back, and the
     * within-batch resolution is batch-sized. */
   def dedupeBatchPhash(batch: DataFrame, indexDir: String,
-      maxHamming: Int = 3, maintainEvery: Int = 16): DataFrame = {
+      maxHamming: Int = 3, maintainEvery: Int = 16,
+      id: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -249,8 +251,8 @@ object IncrementalDedup {
     val admitted = survivors
       .join(labels.filter($"id" === $"label").select($"id".as("doc_id")), "doc_id")
       .localCheckpoint() // same refreshByPath trap as the exact path
-    Store.append(admitted.select($"doc_id", $"ph"), indexDir)
-    Store.maintain(spark, indexDir, maintainEvery)
+    if (Store.appendMaybeIdempotent(admitted.select($"doc_id", $"ph"), indexDir, id))
+      Store.maintain(spark, indexDir, maintainEvery)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
 }

@@ -101,6 +101,15 @@ object Store {
     }
   }
 
+  /** [[append]] without an id, [[appendIdempotent]] with one — the shape
+    * every incremental operator's admit threads its optional micro-batch
+    * id through. Returns whether this call admitted the batch. */
+  def appendMaybeIdempotent(df: DataFrame, dir: String, id: Option[String]): Boolean =
+    id match {
+      case Some(i) => appendIdempotent(df, dir, i)
+      case None => append(df, dir); true
+    }
+
   /** Number of committed delta directories awaiting compaction. */
   def deltaCount(dir: String): Int = {
     val fs = new File(dir).listFiles()

@@ -277,6 +277,24 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(interim.nonEmpty || expect.isEmpty)
   }
 
+  test("replayed anomaly admission with a batch id is a no-op (additive counts would double)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_anom_r_").toString + "/store"
+    val ev = graft.sources.Tables.events(spark, sf)
+    def flagsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val first = flagsOf(EventsQueries.anomalyAdmitBatch(ev, store, id = Some("b0")))
+    val deltas = graft.sources.Store.deltaCount(store)
+    // the anomaly store is ADDITIVE — unlike the dedup indexes, a replayed
+    // append would genuinely corrupt it by doubling every day's count, so
+    // the id-keyed skip is load-bearing here
+    val replay = flagsOf(EventsQueries.anomalyAdmitBatch(ev, store, id = Some("b0")))
+    assert(replay == first, "replay must not change the flag set")
+    assert(graft.sources.Store.deltaCount(store) == deltas,
+      "replay must not append a delta")
+    val batchFlags = flagsOf(EventsQueries.eventsAnomaly(spark, sf))
+    assert(first == batchFlags)
+  }
+
   test("anomalyAdmitBatch slots into foreachBatch (streaming face)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -291,10 +309,11 @@ class FunnelRetentionSpec extends AnyFunSuite {
     val q = input.toDF().toDF("ts_str", "user_id")
       .writeStream
       .outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val batch = df.select(
           to_timestamp(col("ts_str")).as("ts"), lit("click").as("event_type"))
-        lastFlags = EventsQueries.anomalyAdmitBatch(batch, store)
+        // id-keyed admission: a foreachBatch replay must not double-count
+        lastFlags = EventsQueries.anomalyAdmitBatch(batch, store, id = Some(s"sb$batchId"))
           .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         ()
       }
