@@ -46,9 +46,19 @@ object Store {
 
   /** Read the store: flat base files plus every committed delta directory.
     * Hidden (`.`/`_`-prefixed) paths — staged batches, commit markers —
-    * are filtered by Spark's file listing. */
+    * are filtered by Spark's file listing. `mergeSchema` makes schema
+    * EVOLUTION across admits deterministic: without it Spark infers the
+    * schema from one sampled footer, so an operator upgrade that adds a
+    * column to new deltas would surface or silently drop that column
+    * depending on file-listing order; with it the union schema is read
+    * every time and pre-upgrade rows carry NULLs (spec-pinned). The
+    * footer-merge cost is bounded by the maintenance compaction's file
+    * ceiling. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .parquet(dir)
 
   /** Stage a batch into a hidden in-progress directory — invisible to
     * [[read]] until [[commitStaged]] renames it. Split from [[append]] so

@@ -143,4 +143,26 @@ class StoreSpec extends AnyFunSuite {
     // the full-history flag set still equals the batch operator's
     assert(after == flags(EventsQueries.eventsAnomaly(spark, sf)))
   }
+
+  test("schema evolution across admits is deterministic: union schema, NULL backfill") {
+    val dir = Files.createTempDirectory("graft_store_evo_").toString
+    Store.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    // an upgraded operator starts writing an extra column
+    Store.append(Seq((2L, "b", 9L)).toDF("k", "v", "extra"), dir)
+    val df = Store.read(spark, dir)
+    // mergeSchema pins the union schema regardless of file-listing order —
+    // without it Spark samples ONE footer and the new column appears or
+    // silently vanishes by luck
+    assert(df.schema.fieldNames.toSet == Set("k", "v", "extra"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9L))),
+      s"pre-upgrade rows must carry NULL for the new column: $rows")
+    // compaction folds both generations into the union schema losslessly
+    Store.compact(spark, dir)
+    val after = Store.read(spark, dir).collect().map(r =>
+      (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("v")),
+        Option(r.get(r.fieldIndex("extra"))).map(_.asInstanceOf[Long]))).toSet
+    assert(after == rows)
+  }
 }
