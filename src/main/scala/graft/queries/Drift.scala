@@ -19,8 +19,11 @@ import graft.sources.Tables
   * per-(lang, cohort) counts (map-side combined); the two cohort totals
   * are a 1-row aggregate OF THAT RESULT, broadcast back — the fact table
   * is never re-scanned for the denominators (spec-pinned single scan).
-  * Shares divide exact integer counts, so the drift grid is engine-stable
-  * on the shared 6-decimal display rounding. */
+  * The totals crossJoin plans as a BroadcastNestedLoopJoin over that ONE
+  * broadcast row — the scalar-broadcast idiom (map-side constant append),
+  * not a quadratic nested loop. Shares divide exact integer counts, so
+  * the drift grid is engine-stable on the shared 6-decimal display
+  * rounding. */
 object Drift {
 
   def prepDrift(spark: SparkSession, dir: String): DataFrame = {

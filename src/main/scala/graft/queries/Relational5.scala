@@ -92,7 +92,13 @@ object Relational5 {
     * order-dependent double fold in both engines). The never-urgent test is
     * a LEFT ANTI join against the date-independent slice of orders — at
     * 100 TB the urgent slice is pre-filtered before the shuffle, and the
-    * rollup output is at most one row per nation. */
+    * rollup output is at most one row per nation.
+    *
+    * Plan note: the threshold crossJoin plans as a
+    * BroadcastNestedLoopJoin — with a ONE-row broadcast side that is the
+    * scalar-broadcast idiom (a map-side append of two constants, the same
+    * physical shape Spark gives an uncorrelated scalar subquery), not a
+    * quadratic nested loop. */
   def q45QuietWealth(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val customer = Tables.customer(spark, dir)
