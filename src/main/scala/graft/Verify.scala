@@ -14,6 +14,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // run the library the way it deploys: extensions on (custom strategy,
+      // SQL functions, and the running-distinct rewrite rule — the rule is
+      // results-preserving, spec-pinned, so oracle hashes are unaffected)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
