@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sixth relational widening — decorrelation and aggregation shapes the
+  * surface had not yet composed, plus the scale-native exact-distinct and
+  * higher-order-function faces:
+  *
+  *   - q58: per-group average as a correlated threshold (TPC-H Q17 shape) —
+  *     the classic "l_quantity < 0.2 * avg over the same part" predicate,
+  *     decorrelated to ONE windowed pass over the brand-pruned fact slice
+  *     instead of a per-row subquery.
+  *   - q59: HAVING-filtered aggregate rejoined to its own detail (TPC-H Q18
+  *     shape) — big-quantity orders found by a grouped HAVING, then the
+  *     surviving keys pull the order/customer detail back in.
+  *   - q60: outer join with an ON-clause-only predicate + distribution of
+  *     counts (TPC-H Q13 shape) — the predicate must filter the JOIN, not
+  *     the customers, so zero-order customers survive into the histogram.
+  *   - q61: exact distinct counting via bitmap aggregation (the
+  *     Expand-free two-level form that scales where COUNT(DISTINCT) shuffles
+  *     every distinct value).
+  *   - q62: higher-order array functions (transform/filter/aggregate/
+  *     zip_with/reverse) over the embeddings corpus.
+  *   - q63: collation-aware grouping (Spark 4 UTF8_LCASE) — case-insensitive
+  *     group keys without the lower() rewrite leaking into the output.
+  *
+  * All threshold comparisons run in exact arithmetic (integral-valued
+  * quantities cast to DECIMAL; cents-scaled money), so rows cannot flip
+  * between engines on a double ulp.
+  */
+object Relational6 {
+
+  /** TPC-H Q17 shape (small-quantity order revenue): line items of selected
+    * brands whose quantity is below 20% of that part's average quantity;
+    * the revenue lost to such small orders, per brand and per year-ish
+    * (divided by 7 like the original).
+    *
+    * Decorrelation: the textbook phrasing is a correlated scalar subquery
+    * (`WHERE l_quantity < (SELECT 0.2*avg(l_quantity) FROM lineitem WHERE
+    * l_partkey = outer.l_partkey)`). Executing that per row is quadratic;
+    * re-aggregating and joining back costs a second scan. This plan does
+    * NEITHER: the brand dimension prunes first (broadcast — part is the
+    * small side), then ONE window over `l_partkey` attaches (sum_qty, cnt)
+    * to every surviving row, so the fact slice is scanned once and shuffled
+    * once (on l_partkey). The threshold `l_quantity < 0.2 * sum/cnt` is
+    * evaluated as `5 * qty * cnt < sum` — all integral DECIMAL products, no
+    * double division anywhere near the comparison.
+    *
+    * Scale shape: the window partitions by l_partkey — at 100 TB that is
+    * the same shuffle a groupBy would pay, with perfect key uniformity
+    * (partkey is near-unique-ish and unskewed), and the brand pruning means
+    * only the ~2/55 of the fact with matching parts enters it. The revenue
+    * sum is exact DECIMAL; the /7.0 is a display-only double. */
+  def q58SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .filter($"p_brand".isin("Brand#12", "Brand#23"))
+      .select($"p_partkey", $"p_brand")
+    val slice = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"l_partkey")
+    slice
+      .withColumn("qty_exact", $"l_quantity".cast("decimal(12,0)"))
+      .withColumn("sum_qty", sum($"qty_exact").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter($"qty_exact" * 5 * $"cnt" < $"sum_qty")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        (sum($"l_extendedprice".cast("decimal(14,2)")).cast("double") / 7.0)
+          .as("avg_yearly"))
+      .orderBy($"p_brand")
+  }
+
+  val q58Sql: String =
+    """WITH slice AS (
+      |  SELECT l.l_partkey, p.p_brand,
+      |    CAST(l.l_quantity AS DECIMAL(12,0)) AS qty_exact,
+      |    l.l_extendedprice
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_brand IN ('Brand#12', 'Brand#23')),
+      |win AS (
+      |  SELECT p_brand, qty_exact, l_extendedprice,
+      |    sum(qty_exact) OVER (PARTITION BY l_partkey) AS sum_qty,
+      |    count(*) OVER (PARTITION BY l_partkey) AS cnt
+      |  FROM slice)
+      |SELECT p_brand, count(*) AS n_small,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM win
+      |WHERE qty_exact * 5 * cnt < sum_qty
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds 170, rejoined to order and customer detail.
+    *
+    * The grouped HAVING runs FIRST and on the narrowest possible columns
+    * (orderkey, quantity) — the aggregate's output is a tiny fraction of
+    * the fact table (the >170 tail), and THAT side drives the detail joins.
+    * Under AQE the filtered aggregate falls below the broadcast threshold
+    * and both detail joins become broadcasts; the orders/customer scans are
+    * never shuffled on a 100 TB input (spec-pinned: no sort-merge join on
+    * the detail legs at test scale). Quantities are integral → the
+    * DECIMAL(12,0) sum is exact, and the HAVING threshold is an integer
+    * compare. */
+  def q59BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity".cast("decimal(12,0)").as("qty"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"qty").as("total_qty"))
+      .filter($"total_qty" > 170)
+    big
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate", $"o_totalprice",
+        $"total_qty".cast("long").as("total_qty"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q59Sql: String =
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice, CAST(b.total_qty AS BIGINT) AS total_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,0))) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(12,0))) > 170) b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): how many
+    * customers placed exactly k non-urgent orders, INCLUDING k = 0.
+    *
+    * The semantics corner is the ON-clause-only predicate: the priority
+    * filter must restrict which orders MATCH, not which customers appear —
+    * pushing it to a WHERE after the join would silently drop the zero-order
+    * customers that are the whole point of the histogram. The plan is a
+    * LEFT OUTER equi-join with the filter applied on the orders side before
+    * the join (Catalyst pushes an ON-clause predicate that references only
+    * the inner side into the inner scan — free pruning, same semantics),
+    * then two aggregations: count per customer, then customers per count.
+    *
+    * Scale shape: orders pre-filtered before its shuffle; the first
+    * aggregate's key is c_custkey (the join key — no second shuffle between
+    * join and count thanks to co-partitioning), and the second aggregate's
+    * input is one row per customer with a tiny integer key. count(o_orderkey)
+    * counts only matched rows (NULL-skipping) — the exact outer-join
+    * count-vs-count trap q49 pins in isolation, exercised here inside a
+    * composition. */
+  def q60CustDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    val joined = cust.join(ord,
+      $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "1-URGENT",
+      "left_outer")
+    joined
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q60Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Exact distinct users per event type via BITMAP aggregation — the
+    * Expand-free form of COUNT(DISTINCT) that scales.
+    *
+    * Why not COUNT(DISTINCT) at 100 TB: Spark plans it as a two-phase
+    * distinct aggregate — every distinct (type, user) pair survives the
+    * first shuffle, so the shuffle volume is the distinct cardinality. The
+    * bitmap form buckets user ids into fixed 32k-bit segments
+    * (`bitmap_bucket_number` / `bitmap_bit_position`), builds one ≤4 KB
+    * bitmap per (type, bucket) on the map side, ORs bitmaps in the reduce —
+    * shuffle volume is (types × occupied buckets × 4 KB) regardless of how
+    * many billions of distinct ids there are, and the result is EXACT
+    * (oracle-checked against COUNT(DISTINCT) — not an approximation like
+    * q20's HLL). This is the idiom to reach for when HLL's ±2% is not
+    * acceptable but the distinct count is too big to shuffle raw.
+    *
+    * The bitmap functions have no Scala DSL binding — `expr(...)` is the
+    * supported spelling (they are registered SQL functions, not UDFs; the
+    * whole aggregate stays codegen-eligible). */
+  def q61BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id")
+      .groupBy($"event_type", expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val q61Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Higher-order array functions over the embeddings corpus: per vector,
+    * its dimensionality, positive-component count (filter), L2 norm-squared
+    * (aggregate — a left fold, same IEEE order both engines), and the
+    * palindromic dot product vec·reverse(vec) (zip_with + aggregate).
+    *
+    * Everything runs INSIDE the row: no explode, no shuffle, no UDF — the
+    * lambdas are Catalyst expressions evaluated per-row over the array
+    * column, so a 100 TB embedding store pays exactly one scan and zero
+    * exchanges (the final orderBy is display-only; spec pins the
+    * shuffle-free pre-sort plan). Floats are cast to double BEFORE any
+    * arithmetic so both engines fold the identical operand sequence. */
+  def q62HigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id",
+        size($"v").as("n_dims"),
+        size(filter($"v", x => x > 0d)).as("n_pos"),
+        aggregate($"v", lit(0d), (acc, x) => acc + x * x).as("norm2"),
+        aggregate(zip_with($"v", reverse($"v"), (a, b) => a * b),
+          lit(0d), (acc, x) => acc + x).as("dot_rev"))
+      .orderBy($"vec_id")
+  }
+
+  val q62Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(v) AS INTEGER) AS n_dims,
+      |  CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS norm2,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(list_zip(v, list_reverse(v)),
+      |      p -> p[1] * p[2])), (acc, x) -> acc + x) AS dot_rev
+      |FROM v
+      |ORDER BY vec_id""".stripMargin
+
+  /** Collation-aware grouping (Spark 4): group document sources
+    * case-insensitively via the UTF8_LCASE collation instead of a lower()
+    * rewrite. The corpus sources are single-case, so the query first
+    * derives a mixed-case face deterministically (odd doc_ids report
+    * upper-cased sources — modelling the ingest-time case drift a real
+    * lake accretes), then groups on the collated column.
+    *
+    * Collation beats the lower() rewrite in two ways that matter at scale:
+    * the group key keeps a REPRESENTATIVE original spelling (min — here the
+    * uppercase one, pinned deterministic) rather than a lossy lowercase
+    * projection, and comparison happens in the hash function itself — no
+    * derived column materializes through the shuffle. The oracle mirrors
+    * with GROUP BY lower(); the output key is normalized (upper of the min)
+    * so both engines agree on the displayed spelling. */
+  def q63Collation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        when($"doc_id" % 2 === 1, upper($"source")).otherwise($"source")
+          .as("src_mixed"))
+      .groupBy(collate($"src_mixed", "UTF8_LCASE").as("src_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"))
+      // which case survives as the group key is collation-nondeterministic
+      // (the class members compare EQUAL) — upper() collapses that to one
+      // deterministic spelling; the cast drops the collation from the output
+      .select(upper($"src_key".cast("string")).as("source_norm"),
+        $"n_docs", $"total_chars")
+      .orderBy($"source_norm")
+  }
+
+  val q63Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END
+      |      AS src_mixed
+      |  FROM documents)
+      |SELECT upper(min(src_mixed)) AS source_norm,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM m
+      |GROUP BY lower(src_mixed)
+      |ORDER BY source_norm""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_small_qty_revenue" -> (q58SmallQtyRevenue _),
+    "q59_big_orders" -> (q59BigOrders _),
+    "q60_custdist" -> (q60CustDist _),
+    "q61_bitmap_distinct" -> (q61BitmapDistinct _),
+    "q62_higher_order" -> (q62HigherOrder _),
+    "q63_collation" -> (q63Collation _))
+
+  val oracles: Map[String, String] = Map(
+    "q58_small_qty_revenue" -> q58Sql,
+    "q59_big_orders" -> q59Sql,
+    "q60_custdist" -> q60Sql,
+    "q61_bitmap_distinct" -> q61Sql,
+    "q62_higher_order" -> q62Sql,
+    "q63_collation" -> q63Sql)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupRewrite
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+class DedupRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val W = DedupRewrite.ChunkWords
+
+  /** A distinct 16-token chunk labelled `tag`. */
+  private def chunk(tag: String): String =
+    (1 to W).map(i => s"$tag$i").mkString(" ")
+
+  private def docsFixture(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks_").toString
+    rows.map { case (id, text) => (id, text, "en", "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_chunks keeps exactly the first occurrence of every span") {
+    val (a, b, c, d) = (chunk("a"), chunk("b"), chunk("c"), chunk("d"))
+    val tail = "t1 t2 t3" // a short final chunk (< W tokens)
+    val dir = docsFixture(Seq(
+      0L -> s"$a $b",        // first occurrences of a and b
+      1L -> s"$a $c",        // a is a dup; c first occurs here (idx 1)
+      2L -> s"$c $d $tail",  // c dup (doc1 wins on doc_id); d + tail kept
+      3L -> s"$b $a",        // both chunks seen before -> empties entirely
+      4L -> s"$tail $a"))    // within-chunk REUSE of 'tail' words: this
+                             // chunk is "t1 t2 t3 a1..a13" — a DIFFERENT
+                             // span than doc2's trailing "t1 t2 t3", kept
+    val got = DedupRewrite.dedupChunks(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((2L * W, 2L, s"$a $b")))
+    assert(got(1L) == ((2L * W, 1L, c)), "duplicate leading chunk removed")
+    assert(got(2L) == ((2L * W + 3, 2L, s"$d $tail")),
+      "short tail chunk is its own span")
+    assert(got(3L) == ((2L * W, 0L, "")), "all-duplicate doc empties")
+    // doc4: tokens = t1 t2 t3 a1..a16 -> chunk0 = "t1 t2 t3 a1..a13"
+    // (novel), chunk1 = "a14 a15 a16" (novel) -> everything kept
+    assert(got(4L)._2 == 2L && got(4L)._3 == s"$tail $a")
+  }
+
+  test("corpus-wide: kept spans are the distinct spans, each at its minimal position") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", TextFunctions.wordTokens($"text").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    // driver recompute of the chunking + global first-occurrence policy
+    val allChunks = docs.flatMap { case (id, toks) =>
+      toks.grouped(W).zipWithIndex.map { case (ws, i) =>
+        (id, i.toLong, ws.mkString(" "))
+      }
+    }
+    val firstOf = allChunks.groupBy(_._3).view
+      .mapValues(cs => cs.map(x => (x._1, x._2)).min).toMap
+    val expect = allChunks
+      .filter(ch => firstOf(ch._3) == ((ch._1, ch._2)))
+      .groupBy(_._1).view
+      .mapValues(cs => cs.sortBy(_._2).map(_._3).mkString(" ")).toMap
+
+    val got = DedupRewrite.dedupChunks(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    got.foreach { case (id, nTok, nKept, text) =>
+      val exp = expect.getOrElse(id, "")
+      assert(text == exp, s"doc $id rebuild mismatch")
+      assert(nKept == (if (exp.isEmpty) 0 else expect(id).split(" ").grouped(W).size
+        // nKept counts chunks of the ORIGINAL doc that survived, which is
+        // exactly the number of chunks in the rebuilt text
+        ), s"doc $id kept-count")
+      assert(nTok == docs.find(_._1 == id).get._2.length.toLong)
+    }
+    // global guarantee: every distinct span survives somewhere, exactly once
+    val keptSpans = got.flatMap(r => r._4.split(" ").filter(_.nonEmpty)
+      .grouped(W).map(_.mkString(" ")))
+    assert(keptSpans.length == keptSpans.distinct.length,
+      "no span may survive twice")
+    assert(keptSpans.toSet == allChunks.map(_._3).toSet,
+      "every distinct span must survive exactly once")
+  }
+
+  test("the first-occurrence window never carries span text (ids+hash only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = DedupRewrite.dedupChunks(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(windows.nonEmpty, "plan must contain the first-occurrence window")
+    windows.foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(!cols.contains("chunk") && !cols.contains("text") &&
+        !cols.contains("toks"),
+        s"window input must be (doc_id, idx, ck) only, got $cols")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.EventsSketches
+import graft.sources.Tables
+
+/** Pins the invariants DuckDB cannot oracle for events_hll_mergeable: the
+  * unioned-daily estimate must equal the one-shot estimate (HLL_8 union is
+  * an elementwise register max — same state as sketching the window
+  * directly at equal lgK), re-union must be associative (split the days
+  * any way, union the partials, same answer), and the estimate must sit
+  * within HLL(lgK=12)'s error envelope of the exact count. */
+class EventsSketchesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("union of daily sketches equals the one-shot sketch estimate") {
+    val rows = EventsSketches.eventsHllMergeable(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nDays, estUnion, estOneShot) =>
+      assert(nDays > 1, s"$et: fixture must span multiple days for the union to mean anything")
+      assert(estUnion == estOneShot,
+        s"$et: daily-union estimate $estUnion != one-shot $estOneShot — " +
+          "register-max union must reproduce the single-shot state")
+    }
+  }
+
+  test("estimates sit within the lgK=12 error envelope of the exact count") {
+    val est = EventsSketches.eventsHllMergeable(spark, sf)
+      .select($"event_type", $"est_union").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (et, e) =>
+      val x = exact(et)
+      // 3 standard errors at lgK=12 is ~4.9%; use 5%
+      assert(math.abs(e - x) <= math.max(1L, (0.05 * x).toLong),
+        s"$et: estimate $e vs exact $x")
+    }
+  }
+
+  test("re-union is associative: half-split partials union to the same estimate") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(expr(s"hll_sketch_agg(user_id, ${EventsSketches.LgK})").as("sk"))
+    val cutoff = daily.agg(min($"day")).head().getDate(0).toLocalDate.plusDays(7)
+    val twoLevel = daily
+      .groupBy($"event_type", ($"day" < lit(java.sql.Date.valueOf(cutoff))).as("half"))
+      .agg(expr("hll_union_agg(sk, false)").as("partial"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(partial, false))").as("est"))
+      .as[(String, Long)].collect().toMap
+    val direct = EventsSketches.eventsHllMergeable(spark, sf)
+      .select($"event_type", $"est_union").as[(String, Long)].collect().toMap
+    assert(twoLevel == direct,
+      "unioning partial unions must equal unioning the daily sketches directly")
+  }
+}
