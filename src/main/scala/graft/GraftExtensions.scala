@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // windows into the constant-state first-occurrence running sum — see
     // RewriteRunningDistinct's scaladoc for the state-size argument
     ext.injectOptimizerRule(_ => graft.plans.RewriteRunningDistinct)
+    // opt-in (spark.graft.bitmapDistinct.enabled): count(DISTINCT integral)
+    // → exact two-level bitmap aggregation, shuffle volume independent of
+    // distinct cardinality — see RewriteDistinctToBitmap's scaladoc
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDistinctToBitmap)
     val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
       ("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array",
         exprs => SimHash64(exprs.head)),
