@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -41,43 +41,66 @@ object DedupRewrite {
     * 16-gram collisions are negligible. */
   val ChunkWords = 16
 
-  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", TextFunctions.wordTokens($"text").as("toks"))
-    // the doc's non-overlapping chunk array, re-derivable from any scan:
-    // chunk i = tokens [i*W, i*W + W)  (slice is 1-based; `div` because
-    // Column./ is double division, and sequence(0, -1) on an empty doc
-    // would count DOWN — the empty guard short-circuits both)
-    def chunkArr = when(size($"toks") === 0, array().cast("array<string>"))
+  /** (doc_id, toks) projection of a documents frame. */
+  private[graft] def tokenized(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", TextFunctions.wordTokens($"text").as("toks"))
+  }
+
+  /** The doc's non-overlapping chunk array over a `toks` column,
+    * re-derivable from any scan: chunk i = tokens [i*W, i*W + W) (slice is
+    * 1-based; `div` because Column./ is double division, and
+    * sequence(0, -1) on an empty doc would count DOWN — the empty guard
+    * short-circuits both). */
+  private[graft] def chunkArr: Column = {
+    val toks = col("toks")
+    when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0),
           expr(s"cast((size(toks) + ${ChunkWords - 1}) div $ChunkWords as int) - 1")),
-        i => array_join(slice($"toks", i * ChunkWords + 1, lit(ChunkWords)), " ")))
-    val chunks = docs
+        i => array_join(slice(toks, i * ChunkWords + 1, lit(ChunkWords)), " ")))
+  }
+
+  /** (doc_id, idx, ck) — every chunk of every doc, hashed map-side so no
+    * downstream decision operator ever sees span text. */
+  private[graft] def hashedChunks(tokDocs: DataFrame): DataFrame = {
+    import tokDocs.sparkSession.implicits._
+    tokDocs
       .filter(size($"toks") > 0)
       .select($"doc_id", posexplode(chunkArr))
       .toDF("doc_id", "idx", "chunk")
-      // hash map-side; the window below never sees span text
       .select($"doc_id", $"idx", md5($"chunk").as("ck"))
-    val firstOcc = Window.partitionBy($"ck").orderBy($"doc_id", $"idx")
-    val keptIdx = chunks
-      .withColumn("rn", row_number().over(firstOcc))
-      .filter($"rn" === 1)
-      .groupBy($"doc_id")
-      .agg(collect_set($"idx").as("kept"))
-    docs
+  }
+
+  /** Reassemble docs from a per-doc kept-index set: (doc_id, n_tokens,
+    * n_chunks_kept, text_dedup), ordered by doc_id. `keptIdx` must be
+    * (doc_id, kept: array<int>); docs absent from it rebuild empty. */
+  private[graft] def rebuild(tokDocs: DataFrame, keptIdx: DataFrame): DataFrame = {
+    import tokDocs.sparkSession.implicits._
+    tokDocs
       .join(keptIdx, Seq("doc_id"), "left")
       .select($"doc_id",
         size($"toks").cast("long").as("n_tokens"),
         coalesce(size($"kept"), lit(0)).cast("long").as("n_chunks_kept"),
         // rebuild in original order from the re-derived chunk array,
-        // keeping only first-occurrence positions
+        // keeping only the surviving positions
         array_join(
           filter(chunkArr, (_, i) => array_contains(
             coalesce($"kept", array().cast("array<int>")), i)),
           " ").as("text_dedup"))
       .orderBy($"doc_id")
+  }
+
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = tokenized(Tables.documents(spark, dir))
+    val firstOcc = Window.partitionBy($"ck").orderBy($"doc_id", $"idx")
+    val keptIdx = hashedChunks(docs)
+      .withColumn("rn", row_number().over(firstOcc))
+      .filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(collect_set($"idx").as("kept"))
+    rebuild(docs, keptIdx)
   }
 
   val dedupChunksSql: String = {
@@ -110,9 +133,37 @@ object DedupRewrite {
        |ORDER BY tk.doc_id""".stripMargin
   }
 
+  /** Driver face of the incremental path: admit the corpus in two
+    * doc_id-ordered halves through [[IncrementalDedup.dedupeBatchChunks]]'s
+    * persisted span index in a throwaway store, then union the rebuilt
+    * batches. Sequential first-seen-wins over doc_id-ordered batches equals
+    * the batch operator's global min-(doc_id, idx) policy, so the oracle is
+    * the SAME SQL as `dedup_chunks` — the hash check itself proves the
+    * incremental admission is invisible in the result. (Batches must be
+    * id-ordered for that equality; an out-of-order drop changes WHICH copy
+    * survives — first-seen — while still keeping exactly one, which is the
+    * production contract and is spec-pinned separately.) */
+  def dedupChunksIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_store_").toString
+    val docs = Tables.documents(spark, dir)
+    val mid = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val out1 = IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" <= mid), store)
+    val out2 = IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" > mid), store)
+    // checkpoint past the store files — safe to sweep now
+    val res = out1.unionAll(out2).orderBy($"doc_id").localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_chunks" -> (dedupChunks _))
+    "dedup_chunks" -> (dedupChunks _),
+    "dedup_chunks_incremental" -> (dedupChunksIncremental _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_chunks" -> dedupChunksSql)
+    "dedup_chunks" -> dedupChunksSql,
+    "dedup_chunks_incremental" -> dedupChunksSql)
 }

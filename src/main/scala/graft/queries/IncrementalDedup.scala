@@ -194,6 +194,66 @@ object IncrementalDedup {
     admitted.select($"doc_id").orderBy($"doc_id")
   }
 
+  // ---- span-level (chunk hash) index ------------------------------------
+
+  /** Create (overwrite) the span index for an initial corpus slice: one
+    * (ck, doc_id, idx) row per DISTINCT 16-token chunk hash, at its first
+    * occurrence — [[DedupRewrite.dedupChunks]]'s keep-first policy made
+    * persistent. 16 bytes + position per distinct span. */
+  def writeChunkIndex(docs: DataFrame, indexDir: String): Unit = {
+    import docs.sparkSession.implicits._
+    DedupRewrite.hashedChunks(DedupRewrite.tokenized(docs))
+      .groupBy($"ck")
+      .agg(min(struct($"doc_id", $"idx")).as("f"))
+      .select($"ck", $"f.doc_id".as("doc_id"), $"f.idx".as("idx"))
+      .write.mode(SaveMode.Overwrite).parquet(indexDir)
+  }
+
+  /** Admit `batch` (doc_id, text, ...) against the span index: each batch
+    * document is REWRITTEN to keep only spans that are new — first
+    * occurrence within the batch (min (doc_id, idx)) AND absent from the
+    * index — and exactly those span hashes append to the store. Returns the
+    * rebuilt batch (doc_id, n_tokens, n_chunks_kept, text_dedup).
+    *
+    * Sequential admission of doc_id-ordered batches reproduces the batch
+    * operator exactly (first-seen-wins across batches = global min
+    * (doc_id, idx)) — the driver face rides the SAME oracle SQL as
+    * `dedup_chunks`, so the hash check itself proves the equivalence.
+    *
+    * Scale shape: identical to [[dedupeBatchExact]] — the batch's chunk-key
+    * set broadcasts INTO the index scan (inner probe), the matched set
+    * (≤ batch chunks) broadcasts back into the batch-side anti join, and
+    * the index is never shuffled, never broadcast. The rebuild reads ONLY
+    * the batch docs + the checkpointed admitted set — span text never
+    * touches the store. */
+  def dedupeBatchChunks(batch: DataFrame, indexDir: String,
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val tokDocs = DedupRewrite.tokenized(batch)
+    val batchKeep = DedupRewrite.hashedChunks(tokDocs)
+      .groupBy($"ck")
+      .agg(min(struct($"doc_id", $"idx")).as("f"))
+      .select($"ck", $"f.doc_id".as("doc_id"), $"f.idx".as("idx"))
+    // self-bootstrapping: the first admission sees an empty store and
+    // probes nothing (Store.read would fail schema inference on it)
+    val matched =
+      if (Store.hasData(indexDir))
+        Store.read(spark, indexDir)
+          .join(broadcast(batchKeep.select($"ck")), "ck")
+          .select($"ck")
+      else batchKeep.select($"ck").limit(0)
+    val admitted = batchKeep
+      .join(broadcast(matched), Seq("ck"), "left_anti")
+      .localCheckpoint() // same refreshByPath trap as the exact path
+    if (Store.appendMaybeIdempotent(
+        admitted.select($"ck", $"doc_id", $"idx"), indexDir, id))
+      Store.maintain(spark, indexDir, maintainEvery)
+    val keptIdx = admitted.groupBy($"doc_id")
+      .agg(collect_set($"idx").as("kept"))
+    DedupRewrite.rebuild(tokDocs, keptIdx)
+  }
+
   // ---- perceptual (media phash) index -----------------------------------
 
   /** Create (overwrite) the perceptual media index: one (doc_id, ph) row

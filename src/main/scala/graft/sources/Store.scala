@@ -120,6 +120,17 @@ object Store {
       case None => append(df, dir); true
     }
 
+  /** Whether the store holds any COMMITTED data ([[read]] on a store
+    * without any would fail schema inference): a visible entry exists —
+    * hidden (`.`/`_`-prefixed) staging dirs and markers don't count. Lets
+    * a first admission bootstrap an empty store instead of forcing every
+    * caller into a separate write-initial-index protocol. */
+  def hasData(dir: String): Boolean = {
+    val fs = new File(dir).listFiles()
+    fs != null && fs.exists(f =>
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+  }
+
   /** Number of committed delta directories awaiting compaction. */
   def deltaCount(dir: String): Int = {
     val fs = new File(dir).listFiles()

@@ -86,6 +86,72 @@ class DedupRewriteSpec extends AnyFunSuite {
       "every distinct span must survive exactly once")
   }
 
+  test("incremental: ordered half+half admission equals the from-scratch rewrite") {
+    val (a, b, c, d) = (chunk("a"), chunk("b"), chunk("c"), chunk("d"))
+    val dir = docsFixture(Seq(
+      0L -> s"$a $b", 1L -> s"$c $a", 2L -> s"$b $d", 3L -> s"$d $c"))
+    val scratch = DedupRewrite.dedupChunks(spark, dir).collect().map(_.toSeq)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_inc_").toString
+    val docs = Tables.documents(spark, dir)
+    // batch 2 re-encounters a (doc0) and b (doc0) cross-batch, d within-run
+    val o1 = queries.IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" <= 1), store)
+    val o2 = queries.IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" > 1), store)
+    val inc = o1.unionAll(o2).orderBy($"doc_id").collect().map(_.toSeq)
+    assert(inc.toSeq == scratch.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
+  test("incremental: idempotent replay no-ops; index survives compaction") {
+    import graft.sources.Store
+    val (a, e) = (chunk("a"), chunk("e"))
+    val dir1 = docsFixture(Seq(0L -> s"$a $e"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_idem_").toString
+    val docs1 = Tables.documents(spark, dir1)
+    queries.IncrementalDedup.dedupeBatchChunks(docs1, store, id = Some("b1"))
+      .collect()
+    val deltasAfterFirst = Store.deltaCount(store)
+    // replayed micro-batch id: admission is a no-op, store unchanged
+    queries.IncrementalDedup.dedupeBatchChunks(docs1, store, id = Some("b1"))
+      .collect()
+    assert(Store.deltaCount(store) == deltasAfterFirst,
+      "replaying an admitted batch id must not append")
+    // compact, then admit a batch that duplicates indexed spans: still
+    // dropped — the index content is compaction-invariant
+    Store.compact(spark, store)
+    val dir2 = docsFixture(Seq(9L -> s"$e $a"))
+    val o = queries.IncrementalDedup.dedupeBatchChunks(
+      Tables.documents(spark, dir2), store, id = Some("b2"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(o.toSeq == Seq((9L, 2L * W, 0L, "")),
+      s"indexed spans must stay dropped after compaction, got ${o.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
+  test("incremental: out-of-order admission still keeps exactly one copy per span") {
+    val (a, b, c) = (chunk("a"), chunk("b"), chunk("c"))
+    val dir = docsFixture(Seq(
+      0L -> s"$a $b", 1L -> s"$b $c", 2L -> s"$c $a"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_ooo_").toString
+    val docs = Tables.documents(spark, dir)
+    // admit HIGH ids first: which copy survives changes (first-seen), the
+    // exactly-once guarantee must not
+    val o1 = queries.IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" === 2), store)
+    val o2 = queries.IncrementalDedup.dedupeBatchChunks(
+      docs.filter($"doc_id" < 2), store)
+    val texts = (o1.collect() ++ o2.collect()).map(_.getString(3))
+    val spans = texts.filter(_.nonEmpty)
+      .flatMap(_.split(" ").grouped(W).map(_.mkString(" ")))
+    assert(spans.sorted.toSeq == Seq(a, b, c).sorted,
+      s"every span exactly once, got ${spans.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("the first-occurrence window never carries span text (ids+hash only)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = DedupRewrite.dedupChunks(spark, sf)
