@@ -298,7 +298,59 @@ object Relational6 {
       |GROUP BY lower(src_mixed)
       |ORDER BY source_norm""".stripMargin
 
+  /** TPC-H Q19 shape (disjunctive multi-table predicate): revenue from
+    * three brand/size/quantity tiers, written as one OR-of-ANDs filter over
+    * the joined tables — the shape that punishes engines which can't tear
+    * a disjunction apart for pushdown.
+    *
+    * What Catalyst does with it (spec-pinned): conjunctive-normal-form
+    * extraction pulls the table-local factors out of the OR — the part
+    * scan receives `(brand=12 ∧ size∈[1,15]) ∨ (brand=23 ∧ …) ∨ …` and the
+    * lineitem scan receives the quantity-range union — so BOTH scans prune
+    * before the join instead of the join output being filtered after the
+    * fact. At 100 TB the quantity disjunction alone drops ~2/3 of the fact
+    * rows at the reader. The residual cross-table disjunction then runs on
+    * the survivors. Quantity compares the RAW double column against
+    * integer bounds (exact for integral values, and — unlike a DECIMAL
+    * cast, which would wrap the column and block parquet filter pushdown —
+    * it reaches the scan); revenue sums exact DECIMAL, displays double. */
+  def q64DisjunctiveTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_size")
+    def tier(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      $"p_brand" === brand && $"p_size".between(szLo, szHi) &&
+        $"l_quantity".between(qLo.toDouble, qHi.toDouble)
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .filter(tier("Brand#12", 1, 15, 1, 11) ||
+        tier("Brand#23", 16, 30, 10, 20) ||
+        tier("Brand#5", 31, 50, 20, 30))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_extendedprice".cast("decimal(14,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  val q64Sql: String =
+    """SELECT p_brand, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+      |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 16 AND 30
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 31 AND 50
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_disjunctive_tiers" -> (q64DisjunctiveTiers _),
     "q58_small_qty_revenue" -> (q58SmallQtyRevenue _),
     "q59_big_orders" -> (q59BigOrders _),
     "q60_custdist" -> (q60CustDist _),
@@ -307,6 +359,7 @@ object Relational6 {
     "q63_collation" -> (q63Collation _))
 
   val oracles: Map[String, String] = Map(
+    "q64_disjunctive_tiers" -> q64Sql,
     "q58_small_qty_revenue" -> q58Sql,
     "q59_big_orders" -> q59Sql,
     "q60_custdist" -> q60Sql,

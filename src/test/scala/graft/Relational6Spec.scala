@@ -134,6 +134,53 @@ class Relational6Spec extends AnyFunSuite {
       s"higher-order ops must not shuffle (display sort only):\n$plan")
   }
 
+  test("q64 equals the flat recompute; the disjunction is torn apart into BOTH scans") {
+    val df = Relational6.q64DisjunctiveTiers(spark, sf)
+    val rows = df.as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+
+    val parts = Tables.part(spark, sf).select($"p_partkey", $"p_brand", $"p_size")
+      .as[(Long, String, Int)].collect().map(p => p._1 -> ((p._2, p._3))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+    def inTier(b: String, sz: Int, q: Double) =
+      (b == "Brand#12" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+      (b == "Brand#23" && sz >= 16 && sz <= 30 && q >= 10 && q <= 20) ||
+      (b == "Brand#5" && sz >= 31 && sz <= 50 && q >= 20 && q <= 30)
+    val expect = li.flatMap { case (pk, q, price, disc) =>
+      parts.get(pk).collect { case (b, sz) if inTier(b, sz, q) =>
+        (b, math.round(price * 100) * (100L - math.round(disc * 100)))
+      }
+    }.groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val got = rows.map(r => r._1 -> ((r._2, math.round(r._3 * 10000)))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // CNF extraction must push a table-local Or into EACH scan: the
+    // lineitem reader prunes on the quantity-range union, the part reader
+    // on the brand/size union — not a post-join residual-only plan
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.catalyst.expressions.Or
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    def hasOrOn(col: String) = scans.exists(s =>
+      s.schema.fieldNames.contains(col) && s.dataFilters.exists {
+        case o: Or => o.references.exists(_.name == col)
+        case _ => false
+      })
+    assert(hasOrOn("l_quantity"),
+      s"lineitem scan must receive the quantity-union Or:\n${scans.map(_.dataFilters)}")
+    assert(hasOrOn("p_brand"),
+      s"part scan must receive the brand/size-union Or:\n${scans.map(_.dataFilters)}")
+  }
+
   test("q63 collated grouping merges case classes exactly like GROUP BY lower()") {
     val df = Relational6.q63Collation(spark, sf)
     val got = df.as[(String, Long, Long)].collect()
