@@ -254,6 +254,38 @@ object IncrementalDedup {
     DedupRewrite.rebuild(tokDocs, keptIdx)
   }
 
+  /** Serve the span-rewritten form of `docs` from the persisted index: the
+    * store's admitted (doc_id, idx) positions ARE the surviving spans, so
+    * serving is one store aggregate + the positional rebuild — no
+    * re-decision, and doc text still never touches the store. Docs with no
+    * admitted spans rebuild empty (every span of theirs first occurred
+    * elsewhere). */
+  def rebuildFromChunkIndex(docs: DataFrame, indexDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = Store.read(spark, indexDir)
+      .groupBy($"doc_id").agg(collect_set($"idx").as("kept"))
+    DedupRewrite.rebuild(DedupRewrite.tokenized(docs), kept)
+  }
+
+  /** Streaming face of the span rewrite: the SAME [[dedupeBatchChunks]]
+    * admission as the batch/incremental paths, wired as a foreachBatch
+    * sink. foreachBatch is at-least-once — each admission is keyed by the
+    * micro-batch id through `Store.appendIdempotent`, so a replayed
+    * micro-batch no-ops and the store is exactly-once (the chunk-level
+    * replay spec pins this; the resample store established the pattern). */
+  def chunkStreamingAdmission(docs: DataFrame, storeDir: String,
+      maintainEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // admission is eager inside the call (the admitted frame is
+        // localCheckpoint'd before the append); the rebuilt frame is the
+        // batch caller's product, not the sink's — discard it
+        dedupeBatchChunks(batch, storeDir, maintainEvery,
+          id = Some(s"sb$batchId")): Unit
+      }
+
   // ---- perceptual (media phash) index -----------------------------------
 
   /** Create (overwrite) the perceptual media index: one (doc_id, ph) row

@@ -349,7 +349,56 @@ object Relational6 {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Map-typed higher-order functions (the MapType face of q62's array
+    * lambdas): per user, build an event_type→count map, derive
+    * share-of-total per entry with `transform_values`, keep dominant
+    * entries with `map_filter`, and explode the surviving map back to rows.
+    *
+    * The map machinery is internal to the plan — `map_from_entries` over a
+    * collected struct list (entry order is collection-order-nondeterministic
+    * but map SEMANTICS are order-free, and the exploded output re-sorts),
+    * and both lambdas are per-row Catalyst expressions. Shares are exact
+    * integral parts-per-million via `div` (long division) — `v * 1000000`
+    * stays well inside long for any real count, where a double ratio would
+    * lose integer precision past 2^53 and could flip the ≥20% cut between
+    * engines. One shuffle total (the (user, type) count); the map build
+    * rides the same grouped pass. */
+  def q65MapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"cnt")))
+        .as("counts"))
+      .withColumn("n_types", size($"counts"))
+      .withColumn("total", aggregate(map_values($"counts"), lit(0L), _ + _))
+      .withColumn("shares",
+        expr("transform_values(counts, (k, v) -> (v * 1000000L) div total)"))
+      .withColumn("big", expr("map_filter(shares, (k, v) -> v >= 200000)"))
+      .select($"user_id", $"n_types", $"total", explode($"big"))
+      .toDF("user_id", "n_types", "total_events", "event_type", "share_ppm")
+      .select($"user_id", $"event_type", $"n_types", $"total_events", $"share_ppm")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q65Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT user_id, CAST(count(*) AS INTEGER) AS n_types,
+      |    sum(cnt) AS total_events
+      |  FROM c GROUP BY 1)
+      |SELECT c.user_id, c.event_type, t.n_types,
+      |  CAST(t.total_events AS BIGINT) AS total_events,
+      |  CAST((c.cnt * 1000000) // t.total_events AS BIGINT) AS share_ppm
+      |FROM c JOIN t USING (user_id)
+      |WHERE (c.cnt * 1000000) // t.total_events >= 200000
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_map_functions" -> (q65MapFunctions _),
     "q64_disjunctive_tiers" -> (q64DisjunctiveTiers _),
     "q58_small_qty_revenue" -> (q58SmallQtyRevenue _),
     "q59_big_orders" -> (q59BigOrders _),
@@ -359,6 +408,7 @@ object Relational6 {
     "q63_collation" -> (q63Collation _))
 
   val oracles: Map[String, String] = Map(
+    "q65_map_functions" -> q65Sql,
     "q64_disjunctive_tiers" -> q64Sql,
     "q58_small_qty_revenue" -> q58Sql,
     "q59_big_orders" -> q59Sql,

@@ -152,6 +152,32 @@ class DedupRewriteSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("streaming: id-ordered micro-batches reproduce the from-scratch rewrite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_chunk_stream_").toString
+    val docs = Tables.documents(spark, sf)
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = queries.IncrementalDedup.chunkStreamingAdmission(
+      input.toDF().toDF("doc_id", "text"), store).start()
+    try {
+      // three CONTIGUOUS id-range micro-batches, ascending — the ordering
+      // under which streaming first-seen-wins equals the global min policy
+      raw.grouped((raw.length + 2) / 3).foreach { s =>
+        input.addData(s.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = queries.IncrementalDedup
+      .rebuildFromChunkIndex(docs, store).collect().map(_.toSeq)
+    val batch = DedupRewrite.dedupChunks(spark, sf).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "the store-served rewrite must equal the batch operator")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("the first-occurrence window never carries span text (ids+hash only)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val df = DedupRewrite.dedupChunks(spark, sf)

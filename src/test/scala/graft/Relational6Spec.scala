@@ -181,6 +181,32 @@ class Relational6Spec extends AnyFunSuite {
       s"part scan must receive the brand/size-union Or:\n${scans.map(_.dataFilters)}")
   }
 
+  test("q65 map lambdas equal the relational recompute, exact ppm cut") {
+    val df = Relational6.q65MapFunctions(spark, sf)
+    val got = df.as[(Long, String, Int, Long, Long)].collect()
+    assert(got.nonEmpty)
+
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val perUser = ev.groupBy(_._1).view.mapValues { xs =>
+      xs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val expect = perUser.toSeq.flatMap { case (u, counts) =>
+      val total = counts.values.sum
+      counts.toSeq.collect {
+        case (et, c) if c * 1000000L / total >= 200000L =>
+          (u, et, counts.size, total, c * 1000000L / total)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expect, s"${got.length} got vs ${expect.length} expect")
+    // a user's surviving shares can never exceed 5 entries (ppm >= 200000
+    // each, summing to <= 1e6 after floor division)
+    got.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length <= 5, s"user $u kept ${rs.length} dominant types")
+      assert(rs.map(_._5).sum <= 1000000L)
+    }
+  }
+
   test("q63 collated grouping merges case classes exactly like GROUP BY lower()") {
     val df = Relational6.q63Collation(spark, sf)
     val got = df.as[(String, Long, Long)].collect()
