@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ("char_entropy",
         "char_entropy(text) - Shannon entropy in bits over code-point counts",
         exprs => CharEntropy(exprs.head)),
+      ("deflated_size",
+        "deflated_size(text) - DEFLATE-compressed byte size of the UTF-8 text",
+        exprs => DeflatedSize(exprs.head)),
       ("pq_adc_score",
         "pq_adc_score(codes, table, ks) - PQ asymmetric-distance sum of per-subspace table lookups",
         exprs => {

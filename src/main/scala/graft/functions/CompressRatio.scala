@@ -1,0 +1,63 @@
+package graft.functions
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed byte size of a string — the primitive behind the
+  * compression-ratio quality signal (Gopher / Dolma family): natural prose
+  * deflates to ~35-60% of its raw bytes, boilerplate and template spam to
+  * far less, and random/encrypted junk to ~100%+. The RATIO is derived in
+  * the query (`deflated_size(text) / octet_length(text)`) so one kernel
+  * serves filters, score columns, and drift reports.
+  *
+  * Determinism: `Deflater(BEST_SPEED, nowrap=true)` with a single
+  * `deflate(..., FULL_FLUSH)` loop is a pure function of the input bytes on
+  * a given zlib build — and java.util.zip ships IN the JVM, so executors
+  * and driver agree. (Cross-JVM-version byte-for-byte stability is NOT
+  * assumed anywhere: tests recompute through the same util, and the oracle
+  * skips this column — DuckDB has no deflate.)
+  *
+  * Codegen: a static-call `defineCodeGen`, same shape as [[CharEntropy]] —
+  * the expression stays inside whole-stage codegen; per-call Deflater
+  * allocation keeps it thread-safe under codegen'd parallel evaluation
+  * (a shared Deflater is stateful and would corrupt across rows). */
+object CompressUtil {
+  /** Deflated size in bytes of the UTF-8 encoding of `s` (raw deflate
+    * stream, no zlib/gzip header — headers would add a constant that
+    * distorts short-text ratios). */
+  def deflatedSize(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new Deflater(Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](math.max(64, bytes.length + 64))
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
+/** `deflated_size(text)` — see [[CompressUtil.deflatedSize]]. */
+case class DeflatedSize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "deflated_size"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got $other")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    CompressUtil.deflatedSize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressUtil.deflatedSize($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflatedSize =
+    copy(child = newChild)
+}

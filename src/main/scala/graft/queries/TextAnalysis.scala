@@ -473,7 +473,46 @@ object TextAnalysis {
        |GROUP BY g.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Compression-ratio quality signal (Gopher / Dolma family): DEFLATE
+    * size over raw UTF-8 size per document. Prose sits mid-range;
+    * template/boilerplate spam compresses far below it (repetition is
+    * literally what DEFLATE removes); random or encrypted junk refuses to
+    * compress. The flags bucket the corpus the way a real pipeline gates:
+    * `too_compressible` (ratio < 0.35 — repetitive spam) and
+    * `incompressible` (ratio > 0.85 — junk; printable-ASCII junk like
+    * base64 tops out near log2(94)/8 ≈ 0.87 under DEFLATE, so the text
+    * threshold sits below the binary-random 1.0, not at it).
+    *
+    * No oracle: DuckDB has no DEFLATE; the byte size is a property of the
+    * JVM's zlib, not ANSI-expressible. The spec pins what matters instead —
+    * bitwise determinism across runs, exact agreement with a driver-side
+    * recompute through the same kernel, and the discrimination property
+    * (repetitive ≪ prose < random) on constructed fixtures.
+    *
+    * Scale shape: ONE codegen'd per-row kernel ([[graft.functions
+    * .DeflatedSize]], whole-stage-codegen'd static call, per-row Deflater
+    * for thread safety) — map-only projection, no shuffle but the display
+    * sort; the ratio divides two longs derived from the same row. */
+  def textCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = octet_length($"text").cast("long")
+    val defl = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DeflatedSize(
+        org.apache.spark.sql.GraftBridge.expression($"text")))
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw_bytes"), defl.as("deflated_bytes"))
+      .withColumn("ratio",
+        when($"raw_bytes" === 0, lit(1.0))
+          .otherwise($"deflated_bytes".cast("double") / $"raw_bytes"))
+      .withColumn("flag",
+        when($"ratio" < 0.35, "too_compressible")
+          .when($"ratio" > 0.85, "incompressible")
+          .otherwise("ok"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_ratio" -> (textCompressRatio _),
     "text_novelty" -> (textNovelty _),
     "text_lm_score" -> (textLmScore _),
     "text_entropy" -> (textEntropy _),
