@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Store, Tables}
 
 /** Mergeable distinct-count sketches (Apache DataSketches HLL, the
   * `hll_sketch_agg` / `hll_union_agg` family) — the PRODUCTION shape for
@@ -22,10 +22,18 @@ import graft.sources.Tables
   * register max, identical state to single-shot at equal lgK; spec-pinned
   * along with union associativity and accuracy vs the exact count).
   *
-  * No oracle: DuckDB has no DataSketches implementation, so the register
-  * states (and thus estimates) are engine-specific — the driver records a
-  * rows-only check; EventsSketchesSpec pins the invariants that matter
-  * (union ≡ one-shot, split-merge associativity, ±5% of exact).
+  * No oracle for the HLL face: DuckDB has no DataSketches implementation,
+  * so the register states (and thus estimates) are engine-specific — the
+  * driver records a rows-only check; EventsSketchesSpec pins the
+  * invariants that matter (union ≡ one-shot, split-merge associativity,
+  * ±5% of exact).
+  *
+  * The EXACT counterpart lives below: a persisted BITMAP store
+  * ([[admitBitmaps]] / [[distinctFromStore]]) whose incremental face IS
+  * oracle-checked against COUNT(DISTINCT) — sketch store and bitmap store
+  * are the two points on the same 100 TB design axis (bounded-size
+  * approximate vs id-universe-sized exact, both re-aggregable, both
+  * rescan-free).
   */
 object EventsSketches {
 
@@ -57,8 +65,83 @@ object EventsSketches {
       .orderBy($"event_type")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hll_mergeable" -> (eventsHllMergeable _))
+  // ---- persisted EXACT distinct: the bitmap store -----------------------
 
-  val oracles: Map[String, String] = Map.empty
+  /** One ≤4 KB bitmap per (type, 32k-id bucket) of a batch — the partial
+    * q61 aggregates in-query, here made a persistable value. */
+  private def bitmapPartials(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"event_type",
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+  }
+
+  /** OR-merge partial bitmaps per (type, bucket) — the compaction rewrite
+    * AND the serve-side merge (one definition, like Resample.mergeHourly). */
+  private[graft] def mergeBitmaps(partials: DataFrame): DataFrame = {
+    import partials.sparkSession.implicits._
+    partials.groupBy($"event_type", $"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+  }
+
+  /** Admit a batch of events into the persisted bitmap store at `storeDir`:
+    * append the batch's (type, bucket)→bitmap partials (crash-safe Store
+    * protocol), triggered maintenance OR-merges partials flat. EXACT
+    * incremental distinct counting — the precise counterpart of the HLL
+    * sketch store above, for when ±2% isn't acceptable.
+    *
+    * Two properties the additive stores (resample, anomaly) DON'T have:
+    * admission is order-independent (OR is commutative — any batch split,
+    * any arrival order, same store state), and it is SEMANTICALLY
+    * idempotent (OR of a duplicate bitmap is a no-op), so even a replayed
+    * batch WITHOUT an idempotency id cannot corrupt counts — the id-keyed
+    * skip still matters only for store-size hygiene. Both spec-pinned.
+    *
+    * Scale shape: admission never READS the store (blind partial append —
+    * cheaper than the probe-based dedup stores); store size is types ×
+    * occupied buckets × ≤4 KB, independent of event volume; serving is one
+    * store-sized scan, no events rescan. */
+  def admitBitmaps(spark: SparkSession, storeDir: String, batch: DataFrame,
+      maintainEvery: Int = 8, id: Option[String] = None): Boolean = {
+    val admitted =
+      Store.appendMaybeIdempotent(bitmapPartials(batch), storeDir, id)
+    if (admitted)
+      Store.maintain(spark, storeDir, every = maintainEvery,
+        rewrite = mergeBitmaps)
+    admitted
+  }
+
+  /** Serve exact distinct users per type from the store alone. */
+  def distinctFromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    mergeBitmaps(Store.read(spark, storeDir))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Driver face: admit the events table in two INTERLEAVED halves (the
+    * split that would corrupt an order-dependent store) into a throwaway
+    * bitmap store, then serve. The oracle is the SAME SQL as q61 — the
+    * hash check proves incremental admission is invisible in the exact
+    * counts. */
+  def eventsBitmapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bitmap_store_").toString
+    val events = Tables.events(spark, dir)
+    admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+    admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+    val res = distinctFromStore(spark, store).localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    res
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hll_mergeable" -> (eventsHllMergeable _),
+    "events_bitmap_incremental" -> (eventsBitmapIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    "events_bitmap_incremental" -> Relational6.q61Sql)
 }

@@ -43,6 +43,37 @@ class EventsSketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap store: interleaved admission serves exact counts; replay is harmless") {
+    import graft.queries.EventsSketches
+    import graft.sources.Store
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm_store_").toString
+    val events = Tables.events(spark, sf)
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+
+    EventsSketches.admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+    EventsSketches.admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+    assert(EventsSketches.distinctFromStore(spark, store)
+      .as[(String, Long)].collect().toMap == exact)
+
+    // OR is semantically idempotent: replaying a whole batch WITHOUT an
+    // idempotency id must not change any count
+    EventsSketches.admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+    assert(EventsSketches.distinctFromStore(spark, store)
+      .as[(String, Long)].collect().toMap == exact,
+      "duplicate admission must be invisible in exact counts")
+
+    // compaction OR-merges partials flat and preserves every count
+    Store.compact(spark, store, numFiles = 2,
+      rewrite = EventsSketches.mergeBitmaps)
+    assert(Store.deltaCount(store) == 0)
+    assert(EventsSketches.distinctFromStore(spark, store)
+      .as[(String, Long)].collect().toMap == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("re-union is associative: half-split partials union to the same estimate") {
     val ev = Tables.events(spark, sf)
       .select($"event_type", to_date($"ts").as("day"), $"user_id")
