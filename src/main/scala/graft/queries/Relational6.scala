@@ -397,7 +397,54 @@ object Relational6 {
       |WHERE (c.cnt * 1000000) // t.total_events >= 200000
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** The regexp scalar family over semi-structured payloads (the log-
+    * scraping face: extract / extract_all / replace / like over
+    * `events.props` JSON strings): per event type, how many payloads carry
+    * digits, total digit runs, the max extracted `"k"` value, and the
+    * digit-normalized payload template.
+    *
+    * Cross-engine regex discipline: patterns stay inside the Java∩RE2
+    * common dialect (literal space instead of `\s` — RE2's `\s` differs on
+    * `\x0B`, the OracleFragments lesson), and the extracted string goes
+    * through an explicit empty→NULL guard BEFORE the long cast — Spark 4
+    * runs ANSI mode by default, where cast('' AS BIGINT) is a runtime
+    * error, and DuckDB errors identically (TRY_CAST would silently mask
+    * real garbage instead).
+    *
+    * Scale shape: all four regex ops are per-row scalar projections
+    * folded into the single (type) aggregate pass — one scan, one
+    * map-side-combinable shuffle. */
+  def q66RegexFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = regexp_extract($"props", "\"k\": ([0-9]+)", 1)
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"props".rlike("[0-9]"), 1L).otherwise(0L))
+          .as("n_digit_props"),
+        sum(size(regexp_extract_all($"props", lit("[0-9]+"), lit(0))))
+          .cast("long").as("digit_runs"),
+        max(when(k =!= "", k).cast("long")).as("max_k"),
+        min(regexp_replace($"props", "[0-9]+", "N")).as("template"))
+      .orderBy($"event_type")
+  }
+
+  val q66Sql: String =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN regexp_matches(props, '[0-9]') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_digit_props,
+      |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+      |    AS digit_runs,
+      |  max(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+      |           AS BIGINT)) AS max_k,
+      |  min(regexp_replace(props, '[0-9]+', 'N', 'g')) AS template
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_regex_family" -> (q66RegexFamily _),
     "q65_map_functions" -> (q65MapFunctions _),
     "q64_disjunctive_tiers" -> (q64DisjunctiveTiers _),
     "q58_small_qty_revenue" -> (q58SmallQtyRevenue _),
@@ -408,6 +455,7 @@ object Relational6 {
     "q63_collation" -> (q63Collation _))
 
   val oracles: Map[String, String] = Map(
+    "q66_regex_family" -> q66Sql,
     "q65_map_functions" -> q65Sql,
     "q64_disjunctive_tiers" -> q64Sql,
     "q58_small_qty_revenue" -> q58Sql,

@@ -207,6 +207,29 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("q66 regex aggregates equal a driver-side java.util.regex recompute") {
+    val df = Relational6.q66RegexFamily(spark, sf)
+    val got = df.as[(String, Long, Long, Long, Option[Long], String)].collect()
+    assert(got.nonEmpty)
+
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", $"props").as[(String, String)].collect()
+    val digits = "[0-9]+".r
+    val kPat = "\"k\": ([0-9]+)".r
+    val expect = ev.groupBy(_._1).view.mapValues { xs =>
+      val props = xs.map(_._2)
+      (props.length.toLong,
+        props.count(p => digits.findFirstIn(p).isDefined).toLong,
+        props.map(p => digits.findAllIn(p).size.toLong).sum,
+        props.flatMap(p => kPat.findFirstMatchIn(p).map(_.group(1).toLong))
+          .reduceOption(_ max _),
+        props.map(p => digits.replaceAllIn(p, "N")).min)
+    }.toMap
+    got.foreach { case (et, n, nd, runs, maxK, tpl) =>
+      assert((n, nd, runs, maxK, tpl) == expect(et), s"type $et")
+    }
+  }
+
   test("q63 collated grouping merges case classes exactly like GROUP BY lower()") {
     val df = Relational6.q63Collation(spark, sf)
     val got = df.as[(String, Long, Long)].collect()
