@@ -121,6 +121,20 @@ object EventsSketches {
       .orderBy($"event_type")
   }
 
+  /** Streaming face: the SAME bitmap admission as the batch/incremental
+    * paths, as a foreachBatch sink. Uniquely among the stores, the
+    * idempotency id here is belt-and-braces: OR-merge makes even an
+    * un-keyed replay semantically harmless (spec-pinned), so the id only
+    * caps store growth under pathological replay storms. */
+  def bitmapStreamingAdmission(events: DataFrame, storeDir: String,
+      maintainEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBitmaps(batch.sparkSession, storeDir, batch, maintainEvery,
+          id = Some(s"sb$batchId")): Unit
+      }
+
   /** Driver face: admit the events table in two INTERLEAVED halves (the
     * split that would corrupt an order-dependent store) into a throwaway
     * bitmap store, then serve. The oracle is the SAME SQL as q61 — the

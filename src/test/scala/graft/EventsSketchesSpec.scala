@@ -74,6 +74,30 @@ class EventsSketchesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("bitmap store: streamed micro-batches serve the same exact counts") {
+    import graft.queries.EventsSketches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm_stream_").toString
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect()
+    val input = MemoryStream[(String, Long)]
+    val q = EventsSketches.bitmapStreamingAdmission(
+      input.toDF().toDF("event_type", "user_id"), store).start()
+    try {
+      // arbitrary interleave — bitmap admission is order-independent
+      raw.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1).foreach {
+        case (_, s) => input.addData(s.map(_._1).toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val exact = raw.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(EventsSketches.distinctFromStore(spark, store)
+      .as[(String, Long)].collect().toMap == exact)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("re-union is associative: half-split partials union to the same estimate") {
     val ev = Tables.events(spark, sf)
       .select($"event_type", to_date($"ts").as("day"), $"user_id")
