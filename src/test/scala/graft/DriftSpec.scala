@@ -38,4 +38,32 @@ class DriftSpec extends AnyFunSuite {
     assert("documents\\.parquet".r.findAllIn(plan).size == 1,
       s"exactly one documents scan expected:\n$plan")
   }
+
+  test("dataset diff classifies added/removed/changed/unchanged exactly") {
+    val df = Drift.prepDatasetDiff(spark, sf)
+    val got = df.as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val ids = ds.map(_._1)
+      val added = ids.count(_ % 10 == 7).toLong     // absent from prior
+      val changed = ids.count(_ % 10 == 3).toLong   // stale text in prior
+      (ids.length.toLong, added, 0L, changed,
+        ids.length - added - changed)
+    }.toMap
+    got.foreach { case (src, n, a, r, c, u) =>
+      assert((n, a, r, c, u) == expect(src), s"source $src")
+    }
+    // the diff join must carry digests, not text: no column named text in
+    // the join operator's output
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(!j.output.map(_.name).contains("text"),
+        s"diff join must be hash-projected: ${j.output.map(_.name)}")
+    }
+  }
 }
