@@ -324,14 +324,19 @@ object IncrementalDedup {
     val batchBands = batchPh
       .select($"doc_id", $"ph", Multimodal.phashBandStructs.as("bk"))
       .select($"doc_id", $"ph", $"bk.band".as("band"), $"bk.key".as("key"))
-    val index = Store.read(spark, indexDir)
-    val indexBands = index
-      .select($"ph", Multimodal.phashBandStructs.as("bk"))
-      .select($"ph".as("ph_i"), $"bk.band".as("band"), $"bk.key".as("key"))
-    val dropByIndex = indexBands
-      .join(broadcast(batchBands), Seq("band", "key"))
-      .filter(graft.functions.SimHash.hammingDistance($"ph", $"ph_i") <= maxHamming)
-      .select($"doc_id").distinct()
+    // self-bootstrapping like the chunk index: a first admission (the
+    // streaming-from-scratch case) sees an empty store and probes nothing
+    val dropByIndex = if (!Store.hasData(indexDir))
+      batchPh.select($"doc_id").limit(0)
+    else {
+      val indexBands = Store.read(spark, indexDir)
+        .select($"ph", Multimodal.phashBandStructs.as("bk"))
+        .select($"ph".as("ph_i"), $"bk.band".as("band"), $"bk.key".as("key"))
+      indexBands
+        .join(broadcast(batchBands), Seq("band", "key"))
+        .filter(graft.functions.SimHash.hammingDistance($"ph", $"ph_i") <= maxHamming)
+        .select($"doc_id").distinct()
+    }
     val survivors = batchPh
       .join(broadcast(dropByIndex), Seq("doc_id"), "left_anti")
     val pairs = Multimodal.phashBandCandidates(survivors)
@@ -347,4 +352,17 @@ object IncrementalDedup {
       Store.maintain(spark, indexDir, maintainEvery)
     admitted.select($"doc_id").orderBy($"doc_id")
   }
+
+  /** Streaming face of the perceptual gate: [[dedupeBatchPhash]] as a
+    * foreachBatch sink keyed by micro-batch id — continuous media
+    * ingestion's dedup gate with exactly-once admission (same replay
+    * protocol as the chunk and resample stores). */
+  def phashStreamingAdmission(docs: DataFrame, storeDir: String,
+      maxHamming: Int = 3, maintainEvery: Int = 16): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupeBatchPhash(batch, storeDir, maxHamming, maintainEvery,
+          id = Some(s"sb$batchId")): Unit
+      }
 }

@@ -556,7 +556,45 @@ object SimilaritySearch {
        |FROM ranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN quality-evaluation harness as a first-class operator: recall@K
+    * of every approximate method against the exact brute-force answer, per
+    * query and aggregated — the report a team runs before (and after every
+    * reindex of) shipping an ANN path, here runnable on the production
+    * engine itself instead of a side notebook. The per-method recall
+    * floors the specs assert are exactly these numbers; the methodCard
+    * honesty discipline, applied to retrieval.
+    *
+    * Scale shape: each method's top-K frame is NQueries×K rows — the
+    * comparison join and report aggregate are query-table-sized, trivially
+    * broadcastable; the only real cost is running the methods themselves.
+    * Rows-only (ANN bucket membership isn't ANSI-expressible; brute force
+    * alone has its own oracle via sim_bruteforce_topk). */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = simBruteforceTopk(spark, dir)
+      .select($"query_id", $"neighbor_id").localCheckpoint(true)
+    val queryIds = brute.select($"query_id").distinct()
+    def per(method: String, ann: DataFrame): DataFrame = {
+      val hits = ann.select($"query_id", $"neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+      queryIds.join(hits, Seq("query_id"), "left")
+        .select($"query_id",
+          (coalesce($"hits", lit(0L)).cast("double") / K).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg($"recall"), 4).as("mean_recall"),
+          round(min($"recall"), 4).as("min_recall"))
+        .select(lit(method).as("method"), $"n_queries",
+          $"mean_recall", $"min_recall")
+    }
+    per("lsh", simLshTopk(spark, dir))
+      .unionAll(per("ivf", simIvfTopk(spark, dir)))
+      .unionAll(per("ivfpq", simIvfPqTopk(spark, dir)))
+      .orderBy($"method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_report" -> (simRecallReport _),
     "sim_quantized_rerank" -> (simQuantizedRerank _),
     "sim_bruteforce_topk" -> (simBruteforceTopk _),
     "sim_filtered_topk" -> (simFilteredTopk _),

@@ -223,4 +223,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(stored3.size == scratchReps.size,
       "admission order must never change the number of represented classes")
   }
+
+  test("phash streaming: micro-batches into a FRESH store bootstrap and converge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same planted corpus as the volume test: 12 base/re-encode classes + 2 fresh
+    def doc(seed: Int): String = (0 until 60).map(j => s"m${seed}p$j").mkString(" ")
+    val bases = (0 until 12).map(i => (i.toLong, doc(i)))
+    val reenc = (0 until 12).map(i => ((100 + i).toLong, doc(i).replace(s"m${i}p30", "reenc")))
+    val fresh = Seq((300L, doc(500)), (301L, doc(501)))
+
+    val store = tmpIndex() + "/phash_stream" // no writePhashIndex: bootstrap path
+    val input = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.phashStreamingAdmission(
+      input.toDF().toDF("doc_id", "text"), store).start()
+    try {
+      input.addData(bases); q.processAllAvailable()
+      input.addData(reenc ++ fresh); q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = Store.read(spark, store).select($"doc_id").as[Long].collect().toSet
+    // batch 1 admits every base (store was empty); batch 2 admits only the
+    // two fresh payloads - identical to the sequential batch admission the
+    // volume test pins against the union-find ground truth
+    assert(stored == bases.map(_._1).toSet ++ Set(300L, 301L),
+      s"streamed store state: $stored")
+  }
 }
