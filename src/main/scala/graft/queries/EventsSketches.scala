@@ -121,6 +121,89 @@ object EventsSketches {
       .orderBy($"event_type")
   }
 
+  // ---- per-day bitmaps: exact distinct over arbitrary windows ----------
+
+  /** Day-keyed partials: one bitmap per (type, DAY, bucket). The windowed
+    * form of [[bitmapPartials]] — costs a ×days store-size factor and buys
+    * the same any-window re-aggregability the HLL sketch store has, but
+    * EXACT: a week, a month, any day set answers by OR-merging the stored
+    * day slices, no events rescan, no approximation. This completes the
+    * exact/approximate symmetry: HLL = bounded-size approximate windows,
+    * day-bitmaps = id-universe-sized exact windows; same admission
+    * protocol, same crash-safe store, pick by error budget × id density. */
+  private def bitmapDailyPartials(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      .groupBy($"event_type", $"day",
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+  }
+
+  private[graft] def mergeDailyBitmaps(partials: DataFrame): DataFrame = {
+    import partials.sparkSession.implicits._
+    partials.groupBy($"event_type", $"day", $"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+  }
+
+  /** Admit a batch into the day-keyed bitmap store (same order-independent,
+    * replay-harmless properties as [[admitBitmaps]]). */
+  def admitDailyBitmaps(spark: SparkSession, storeDir: String,
+      batch: DataFrame, maintainEvery: Int = 8,
+      id: Option[String] = None): Boolean = {
+    val admitted =
+      Store.appendMaybeIdempotent(bitmapDailyPartials(batch), storeDir, id)
+    if (admitted)
+      Store.maintain(spark, storeDir, every = maintainEvery,
+        rewrite = mergeDailyBitmaps)
+    admitted
+  }
+
+  /** Exact distinct users per type over `[fromDay, toDay)`, served from the
+    * stored day slices alone — buckets stay disjoint across days of the
+    * same user id, so the OR over (day, bucket) slices then popcount-sum
+    * per type is the exact windowed count. */
+  def distinctWindowFromStore(spark: SparkSession, storeDir: String,
+      fromDay: java.time.LocalDate, toDay: java.time.LocalDate): DataFrame = {
+    import spark.implicits._
+    Store.read(spark, storeDir)
+      .filter($"day" >= lit(java.sql.Date.valueOf(fromDay)) &&
+        $"day" < lit(java.sql.Date.valueOf(toDay)))
+      .groupBy($"event_type", $"bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy($"event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Driver face: admit interleaved halves into a day-keyed throwaway
+    * store, then serve the FIRST WEEK — a window the all-time store cannot
+    * answer. Oracle: plain windowed COUNT(DISTINCT) with the same
+    * data-derived bounds. */
+  def eventsBitmapWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bmday_store_").toString
+    val events = Tables.events(spark, dir)
+    admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+    admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+    val start = events.agg(min(to_date($"ts"))).head().getDate(0)
+      .toLocalDate
+    val res = distinctWindowFromStore(spark, store, start, start.plusDays(7))
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    res
+  }
+
+  val eventsBitmapWindowSql: String =
+    """WITH b AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events)
+      |SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events, b
+      |WHERE date_trunc('day', ts) >= b.d0
+      |  AND date_trunc('day', ts) < b.d0 + INTERVAL 7 DAY
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Streaming face: the SAME bitmap admission as the batch/incremental
     * paths, as a foreachBatch sink. Uniquely among the stores, the
     * idempotency id here is belt-and-braces: OR-merge makes even an
@@ -154,8 +237,10 @@ object EventsSketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hll_mergeable" -> (eventsHllMergeable _),
-    "events_bitmap_incremental" -> (eventsBitmapIncremental _))
+    "events_bitmap_incremental" -> (eventsBitmapIncremental _),
+    "events_bitmap_window" -> (eventsBitmapWindow _))
 
   val oracles: Map[String, String] = Map(
-    "events_bitmap_incremental" -> Relational6.q61Sql)
+    "events_bitmap_incremental" -> Relational6.q61Sql,
+    "events_bitmap_window" -> eventsBitmapWindowSql)
 }

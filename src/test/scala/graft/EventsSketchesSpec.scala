@@ -98,6 +98,29 @@ class EventsSketchesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("day-keyed bitmap store serves exact counts for ANY day window") {
+    import graft.queries.EventsSketches
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bmday_").toString
+    val events = Tables.events(spark, sf)
+    EventsSketches.admitDailyBitmaps(spark, store, events.filter($"event_id" % 3 === 0))
+    EventsSketches.admitDailyBitmaps(spark, store, events.filter($"event_id" % 3 =!= 0))
+    val start = events.agg(min(to_date($"ts"))).head().getDate(0).toLocalDate
+    // three different windows, all served from the same stored day slices
+    Seq(3L, 7L, 40L).foreach { days =>
+      val got = EventsSketches
+        .distinctWindowFromStore(spark, store, start, start.plusDays(days))
+        .as[(String, Long)].collect().toMap
+      val exact = events
+        .filter(to_date($"ts") < lit(java.sql.Date.valueOf(start.plusDays(days)))
+          && to_date($"ts") >= lit(java.sql.Date.valueOf(start)))
+        .groupBy($"event_type").agg(countDistinct($"user_id"))
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, s"window of $days days")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
   test("re-union is associative: half-split partials union to the same estimate") {
     val ev = Tables.events(spark, sf)
       .select($"event_type", to_date($"ts").as("day"), $"user_id")
