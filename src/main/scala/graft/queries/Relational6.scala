@@ -443,7 +443,52 @@ object Relational6 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Schema-drift union (the lake-merge face): a pre-upgrade writer's
+    * snapshot lacks columns the current writer emits (`lang`, `n_chars`
+    * here); `unionByName(allowMissingColumns = true)` aligns by NAME and
+    * NULL-fills the gaps — positional `union` would silently mis-bind
+    * columns or reject. Downstream then repairs what it can (`n_chars`
+    * recomputes from the text; `lang` stays honestly NULL and is counted).
+    * The per-source report a backfill job runs before/after migration.
+    *
+    * This is [[graft.sources.Store]].read's `mergeSchema` behavior
+    * expressed at the API level: both are the same decision — align by
+    * name, NULL the holes, never bind by position. */
+  def q67SchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text", $"source") // pre-upgrade writer: 3 cols
+    val newSnap = docs.filter($"doc_id" % 3 =!= 0)
+    val merged = oldSnap.unionByName(newSnap, allowMissingColumns = true)
+    merged
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"lang".isNull.cast("long")).as("n_missing_lang"),
+        // repairable hole: recompute chars from the text we do have
+        sum(coalesce($"n_chars", length($"text").cast("long")))
+          .as("total_chars"))
+      .orderBy($"source")
+  }
+
+  val q67Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, text, source,
+      |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, source, lang, n_chars
+      |  FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing_lang,
+      |  CAST(sum(coalesce(n_chars, length(text))) AS BIGINT) AS total_chars
+      |FROM merged
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_schema_drift" -> (q67SchemaDrift _),
     "q66_regex_family" -> (q66RegexFamily _),
     "q65_map_functions" -> (q65MapFunctions _),
     "q64_disjunctive_tiers" -> (q64DisjunctiveTiers _),
@@ -455,6 +500,7 @@ object Relational6 {
     "q63_collation" -> (q63Collation _))
 
   val oracles: Map[String, String] = Map(
+    "q67_schema_drift" -> q67Sql,
     "q66_regex_family" -> q66Sql,
     "q65_map_functions" -> q65Sql,
     "q64_disjunctive_tiers" -> q64Sql,

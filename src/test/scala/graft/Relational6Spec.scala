@@ -230,6 +230,32 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("q67 name-aligned union NULL-fills drift; positional union would mis-bind") {
+    val df = Relational6.q67SchemaDrift(spark, sf)
+    val got = df.as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars", length($"text").cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val expect = docs.groupBy(_._2).view.mapValues { ds =>
+      val missing = ds.count(_._1 % 3 == 0).toLong
+      // old-snapshot rows repair n_chars from text length
+      val chars = ds.map(d => if (d._1 % 3 == 0) d._4 else d._3).sum
+      (ds.length.toLong, missing, chars)
+    }.toMap
+    got.foreach { case (src, n, miss, chars) =>
+      assert((n, miss, chars) == expect(src), s"source $src")
+    }
+    // the failure mode q67 exists to avoid: positional union of the
+    // 3-column snapshot is rejected outright (arity), not silently bound
+    val oldSnap = Tables.documents(spark, sf).filter($"doc_id" % 3 === 0)
+      .select($"doc_id", $"text", $"source")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      oldSnap.union(Tables.documents(spark, sf)).collect()
+    }
+  }
+
   test("q63 collated grouping merges case classes exactly like GROUP BY lower()") {
     val df = Relational6.q63Collation(spark, sf)
     val got = df.as[(String, Long, Long)].collect()
