@@ -847,13 +847,24 @@ object DataPipeline {
   /** [[tokenBudget]] over any (doc_id, text) frame — split out for fixture
     * specs, like [[domainCapOn]]. */
   def tokenBudgetOn(documents: DataFrame, budget: Long): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
     import documents.sparkSession.implicits._
-    val docs = documents
+    budgetCore(documents
       .select($"doc_id",
         // kernel token count ≡ tokenCount (FunctionsSpec differential)
         TF.textScanStats($"text").getItem(0).cast("long").as("n_tokens"),
-        TF.qualityScore($"text").as("quality"))
+        TF.qualityScore($"text").as("quality")), budget)
+  }
+
+  /** The 257-bin distributed-prefix-sum budget engine over any prepared
+    * (doc_id, n_tokens, quality) frame — the token unit is the CALLER's
+    * choice ([[tokenBudgetOn]] counts whitespace tokens; [[bpeBudgetOn]]
+    * counts learned BPE tokens, the unit budgets are actually denominated
+    * in). One machinery, spec-pinned once (bucketed ≡ naive), any
+    * denomination. */
+  private[graft] def budgetCore(prepared: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import prepared.sparkSession.implicits._
+    val docs = prepared
       .withColumn("bin", floor($"quality" * 256).cast("int"))
     val binSums = docs.groupBy($"bin").agg(sum($"n_tokens").as("btok"))
     // exclusive prefix over bins in DESCENDING quality order; ≤257 rows, so
@@ -871,6 +882,34 @@ object DataPipeline {
       .filter($"cum_before" < budget)
       .select($"doc_id", $"quality", $"n_tokens", $"cum_before")
       .orderBy($"doc_id")
+  }
+
+  /** The budget denominated in LEARNED BPE TOKENS — the unit training
+    * budgets are actually written in (a 15T-token budget means tokenizer
+    * tokens, not whitespace words). Composes the two 100 TB mechanisms the
+    * repo already ships: [[BpeVocab.encodeOnDocs]] supplies per-doc token
+    * counts (distinct-word dictionary join, corpus read once) and
+    * [[budgetCore]] turns "best N tokens" into the 257-bin distributed
+    * prefix sum — no global sort in either half. Docs whose every word
+    * fell out of the dictionary (none on this corpus, but possible with
+    * OOV-pruned dictionaries) count 0 tokens and ride along free.
+    *
+    * Rows-only: the learned merge table isn't ANSI-expressible (the BPE
+    * trainer's own justification); the spec pins bucketed ≡ naive on the
+    * engine's own counts. */
+  def bpeBudget(spark: SparkSession, dir: String): DataFrame =
+    bpeBudgetOn(Tables.documents(spark, dir), budget = 16000, nMerges = 16)
+
+  def bpeBudgetOn(documents: DataFrame, budget: Long, nMerges: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    val counts = BpeVocab.encodeOnDocs(documents, nMerges)
+      .select($"doc_id", $"n_tokens")
+    budgetCore(
+      documents.select($"doc_id", TF.qualityScore($"text").as("quality"))
+        .join(counts, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          $"quality"),
+      budget)
   }
 
   def tokenBudgetSql(budget: Long = 8000): String =
@@ -1324,6 +1363,7 @@ object DataPipeline {
     "prep_method_card" -> (methodCard _),
     "prep_domain_cap" -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "prep_token_budget" -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
+    "prep_bpe_budget" -> ((s: SparkSession, d: String) => bpeBudget(s, d)),
     "prep_epoch_order" -> ((s: SparkSession, d: String) => epochOrder(s, d)),
     "prep_pack_shuffled" -> ((s: SparkSession, d: String) => packShuffled(s, d)),
     "prep_negative_pairs" -> ((s: SparkSession, d: String) => negativePairs(s, d)),

@@ -718,4 +718,31 @@ class PrepOpsSpec extends AnyFunSuite {
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("prep_bpe_budget: bucketed plan equals the naive BPE-count cumsum") {
+    val df = DataPipeline.bpeBudget(spark, sf)
+    val got = df.as[(Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.nonEmpty)
+
+    // naive recompute from the ENGINE's own BPE counts and quality scores:
+    // global (quality desc, doc_id) order, exclusive running sum, cut at
+    // the budget -- the one-window form budgetCore exists to avoid
+    val counts = graft.queries.BpeVocab
+      .encodeOnDocs(Tables.documents(spark, sf), 16)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val quality = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.functions.TextFunctions.qualityScore($"text"))
+      .as[(Long, Double)].collect()
+    var cum = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    quality.sortBy { case (id, q) => (-q, id) }.foreach { case (id, _) =>
+      val n = counts.getOrElse(id, 0L)
+      if (cum < 16000L) expect(id) = ((n, cum))
+      cum += n
+    }
+    assert(got == expect.toMap,
+      s"${got.size} kept vs ${expect.size} expected")
+  }
 }
