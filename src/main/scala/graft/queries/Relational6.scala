@@ -487,7 +487,64 @@ object Relational6 {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** TPC-H Q10 shape (top customers by returned-item revenue): aggregate
+    * the 'R'-flagged line revenue per customer, keep only the TOP 20.
+    *
+    * The plan face this adds: a global LIMIT over an ordered aggregate
+    * must NOT become a full sort of the aggregate output — Spark lowers
+    * ORDER BY + LIMIT k to `TakeOrderedAndProject` (per-partition bounded
+    * heaps of k rows, then a k-row merge on one reducer), so the
+    * "sort" cost is O(n log k) map-side with k rows crossing the wire —
+    * at 100 TB, the difference between a top-20 report and a full
+    * customer-table range shuffle (spec-pinned: TakeOrderedAndProject
+    * present, no global Sort exchange above the aggregate).
+    *
+    * Determinism: revenue ties break by c_custkey inside the SAME ordering
+    * the limit uses, and revenue itself is exact DECIMAL — a double
+    * revenue could flip rank 20/21 between engines. The returnflag filter
+    * prunes the fact scan before its shuffle. */
+  def q68TopReturns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val returns = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        ($"l_extendedprice".cast("decimal(14,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+          .as("rev"))
+    returns
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev").as("rev_exact"), count(lit(1)).as("n_return_lines"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .orderBy($"rev_exact".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        $"rev_exact".cast("double").as("revenue"),
+        $"n_return_lines")
+  }
+
+  val q68Sql: String =
+    """SELECT c.c_custkey, c.c_name, c.c_nationkey,
+      |  CAST(r.rev_exact AS DOUBLE) AS revenue, r.n_return_lines
+      |FROM (
+      |  SELECT o.o_custkey,
+      |    sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+      |        (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+      |      AS rev_exact,
+      |    count(*) AS n_return_lines
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |  GROUP BY o.o_custkey) r
+      |JOIN customer c ON r.o_custkey = c.c_custkey
+      |ORDER BY r.rev_exact DESC, c.c_custkey
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_top_returns" -> (q68TopReturns _),
     "q67_schema_drift" -> (q67SchemaDrift _),
     "q66_regex_family" -> (q66RegexFamily _),
     "q65_map_functions" -> (q65MapFunctions _),
@@ -500,6 +557,7 @@ object Relational6 {
     "q63_collation" -> (q63Collation _))
 
   val oracles: Map[String, String] = Map(
+    "q68_top_returns" -> q68Sql,
     "q67_schema_drift" -> q67Sql,
     "q66_regex_family" -> q66Sql,
     "q65_map_functions" -> q65Sql,

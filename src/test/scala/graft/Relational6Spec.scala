@@ -256,6 +256,39 @@ class Relational6Spec extends AnyFunSuite {
     }
   }
 
+  test("q68 top-20 equals the exact-cents recompute; heap top-k, no global sort") {
+    val df = Relational6.q68TopReturns(spark, sf)
+    val got = df.select($"c_custkey", $"revenue", $"n_return_lines")
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 20)
+
+    val oc = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val rev = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    Tables.lineitem(spark, sf)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Double, Double)].collect()
+      .foreach { case (ok, p, d) =>
+        val cust = oc(ok)
+        val cents = math.round(p * 100) * (100L - math.round(d * 100))
+        val (r, n) = rev.getOrElse(cust, (0L, 0L))
+        rev(cust) = (r + cents, n + 1)
+      }
+    val expect = rev.toSeq.sortBy { case (c, (r, _)) => (-r, c) }.take(20)
+      .map { case (c, (r, n)) => (c, r, n) }
+    assert(got.map(g => (g._1, math.round(g._2 * 10000), g._3)).toSeq == expect)
+
+    // the LIMIT must lower to a bounded heap (TakeOrderedAndProject), not a
+    // global range-partitioned sort of the aggregate output
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort exchange for a top-20:\n$plan")
+  }
+
   test("q63 collated grouping merges case classes exactly like GROUP BY lower()") {
     val df = Relational6.q63Collation(spark, sf)
     val got = df.as[(String, Long, Long)].collect()
