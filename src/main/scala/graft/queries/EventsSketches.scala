@@ -235,7 +235,44 @@ object EventsSketches {
     res
   }
 
+  // ---- CMS frequency sketch: heavy hitters under bounded state ----------
+
+  /** Heavy hitters with the Count-Min frequency sketch riding shotgun: the
+    * exact top-10 users by event count (bounded-heap top-k, the q68 shape)
+    * each annotated with the CMS point estimate a bounded-state pipeline
+    * would have reported instead. The sketch is the engine's typed
+    * [[graft.functions.TypedAggregators.CountMinSketch]] Aggregator — one
+    * partial-merging aggregation pass, 4×1024 longs of state TOTAL
+    * regardless of user cardinality (the regime where the exact groupBy's
+    * state is the problem), finished sketch = 32 KB on the driver, and the
+    * 10-row annotation is driver-side by design (the codebook-collect
+    * discipline: bounded, documented).
+    *
+    * Rows-only: CMS cell states aren't ANSI-expressible. The spec pins the
+    * sketch contract on this output — estimate ≥ exact always, overshoot
+    * ≤ εN — and determinism (seeded hashes). */
+  def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (depth, width) = (4, 1024)
+    val keys = Tables.events(spark, dir)
+      .select($"user_id".cast("string").as("k")).as[String]
+    val cms = new graft.functions.TypedAggregators.CountMinSketch(depth, width)
+    val sketch = keys.select(cms.toColumn).head()
+    val top = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"user_id")
+      .limit(10)
+      .as[(Long, Long)].collect()
+    top.map { case (uid, exact) =>
+      val est = graft.functions.TypedAggregators.CountMinSketch
+        .estimate(sketch, uid.toString, depth, width)
+      (uid, exact, est, est - exact)
+    }.toSeq.toDF("user_id", "exact_n", "cms_n", "overcount")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heavy_hitters" -> (eventsHeavyHitters _),
     "events_hll_mergeable" -> (eventsHllMergeable _),
     "events_bitmap_incremental" -> (eventsBitmapIncremental _),
     "events_bitmap_window" -> (eventsBitmapWindow _))

@@ -121,6 +121,29 @@ class EventsSketchesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
   }
 
+  test("heavy hitters: CMS never undercounts, overshoot within εN, reruns identical") {
+    import graft.queries.EventsSketches
+    val rows = EventsSketches.eventsHeavyHitters(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    val n = Tables.events(spark, sf).count()
+    val epsN = math.ceil(math.E / 1024 * n).toLong
+    rows.foreach { case (uid, exact, cms, over) =>
+      assert(cms >= exact, s"user $uid: CMS must never undercount")
+      assert(over == cms - exact)
+      assert(over <= epsN, s"user $uid: overshoot $over beyond eps*N = $epsN")
+    }
+    // exact_n really is the exact top-10 (ties to smaller uid)
+    val expectTop = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (u, c) => (-c, u) }.take(10).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expectTop)
+    val again = EventsSketches.eventsHeavyHitters(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.sameElements(again), "seeded hashes: reruns bit-identical")
+  }
+
   test("re-union is associative: half-split partials union to the same estimate") {
     val ev = Tables.events(spark, sf)
       .select($"event_type", to_date($"ts").as("day"), $"user_id")
