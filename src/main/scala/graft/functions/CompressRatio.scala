@@ -23,24 +23,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * skips this column — DuckDB has no deflate.)
   *
   * Codegen: a static-call `defineCodeGen`, same shape as [[CharEntropy]] —
-  * the expression stays inside whole-stage codegen; per-call Deflater
-  * allocation keeps it thread-safe under codegen'd parallel evaluation
-  * (a shared Deflater is stateful and would corrupt across rows). */
+  * the expression stays inside whole-stage codegen. The Deflater is
+  * THREAD-LOCAL and `reset()` between rows: a single shared instance is
+  * stateful and would corrupt across concurrently-evaluated rows, while a
+  * per-ROW instance pays JNI init + native teardown on every record — the
+  * wrong constant factor for a kernel whose whole point is a cheap
+  * map-only scan. Native handles live for the executor thread's lifetime
+  * (bounded by thread count, never by row count); the drain buffer is a
+  * fixed thread-local 8 KB chunk, reused across the drain loop. */
 object CompressUtil {
+  private val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater =
+      new Deflater(Deflater.BEST_SPEED, true)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Deflated size in bytes of the UTF-8 encoding of `s` (raw deflate
     * stream, no zlib/gzip header — headers would add a constant that
     * distorts short-text ratios). */
   def deflatedSize(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    val d = new Deflater(Deflater.BEST_SPEED, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](math.max(64, bytes.length + 64))
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflaters.get()
+    val buf = buffers.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

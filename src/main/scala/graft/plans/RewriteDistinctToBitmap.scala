@@ -106,8 +106,14 @@ object RewriteDistinctToBitmap extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case agg: Aggregate if eligible(agg) =>
-        val key = agg.aggregateExpressions
+        val rawKey = agg.aggregateExpressions
           .flatMap(DistinctCount.unapply(_)).head._2
+        // the bitmap expressions declare ImplicitCastInputTypes(LongType),
+        // but implicit casts only run during ANALYSIS — this rule runs
+        // after, so a Byte/Short/Int key must be cast explicitly or the
+        // injected StaticInvoke receives a type it rejects at runtime
+        val key =
+          if (rawKey.dataType == LongType) rawKey else Cast(rawKey, LongType)
         val groupAttrs =
           agg.groupingExpressions.map(_.asInstanceOf[Attribute])
         // inner level: one bitmap per (G, 32k-id bucket); the bucket is

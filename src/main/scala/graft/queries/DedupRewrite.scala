@@ -148,7 +148,11 @@ object DedupRewrite {
     val store = java.nio.file.Files
       .createTempDirectory("graft_chunk_store_").toString
     val docs = Tables.documents(spark, dir)
-    val mid = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    // empty corpus: max(doc_id) is NULL — the rewrite of nothing is
+    // nothing, same as the batch operator (which handles it natively)
+    val maxRow = docs.agg(max($"doc_id")).head()
+    if (maxRow.isNullAt(0)) return dedupChunks(spark, dir)
+    val mid = maxRow.getLong(0) / 2
     val out1 = IncrementalDedup.dedupeBatchChunks(
       docs.filter($"doc_id" <= mid), store)
     val out2 = IncrementalDedup.dedupeBatchChunks(

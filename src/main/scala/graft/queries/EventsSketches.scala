@@ -67,23 +67,31 @@ object EventsSketches {
 
   // ---- persisted EXACT distinct: the bitmap store -----------------------
 
+  /** ONE partial/merge pair parameterized by grouping keys serves BOTH
+    * bitmap stores (all-time: event_type; day-keyed: event_type, day) — a
+    * change to bucket geometry or the bitmap expressions cannot apply to
+    * one store and silently miss the other. */
+  private def partialsBy(rows: DataFrame, keys: Seq[String]): DataFrame =
+    rows
+      .groupBy(keys.map(col) :+
+        expr("bitmap_bucket_number(user_id)").as("bucket"): _*)
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+
+  private def mergeBy(keys: Seq[String])(partials: DataFrame): DataFrame =
+    partials.groupBy((keys :+ "bucket").map(col): _*)
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+
   /** One ≤4 KB bitmap per (type, 32k-id bucket) of a batch — the partial
     * q61 aggregates in-query, here made a persistable value. */
   private def bitmapPartials(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .groupBy($"event_type",
-        expr("bitmap_bucket_number(user_id)").as("bucket"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    partialsBy(events.select($"event_type", $"user_id"), Seq("event_type"))
   }
 
   /** OR-merge partial bitmaps per (type, bucket) — the compaction rewrite
     * AND the serve-side merge (one definition, like Resample.mergeHourly). */
-  private[graft] def mergeBitmaps(partials: DataFrame): DataFrame = {
-    import partials.sparkSession.implicits._
-    partials.groupBy($"event_type", $"bucket")
-      .agg(expr("bitmap_or_agg(bm)").as("bm"))
-  }
+  private[graft] def mergeBitmaps(partials: DataFrame): DataFrame =
+    mergeBy(Seq("event_type"))(partials)
 
   /** Admit a batch of events into the persisted bitmap store at `storeDir`:
     * append the batch's (type, bucket)→bitmap partials (crash-safe Store
@@ -133,18 +141,13 @@ object EventsSketches {
     * protocol, same crash-safe store, pick by error budget × id density. */
   private def bitmapDailyPartials(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .select($"event_type", to_date($"ts").as("day"), $"user_id")
-      .groupBy($"event_type", $"day",
-        expr("bitmap_bucket_number(user_id)").as("bucket"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    partialsBy(
+      events.select($"event_type", to_date($"ts").as("day"), $"user_id"),
+      Seq("event_type", "day"))
   }
 
-  private[graft] def mergeDailyBitmaps(partials: DataFrame): DataFrame = {
-    import partials.sparkSession.implicits._
-    partials.groupBy($"event_type", $"day", $"bucket")
-      .agg(expr("bitmap_or_agg(bm)").as("bm"))
-  }
+  private[graft] def mergeDailyBitmaps(partials: DataFrame): DataFrame =
+    mergeBy(Seq("event_type", "day"))(partials)
 
   /** Admit a batch into the day-keyed bitmap store (same order-independent,
     * replay-harmless properties as [[admitBitmaps]]). */
@@ -187,8 +190,10 @@ object EventsSketches {
     val events = Tables.events(spark, dir)
     admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
     admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
-    val start = events.agg(min(to_date($"ts"))).head().getDate(0)
-      .toLocalDate
+    val startRow = events.agg(min(to_date($"ts"))).head()
+    require(!startRow.isNullAt(0),
+      "events_bitmap_window needs a non-empty events table to derive its window")
+    val start = startRow.getDate(0).toLocalDate
     val res = distinctWindowFromStore(spark, store, start, start.plusDays(7))
       .localCheckpoint(true)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))

@@ -195,19 +195,9 @@ object IncrementalDedup {
   }
 
   // ---- span-level (chunk hash) index ------------------------------------
-
-  /** Create (overwrite) the span index for an initial corpus slice: one
-    * (ck, doc_id, idx) row per DISTINCT 16-token chunk hash, at its first
-    * occurrence — [[DedupRewrite.dedupChunks]]'s keep-first policy made
-    * persistent. 16 bytes + position per distinct span. */
-  def writeChunkIndex(docs: DataFrame, indexDir: String): Unit = {
-    import docs.sparkSession.implicits._
-    DedupRewrite.hashedChunks(DedupRewrite.tokenized(docs))
-      .groupBy($"ck")
-      .agg(min(struct($"doc_id", $"idx")).as("f"))
-      .select($"ck", $"f.doc_id".as("doc_id"), $"f.idx".as("idx"))
-      .write.mode(SaveMode.Overwrite).parquet(indexDir)
-  }
+  // (No writeChunkIndex init protocol: the span store self-bootstraps —
+  // the first dedupeBatchChunks admission against an empty directory IS
+  // the index build, and it also returns the rebuilt batch.)
 
   /** Admit `batch` (doc_id, text, ...) against the span index: each batch
     * document is REWRITTEN to keep only spans that are new — first
@@ -223,9 +213,10 @@ object IncrementalDedup {
     * Scale shape: identical to [[dedupeBatchExact]] — the batch's chunk-key
     * set broadcasts INTO the index scan (inner probe), the matched set
     * (≤ batch chunks) broadcasts back into the batch-side anti join, and
-    * the index is never shuffled, never broadcast. The rebuild reads ONLY
-    * the batch docs + the checkpointed admitted set — span text never
-    * touches the store. */
+    * the index is never shuffled, never broadcast. The rebuild reads the
+    * batch docs + the checkpointed admitted set (plus, only in the
+    * empty-admission corner, a batch-probed index read — see below); span
+    * text never touches the store. */
   def dedupeBatchChunks(batch: DataFrame, indexDir: String,
       maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
@@ -249,7 +240,20 @@ object IncrementalDedup {
     if (Store.appendMaybeIdempotent(
         admitted.select($"ck", $"doc_id", $"idx"), indexDir, id))
       Store.maintain(spark, indexDir, maintainEvery)
-    val keptIdx = admitted.groupBy($"doc_id")
+    // rebuild source: normally the checkpointed admitted set (no store
+    // read). When admitted is EMPTY, that alone cannot distinguish "every
+    // span was a cross-doc duplicate" (rebuild all-empty, correct) from a
+    // REPLAYED batch whose spans sit in the store under these very doc ids
+    // (rebuild must reproduce the original admission, not strip the docs)
+    // — so the empty case serves positions from the index, restricted to
+    // the batch's doc ids via a broadcast semi-probe (index never moves).
+    val keptSource =
+      if (admitted.isEmpty && Store.hasData(indexDir))
+        Store.read(spark, indexDir)
+          .join(broadcast(tokDocs.select($"doc_id")), Seq("doc_id"))
+          .select($"doc_id", $"idx")
+      else admitted.select($"doc_id", $"idx")
+    val keptIdx = keptSource.groupBy($"doc_id")
       .agg(collect_set($"idx").as("kept"))
     DedupRewrite.rebuild(tokDocs, keptIdx)
   }

@@ -111,14 +111,20 @@ class DedupRewriteSpec extends AnyFunSuite {
     val store = java.nio.file.Files
       .createTempDirectory("graft_chunk_idem_").toString
     val docs1 = Tables.documents(spark, dir1)
-    queries.IncrementalDedup.dedupeBatchChunks(docs1, store, id = Some("b1"))
-      .collect()
+    val first = queries.IncrementalDedup
+      .dedupeBatchChunks(docs1, store, id = Some("b1"))
+      .collect().map(_.toSeq)
     val deltasAfterFirst = Store.deltaCount(store)
-    // replayed micro-batch id: admission is a no-op, store unchanged
-    queries.IncrementalDedup.dedupeBatchChunks(docs1, store, id = Some("b1"))
-      .collect()
+    // replayed micro-batch id: admission is a no-op, store unchanged, and
+    // the RETURNED rebuild must reproduce the original admission's output
+    // (served from the index's stored positions), not strip the docs
+    val replay = queries.IncrementalDedup
+      .dedupeBatchChunks(docs1, store, id = Some("b1"))
+      .collect().map(_.toSeq)
     assert(Store.deltaCount(store) == deltasAfterFirst,
       "replaying an admitted batch id must not append")
+    assert(replay.toSeq == first.toSeq,
+      "a replay must return the same rebuilt batch as the original admission")
     // compact, then admit a batch that duplicates indexed spans: still
     // dropped — the index content is compaction-invariant
     Store.compact(spark, store)
@@ -150,6 +156,12 @@ class DedupRewriteSpec extends AnyFunSuite {
     assert(spans.sorted.toSeq == Seq(a, b, c).sorted,
       s"every span exactly once, got ${spans.toSeq}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+  }
+
+  test("empty corpus: batch and incremental faces both return zero rows") {
+    val dir = docsFixture(Seq.empty)
+    assert(DedupRewrite.dedupChunks(spark, dir).count() == 0)
+    assert(DedupRewrite.dedupChunksIncremental(spark, dir).count() == 0)
   }
 
   test("streaming: id-ordered micro-batches reproduce the from-scratch rewrite") {

@@ -67,6 +67,21 @@ class RewriteDistinctToBitmapSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-long integral keys are cast for the post-analysis bitmap exprs") {
+    // the bitmap expressions want LongType and implicit casts only run at
+    // analysis — an Int key must work end to end, not just match the rule
+    val data = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 7), ("b", -3))
+      .toDF("g", "k")
+    def q = data.groupBy($"g").agg(countDistinct($"k").as("n"))
+    val off = withFlag(false)(q.as[(String, Long)].collect().toMap)
+    assert(off == Map("a" -> 2L, "b" -> 2L))
+    withFlag(true) {
+      val df = q
+      assert(optimizedStr(df).contains("bitmap_construct_agg"))
+      assert(df.as[(String, Long)].collect().toMap == off)
+    }
+  }
+
   test("flag off: plan untouched") {
     withFlag(false) {
       val df = Tables.events(spark, sf)
