@@ -228,15 +228,11 @@ object IncrementalDedup {
       .select($"ck", $"f.doc_id".as("doc_id"), $"f.idx".as("idx"))
     // self-bootstrapping: the first admission sees an empty store and
     // probes nothing (Store.read would fail schema inference on it)
-    val matched =
+    val admitted = (
       if (Store.hasData(indexDir))
-        Store.read(spark, indexDir)
-          .join(broadcast(batchKeep.select($"ck")), "ck")
-          .select($"ck")
-      else batchKeep.select($"ck").limit(0)
-    val admitted = batchKeep
-      .join(broadcast(matched), Seq("ck"), "left_anti")
-      .localCheckpoint() // same refreshByPath trap as the exact path
+        chunkAdmissionFrame(batchKeep, Store.read(spark, indexDir))
+      else batchKeep
+    ).localCheckpoint() // same refreshByPath trap as the exact path
     if (Store.appendMaybeIdempotent(
         admitted.select($"ck", $"doc_id", $"idx"), indexDir, id))
       Store.maintain(spark, indexDir, maintainEvery)
@@ -256,6 +252,20 @@ object IncrementalDedup {
     val keptIdx = keptSource.groupBy($"doc_id")
       .agg(collect_set($"idx").as("kept"))
     DedupRewrite.rebuild(tokDocs, keptIdx)
+  }
+
+  /** The membership screen of [[dedupeBatchChunks]] BEFORE the lineage cut
+    * — split out (like [[admissionFrame]]) so the spec can pin the
+    * index-never-moves plan: the batch chunk-key set broadcasts INTO the
+    * index scan, the ≤ batch-sized matched set broadcasts back into the
+    * batch-side anti join. */
+  private[graft] def chunkAdmissionFrame(batchKeep: DataFrame,
+      index: DataFrame): DataFrame = {
+    import batchKeep.sparkSession.implicits._
+    val matched = index
+      .join(broadcast(batchKeep.select($"ck")), "ck")
+      .select($"ck")
+    batchKeep.join(broadcast(matched), Seq("ck"), "left_anti")
   }
 
   /** Serve the span-rewritten form of `docs` from the persisted index: the

@@ -130,6 +130,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"expected broadcast probes of the index scan:\n$plan")
   }
 
+  test("chunk admission plan never shuffles or broadcasts the index") {
+    val idx = tmpIndex() + "/chunkplan"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // seed the store through the operator itself (self-bootstrapping)
+    IncrementalDedup.dedupeBatchChunks(docs.filter($"doc_id" < 250), idx).count()
+    val batchKeep = graft.queries.DedupRewrite
+      .hashedChunks(graft.queries.DedupRewrite.tokenized(
+        docs.filter($"doc_id" >= 250)))
+      .groupBy($"ck")
+      .agg(min(struct($"doc_id", $"idx")).as("f"))
+      .select($"ck", $"f.doc_id".as("doc_id"), $"f.idx".as("idx"))
+    val admission = IncrementalDedup.chunkAdmissionFrame(
+      batchKeep, Store.read(spark, idx))
+    admission.count() // finalize the adaptive plan
+    val plan = admission.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"index must not shuffle into a sort-merge join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probes of the index scan:\n$plan")
+  }
+
   test("phash index: near-indexed payloads drop, within-batch twins resolve " +
       "to one rep, re-admission is a no-op") {
     val idx = tmpIndex() + "/phash"
