@@ -32,6 +32,14 @@ import org.apache.spark.sql.SparkSession
   *    discards pressure-spike outliers by construction while still being a
   *    central (not best-case min) estimate of steady-state plan cost.
   *
+  * Cross-ROUND comparability (the r7→r8 uniform-1.78×-on-unchanged-code
+  * artifact) is handled by an in-harness calibration anchor: a pure-JVM
+  * CPU probe and a canonical tiny Spark job bracket the suite (plus
+  * /proc/loadavg before/after), and every query is reported raw AND
+  * normalized by the Spark-probe median (`queries_norm`). Judges compare
+  * normalized numbers across rounds; raw numbers remain the within-round
+  * truth.
+  *
   * Output goes to two places:
   *  - the COMPLETE result (full-precision median / min / per-run maps) is
   *    written to `target/bench.json` (override: SPARK_GRAFT_BENCH_OUT) so the
@@ -49,6 +57,31 @@ object Bench {
   }
 
   private def round3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  /** Pure-JVM CPU reference: a fixed 600M-iteration 64-bit mix loop (LCG
+    * step + xor-shift — the splitmix64 finalizer shape), ~1 s on an
+    * unloaded core. No allocation, no Spark, no IO: its elapsed time moves
+    * ONLY with host CPU weather (contention, frequency scaling), which is
+    * exactly the signal the cross-round normalization needs. Returns
+    * elapsed seconds; the mixed value is returned too so the loop cannot
+    * be dead-code-eliminated. */
+  private def cpuProbe(): (Double, Long) = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 600000000L) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= x >>> 33
+      i += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, x)
+  }
+
+  /** First field of /proc/loadavg (1-minute load), or -1 off-Linux. */
+  private def loadAvg(): Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +158,27 @@ object Bench {
         }
         (name, times.toSeq)
       }
+    // ---- calibration (VERDICT r8 task 1): anchor this session's numbers.
+    // Two probes bracket the suite so drift DURING the window is visible:
+    //  - cpu_probe: pure-JVM mix loop (no Spark, no alloc) — host CPU
+    //    weather only;
+    //  - spark_probe: one canonical tiny job (range → xxhash64 → sum, 32
+    //    input splits, whole-stage codegen, no shuffle data to speak of),
+    //    timed under the SAME protocol as the queries — scheduler + codegen
+    //    + task-launch overhead at this session's settings.
+    // queries_norm divides each query median by the spark-probe median:
+    // a UNIFORM cross-round shift in normalized numbers is a real harness/
+    // plan change; a uniform shift in raw numbers with stable normalized
+    // numbers is host weather (the r7→r8 1.78× artifact class).
+    val loadBefore = loadAvg()
+    val cpuBefore = cpuProbe()
+    def sparkProbeRun(): Unit = noopSave(
+      spark.range(0, 100000000L, 1, shufflePartitions)
+        .select(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id"))).as("h")))
+    val sparkProbeTimes = timed(Seq("spark_probe" -> (() => sparkProbeRun())))
+      .head._2
     val results = timed(selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, () => noopSave(fn(spark, sfDir)))
     })
@@ -147,9 +201,22 @@ object Bench {
           noopSave(shared.corpus)
         } finally shared.close()
       })))
+    val cpuAfter = cpuProbe()
+    val loadAfter = loadAvg()
     // the headline per-query statistic: median of the best `runs` samples
     // (see header — discards pressure-spike outliers, stays central)
     def bestMedian(ts: Seq[Double]): Double = median(ts.sorted.take(runs))
+    val sparkProbeSec =
+      if (sparkProbeTimes.nonEmpty) bestMedian(sparkProbeTimes) else -1.0
+    val calibration =
+      s"""{"cpu_probe_sec_before":${round3(cpuBefore._1)},""" +
+      s""""cpu_probe_sec_after":${round3(cpuAfter._1)},""" +
+      s""""cpu_probe_check":${cpuBefore._2 == cpuAfter._2},""" +
+      s""""spark_probe_sec":${round3(sparkProbeSec)},""" +
+      s""""spark_probe_runs":${sparkProbeTimes.mkString("[", ",", "]")},""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
+    def normed(ts: Seq[Double]): Double =
+      if (sparkProbeSec > 0) round3(bestMedian(ts) / sparkProbeSec) else -1.0
     def fmtSeq(rs: Seq[(String, Seq[Double])], f: Seq[Double] => Double) = rs
       .map { case (k, ts) => "\"" + k + "\":" + (if (ts.isEmpty) "-1" else f(ts)) }
       .mkString("{", ",", "}")
@@ -165,7 +232,9 @@ object Bench {
     // ("*" for local[*]) and an unquoted value would corrupt the JSON
     val header = s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""cpus":"$cpus","sf":"$sfDir","failures":$failures"""
-    val full = s"""{$header,"queries":${fmt(bestMedian)},"queries_min":${fmt(_.min)},""" +
+    val full = s"""{$header,"calibration":$calibration,""" +
+      s""""queries":${fmt(bestMedian)},"queries_min":${fmt(_.min)},""" +
+      s""""queries_norm":${fmt(normed)},""" +
       s""""queries_runs":$perRun,"composed":${fmtSeq(composed, bestMedian)},""" +
       s""""bench_file":"$outPath"}"""
     val p = Paths.get(outPath)
@@ -173,7 +242,8 @@ object Bench {
     Files.write(p, full.getBytes(StandardCharsets.UTF_8))
     // stdout: same shape, medians only, 3 decimals — small enough that a
     // caller keeping only the last ~2 KB of output still gets valid JSON
-    println(s"""{$header,"queries":${fmt(ts => round3(bestMedian(ts)))},""" +
+    println(s"""{$header,"calibration":$calibration,""" +
+      s""""queries":${fmt(ts => round3(bestMedian(ts)))},""" +
       s""""composed":${fmtSeq(composed, ts => round3(bestMedian(ts)))},""" +
       s""""bench_file":"$outPath"}""")
     Console.out.flush()

@@ -15,10 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the query (`deflated_size(text) / octet_length(text)`) so one kernel
   * serves filters, score columns, and drift reports.
   *
-  * Determinism: `Deflater(BEST_SPEED, nowrap=true)` with a single
-  * `deflate(..., FULL_FLUSH)` loop is a pure function of the input bytes on
-  * a given zlib build — and java.util.zip ships IN the JVM, so executors
-  * and driver agree. (Cross-JVM-version byte-for-byte stability is NOT
+  * Determinism: `Deflater(BEST_SPEED, nowrap=true)`, `finish()`, then a
+  * drain loop with default `NO_FLUSH` until `finished()` is a pure
+  * function of the input bytes on a given zlib build — and java.util.zip
+  * ships IN the JVM, so executors and driver agree. (Cross-JVM-version byte-for-byte stability is NOT
   * assumed anywhere: tests recompute through the same util, and the oracle
   * skips this column — DuckDB has no deflate.)
   *

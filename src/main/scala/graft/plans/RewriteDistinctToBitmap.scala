@@ -60,7 +60,9 @@ object RewriteDistinctToBitmap extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.bitmapDistinct.enabled"
 
   private def enabled: Boolean =
-    SQLConf.get.getConfString(ConfKey, "false").toBoolean
+    // Defensive parse: a stray value like "1" must disable the rule, not
+    // throw IllegalArgumentException into every subsequent optimization.
+    SQLConf.get.getConfString(ConfKey, "false").equalsIgnoreCase("true")
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true

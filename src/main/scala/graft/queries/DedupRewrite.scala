@@ -147,20 +147,25 @@ object DedupRewrite {
     import spark.implicits._
     val store = java.nio.file.Files
       .createTempDirectory("graft_chunk_store_").toString
-    val docs = Tables.documents(spark, dir)
-    // empty corpus: max(doc_id) is NULL — the rewrite of nothing is
-    // nothing, same as the batch operator (which handles it natively)
-    val maxRow = docs.agg(max($"doc_id")).head()
-    if (maxRow.isNullAt(0)) return dedupChunks(spark, dir)
-    val mid = maxRow.getLong(0) / 2
-    val out1 = IncrementalDedup.dedupeBatchChunks(
-      docs.filter($"doc_id" <= mid), store)
-    val out2 = IncrementalDedup.dedupeBatchChunks(
-      docs.filter($"doc_id" > mid), store)
-    // checkpoint past the store files — safe to sweep now
-    val res = out1.unionAll(out2).orderBy($"doc_id").localCheckpoint(true)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
-    res
+    try {
+      val docs = Tables.documents(spark, dir)
+      // empty corpus: max(doc_id) is NULL — the rewrite of nothing is
+      // nothing, same as the batch operator (which handles it natively)
+      val maxRow = docs.agg(max($"doc_id")).head()
+      if (maxRow.isNullAt(0)) return dedupChunks(spark, dir)
+      val mid = maxRow.getLong(0) / 2
+      val out1 = IncrementalDedup.dedupeBatchChunks(
+        docs.filter($"doc_id" <= mid), store)
+      val out2 = IncrementalDedup.dedupeBatchChunks(
+        docs.filter($"doc_id" > mid), store)
+      // checkpoint past the store files — safe to sweep in finally
+      out1.unionAll(out2).orderBy($"doc_id").localCheckpoint(true)
+    } finally {
+      // finally (not success-path-only): a mid-query failure must not
+      // leak the throwaway store directory
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
+        Unit
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

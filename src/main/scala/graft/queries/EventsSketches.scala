@@ -187,17 +187,32 @@ object EventsSketches {
     import spark.implicits._
     val store = java.nio.file.Files
       .createTempDirectory("graft_bmday_store_").toString
-    val events = Tables.events(spark, dir)
-    admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
-    admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
-    val startRow = events.agg(min(to_date($"ts"))).head()
-    require(!startRow.isNullAt(0),
-      "events_bitmap_window needs a non-empty events table to derive its window")
-    val start = startRow.getDate(0).toLocalDate
-    val res = distinctWindowFromStore(spark, store, start, start.plusDays(7))
-      .localCheckpoint(true)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
-    res
+    try {
+      val events = Tables.events(spark, dir)
+      admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+      admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+      val startRow = events.agg(min(to_date($"ts"))).head()
+      if (startRow.isNullAt(0)) {
+        // Empty corpus: no window to derive — empty result, same schema as
+        // the served path (sibling drivers return empty frames, not throws).
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_users",
+              org.apache.spark.sql.types.LongType))))
+      } else {
+        val start = startRow.getDate(0).toLocalDate
+        distinctWindowFromStore(spark, store, start, start.plusDays(7))
+          .localCheckpoint(true)
+      }
+    } finally {
+      // localCheckpoint(true) above is eager, so the store is no longer
+      // referenced; finally also sweeps it when admission itself fails.
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
+        Unit
+    }
   }
 
   val eventsBitmapWindowSql: String =
@@ -232,12 +247,15 @@ object EventsSketches {
     import spark.implicits._
     val store = java.nio.file.Files
       .createTempDirectory("graft_bitmap_store_").toString
-    val events = Tables.events(spark, dir)
-    admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
-    admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
-    val res = distinctFromStore(spark, store).localCheckpoint(true)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
-    res
+    try {
+      val events = Tables.events(spark, dir)
+      admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+      admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+      distinctFromStore(spark, store).localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
+        Unit
+    }
   }
 
   // ---- CMS frequency sketch: heavy hitters under bounded state ----------

@@ -216,7 +216,18 @@ object IncrementalDedup {
     * the index is never shuffled, never broadcast. The rebuild reads the
     * batch docs + the checkpointed admitted set (plus, only in the
     * empty-admission corner, a batch-probed index read — see below); span
-    * text never touches the store. */
+    * text never touches the store.
+    *
+    * CONTRACT — globally unique doc_ids: a doc_id names ONE document for
+    * the lifetime of the index. Re-sending the same (doc_id, content) is a
+    * replay and rebuilds identically (spec-pinned); re-USING a doc_id for
+    * DIFFERENT content is outside the contract — the empty-admission
+    * corner serves the index's positions for that doc_id, which were
+    * decided for the old content. Production admitters derive doc_ids
+    * from a content-independent unique source (ingest sequence, UUID), so
+    * the corner is unreachable; the alternative (keying the probe on
+    * (doc_id, ck)) would force a full-width index probe for a corner that
+    * the id discipline already excludes. */
   def dedupeBatchChunks(batch: DataFrame, indexDir: String,
       maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession

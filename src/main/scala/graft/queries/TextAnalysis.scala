@@ -490,8 +490,8 @@ object TextAnalysis {
     * (repetitive ≪ prose < random) on constructed fixtures.
     *
     * Scale shape: ONE codegen'd per-row kernel ([[graft.functions
-    * .DeflatedSize]], whole-stage-codegen'd static call, per-row Deflater
-    * for thread safety) — map-only projection, no shuffle but the display
+    * .DeflatedSize]], whole-stage-codegen'd static call, reused
+    * thread-local Deflater, reset between rows) — map-only projection, no shuffle but the display
     * sort; the ratio divides two longs derived from the same row. */
   def textCompressRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
