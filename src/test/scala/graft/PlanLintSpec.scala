@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide plan linter (VERDICT r8 task 2): per-query hand-written plan
+  * pins (PlanSpec, ScaleSpec, …) only guard the queries somebody pinned.
+  * This spec walks EVERY `SparkEntry.queries` physical plan and enforces
+  * the global anti-pattern contract, so a new query gets scale scrutiny by
+  * default:
+  *
+  *  1. no `CartesianProductExec` — an unconditioned join is never the
+  *     intended 100 TB shape;
+  *  2. no `BroadcastNestedLoopJoinExec` — same, except where a small-side
+  *     band/inequality join is the DESIGNED plan (explicit allowlist);
+  *  3. no INTERIOR global sort — a `SortExec(global=true)` feeding a
+  *     join/aggregate/window is a full-data range-shuffle a 100 TB run
+  *     cannot pay; a global sort is only legitimate as final presentation
+  *     `orderBy` (ancestors: projections/limits only) or under a top-k
+  *     (`TakeOrderedAndProjectExec` plans its own);
+  *  4. no `ShuffleExchangeExec(SinglePartition)` except the final hop of a
+  *     grouping-free (≤ partial-row-per-partition) aggregation — anything
+  *     else funnels real data through one task.
+  *
+  * Plans are linted with AQE OFF so the static plan (what the optimizer
+  * committed to) is judged, not a runtime re-plan; the conf is restored
+  * after. Subquery plans are linted recursively — a cartesian hiding in a
+  * scalar subquery is still a cartesian.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** query → checks it is excused from, each with a written justification.
+    * (Generically-bounded shapes — 1-row scalar broadcasts, LocalTableScan
+    * build sides, global-agg funnels — are accepted by the linter itself;
+    * only shapes whose bound lives in the QUERY's construction, invisible
+    * to the plan, belong here.) */
+  private val allow: Map[String, Set[String]] = Map(
+    // PassJoin edit-distance joins: strings shorter than the threshold
+    // band carry no usable prefix signature, so the DESIGNED plan runs the
+    // short-string remainder (len ≤ k·segments, a constant-bounded sliver
+    // of any real corpus) as a broadcast loop join against the candidates;
+    // the prefix-filtered equi-join carries the volume (CandidateVolumeSpec
+    // pins ≤2n candidates).
+    "dedup_fuzzy" -> Set("bnlj"),
+    "prep_fuzzy_decontam" -> Set("bnlj"),
+    // Brute-force/quantized ANN faces: the broadcast side is the QUERY set,
+    // bounded to NQueries (vec_id < 10 literal, visible as a pushed filter)
+    // by construction — queries × corpus with tiny queries is the designed
+    // brute-force baseline the indexed variants are measured against.
+    "sim_bruteforce_topk" -> Set("bnlj"),
+    "sim_filtered_topk" -> Set("bnlj"),
+    "sim_quantized_rerank" -> Set("bnlj"),
+    "sim_quantized_topk" -> Set("bnlj"),
+    // Token-budget prefix sums: the funnel carries the 257-row bucket
+    // aggregate (256 hash buckets + remainder), never document rows — the
+    // bounded-bucket design IS the operator (see DataPipeline prefix-sum
+    // header); the bound is the bucket constant, invisible to the plan.
+    "prep_bpe_budget" -> Set("single-partition"),
+    "prep_token_budget" -> Set("single-partition")
+  )
+
+  private def excused(name: String, check: String): Boolean =
+    allow.getOrElse(name, Set.empty).contains(check)
+
+  /** Strip execution wrappers that carry no semantics. */
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => strip(w.child)
+    case i: InputAdapter => strip(i.child)
+    case other => other
+  }
+
+  /** Nodes a presentation-only global sort may sit under. */
+  private def presentational(p: SparkPlan): Boolean = p match {
+    case _: ProjectExec | _: WholeStageCodegenExec | _: InputAdapter |
+        _: CollectLimitExec | _: GlobalLimitExec | _: LocalLimitExec |
+        _: ColumnarToRowExec | _: SerializeFromObjectExec => true
+    case _ => false
+  }
+
+  /** Plan-provably row-bounded subtree: a grouping-free aggregate (≤1 row
+    * out; ≤1 row per partition through its own funnel) or a LocalTableScan
+    * (already driver-materialized — bounded by the codebook-collect
+    * discipline that produced it), possibly under filters/projections.
+    * These are the broadcast/funnel payloads that stay tiny at any corpus
+    * scale, so BNLJ build sides and SinglePartition exchanges over them
+    * are accepted without an allowlist entry. */
+  private def planBounded(p: SparkPlan): Boolean = strip(p) match {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case _: LocalTableScanExec => true
+    case pr: ProjectExec => planBounded(pr.child)
+    case f: FilterExec => planBounded(f.child)
+    case e: exchange.BroadcastExchangeExec => planBounded(e.child)
+    case _ => false
+  }
+
+  /** Walk with ancestry (nearest-first), across subquery boundaries. */
+  private def lint(name: String, plan: SparkPlan): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: SparkPlan, ancestors: List[SparkPlan]): Unit = {
+      p match {
+        case _: CartesianProductExec if !excused(name, "cartesian") =>
+          out += s"$name: CartesianProduct in plan"
+        case b: BroadcastNestedLoopJoinExec if !excused(name, "bnlj") =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+          // scalar/constant-side loop joins are the designed band shape
+          if (!planBounded(build))
+            out += s"$name: BroadcastNestedLoopJoin over unbounded build " +
+              s"side ${strip(build).nodeName}"
+        case s: SortExec if s.global && !excused(name, "global-sort") =>
+          // interior ⇔ some ancestor consumes the sorted stream as data
+          // (anything that is not a presentation-safe pass-through)
+          if (!ancestors.forall(presentational))
+            out += s"$name: interior global Sort under " +
+              ancestors.filterNot(presentational).head.nodeName
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition &&
+              !excused(name, "single-partition") =>
+          if (!planBounded(e.child))
+            out += s"$name: Exchange SinglePartition over ${strip(e.child).nodeName}"
+        case _ => ()
+      }
+      val anc = p :: ancestors
+      p.children.foreach(walk(_, anc))
+      // subquery fragments restart ancestry: their sort/limit shape is
+      // their own (a scalar subquery's global sort is still interior work)
+      p.subqueries.foreach(walk(_, List(p)))
+    }
+    walk(plan, Nil)
+    out.toSeq
+  }
+
+  test("no query plan carries a cartesian, stray BNLJ, interior global sort, or data-bearing single-partition exchange") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (qname, fn) =>
+          try lint(qname, fn(spark, sf).queryExecution.executedPlan)
+          catch { case e: Throwable =>
+            Seq(s"$qname: failed to plan — ${e.getMessage}")
+          }
+      }
+      assert(violations.isEmpty, violations.mkString("\n", "\n", "\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("allowlist entries stay live (no stale excuses)") {
+    val unknown = allow.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allowlisted names not in queries: $unknown")
+  }
+}
