@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.{Similarity, VectorFunctions}
+import graft.sources.{Store, Tables}
+
+/** Persisted incremental ANN index (VERDICT r8 task 3) — the retrieval
+  * counterpart of [[IncrementalDedup]]'s fingerprint stores: a real 100 TB
+  * deployment does not re-derive IVF cells per query ([[SimilaritySearch
+  * .simIvfTopk]]'s in-query shape); it ADMITS new embeddings into a
+  * persisted inverted-file index and SERVES top-k from the store alone.
+  *
+  * Layout — two [[graft.sources.Store]]s under one index root, both with
+  * crash-safe stage-then-rename admission:
+  *  - `<indexDir>/codebook`: (version, cell, centroid) — the coarse
+  *    quantizer, VERSIONED: retraining appends a new version rather than
+  *    rewriting history, so cells assigned under the old codebook remain
+  *    self-describing during a migration. Bounded: nCells × dim rows per
+  *    version.
+  *  - `<indexDir>/cells`: (version, cell, vec_id, v) — the inverted file.
+  *    The ONLY corpus-sized artifact; append-only, compaction-maintained
+  *    ([[graft.sources.Store.maintain]] keeps file count bounded under
+  *    continuous admission).
+  *
+  * Scale invariants (the dedup-store discipline, restated for retrieval):
+  *  - THE INDEX IS NEVER SHUFFLED AND NEVER BROADCAST. Admission's
+  *    membership probe broadcasts the batch's vec_ids INTO the cells scan;
+  *    the matched set (≤ |batch|) broadcasts back into the batch-side anti
+  *    join. Serving broadcasts the (query × nprobe) probe set into the
+  *    cells scan. Cell assignment is a map-side projection through the
+  *    constant-code [[graft.functions.CodebookTopCells]] kernel.
+  *  - Driver state is the codebook collect only (nCells × dim doubles) —
+  *    the same bounded footprint as loading an offline codebook.
+  *  - A crashed admit leaves the index byte-identical (Store protocol);
+  *    replayed micro-batches are no-ops via idempotent batch ids.
+  *
+  * CONTRACT — globally unique vec_ids, the [[IncrementalDedup
+  * .dedupeBatchChunks]] doc_id contract transposed: a vec_id names one
+  * embedding for the lifetime of a codebook version; admission skips
+  * vec_ids already indexed UNDER THE CURRENT VERSION (so replays and
+  * overlapping drops are no-ops), which means re-USING a vec_id for a
+  * different vector keeps the first. Re-embedding a corpus is a version
+  * migration: register the retrained codebook as version+1 and re-admit —
+  * membership is per-version, so the same vec_ids flow into the new
+  * version's cells while the old version stays servable until the cut.
+  */
+object IvfIndex {
+
+  private[graft] def codebookDir(indexDir: String): String = indexDir + "/codebook"
+  private[graft] def cellsDir(indexDir: String): String = indexDir + "/cells"
+
+  /** Initialize (or upgrade) the index's coarse quantizer: append
+    * `codebook` as `version`. Crash-safe via the Store protocol; an index
+    * root is "initialized" exactly when its codebook store has data. */
+  def writeIvfIndex(spark: SparkSession, indexDir: String,
+      codebook: Array[Array[Double]], version: Int = 0): Unit = {
+    import spark.implicits._
+    val rows = codebook.zipWithIndex.map { case (c, i) => (version, i, c.toSeq) }
+    Store.append(
+      spark.createDataset(rows.toSeq)
+        .toDF("version", "cell", "centroid"),
+      codebookDir(indexDir))
+  }
+
+  /** Latest codebook: (version, centroids ordered by cell). The collect is
+    * nCells × dim — the bounded codebook-collect discipline. */
+  def readCodebook(spark: SparkSession, indexDir: String): (Int, Array[Array[Double]]) = {
+    import spark.implicits._
+    require(Store.hasData(codebookDir(indexDir)),
+      s"no codebook at $indexDir — writeIvfIndex first")
+    val cb = Store.read(spark, codebookDir(indexDir))
+    val version = cb.agg(max($"version")).head().getInt(0)
+    val cells = cb.filter($"version" === version).orderBy($"cell")
+      .select($"centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+    (version, cells)
+  }
+
+  /** Admit a batch of embeddings (`vec_id`, `embedding`: any numeric
+    * array) into the index: assign each NEW vector to its nearest cell
+    * under the latest codebook and crash-safely append (version, cell,
+    * vec_id, v) to the inverted file. Returns the admitted assignment
+    * frame (vec_id, cell).
+    *
+    * "New" = vec_id not yet indexed (any version) and minimal-row within
+    * the batch — the [[IncrementalDedup.admissionFrame]] join order:
+    * batch ids broadcast INTO the cells scan (inner probe), the ≤
+    * batch-sized matched set broadcasts back into the batch-side anti
+    * join. The index never moves. Assignment itself is join-free: one
+    * codegen'd codebook-kernel projection over the surviving batch rows.
+    *
+    * The admitted frame is lineage-CUT (eager localCheckpoint) before the
+    * append — the store append refreshes the path's file index, and a
+    * lazily re-derived frame that probed that same path would re-evaluate
+    * against its own output (the dedup-store trap). */
+  def admitBatchIvf(batch: DataFrame, indexDir: String,
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (version, codebook) = readCodebook(spark, indexDir)
+    val vecs = batch
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+      .dropDuplicates("vec_id")
+    val fresh =
+      if (Store.hasData(cellsDir(indexDir))) {
+        // membership is PER CODEBOOK VERSION: a retrain (new version)
+        // re-admits every vector under the new quantizer, while replays
+        // and overlapping drops within a version stay no-ops. The version
+        // predicate prunes the cells scan before the probe.
+        val index = Store.read(spark, cellsDir(indexDir))
+          .filter($"version" === version)
+        val matched = index
+          .join(broadcast(vecs.select($"vec_id")), "vec_id")
+          .select($"vec_id")
+        vecs.join(broadcast(matched), Seq("vec_id"), "left_anti")
+      } else vecs
+    val admitted = fresh
+      .select(
+        lit(version).as("version"),
+        element_at(
+          VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1)
+          .as("cell"),
+        $"vec_id", $"v")
+      .localCheckpoint()
+    if (Store.appendMaybeIdempotent(admitted, cellsDir(indexDir), id))
+      Store.maintain(spark, cellsDir(indexDir), every = maintainEvery)
+    admitted.select($"vec_id", $"cell")
+  }
+
+  /** Serve cosine top-`k` for `queries` (query_id, q: array<double>)
+    * READING ONLY THE STORE: probe the latest version's cells — the
+    * (query × nprobe) probe set broadcasts into the version-pruned cells
+    * scan (the version predicate reaches the parquet footer as a pushed
+    * filter) — score candidates with the exact stored vectors, and
+    * window-top-k per query. The shuffle carries candidates only
+    * (≤ queries × probed-cell population), never the index.
+    *
+    * `excludeSelf` drops candidates whose vec_id equals the query_id —
+    * the corpus-vector-as-query convention of the sim_* family. */
+  def servedIvfTopk(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (version, codebook) = readCodebook(spark, indexDir)
+    val probes = queries.select($"query_id", $"q",
+      explode(VectorFunctions.codebookTopCells($"q", codebook, nprobe)).as("cell"))
+    val candidates = Store.read(spark, cellsDir(indexDir))
+      .filter($"version" === version)
+      .join(broadcast(probes), "cell")
+      .filter(if (excludeSelf) $"vec_id" =!= $"query_id" else lit(true))
+      .withColumn("cos", VectorFunctions.cosineSim($"q", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    candidates.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Streaming face: the SAME admission as the batch path, as a
+    * foreachBatch sink with idempotent per-micro-batch ids — an
+    * at-least-once replay (sink ran, checkpoint didn't commit) re-admits
+    * nothing, the [[EventsSketches.bitmapStreamingAdmission]] shape. */
+  def ivfStreamingAdmission(vecs: DataFrame, indexDir: String,
+      maintainEvery: Int = 8): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatchIvf(batch, indexDir, maintainEvery,
+          id = Some(s"sv$batchId")): Unit
+      }
+
+  /** Driver face: seed the codebook exactly as [[SimilaritySearch
+    * .simIvfTopk]] (first `IvfNCells` vectors — training-free, so the
+    * bench line prices admission + serving, not Lloyd rounds), admit the
+    * corpus in two INTERLEAVED halves into a throwaway index, and serve
+    * the standard query set from the store alone. Rows-only: the in-query
+    * `sim_ivf_topk` is itself argmax-over-codebook non-ANSI; the spec pins
+    * the stronger fact that this result EQUALS sim_ivf_topk's on the same
+    * codebook, plus half+half ≡ from-scratch and replay no-op. */
+  def simIvfServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").toString
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding")
+      val codebook = vecs
+        .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+        .filter($"vec_id" < SimilaritySearch.IvfNCells)
+        .orderBy($"vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      writeIvfIndex(spark, indexDir, codebook)
+      admitBatchIvf(vecs.filter($"vec_id" % 2 === 0), indexDir)
+      admitBatchIvf(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      val queries = vecs
+        .filter($"vec_id" < SimilaritySearch.NQueries)
+        .select($"vec_id".as("query_id"),
+          Similarity.toDoubleArray($"embedding").as("q"))
+      servedIvfTopk(spark, indexDir, queries,
+        k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir)):
+        Unit
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_served" -> (simIvfServed _))
+
+  /** No oracle: same argmax-over-codebook non-expressibility as
+    * sim_ivf_topk; IvfIndexSpec pins served ≡ in-query on the shared
+    * codebook, which is strictly stronger than a re-derived SQL twin. */
+  val oracles: Map[String, String] = Map.empty
+}

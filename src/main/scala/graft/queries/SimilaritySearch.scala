@@ -22,8 +22,8 @@ import graft.sources.Tables
   */
 object SimilaritySearch {
 
-  private val K = 5
-  private val NQueries = 10
+  private[graft] val K = 5
+  private[graft] val NQueries = 10
 
   /** Shipped ANN parameters — single source of truth shared with
     * [[DataPipeline.methodCard]] so the published caveat card cannot drift

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+import graft.queries.{IvfIndex, SimilaritySearch}
+import graft.sources.{Store, Tables}
+
+/** Persisted IVF index: serving from the store must equal the in-query
+  * operator on the same codebook; admission must be order-insensitive
+  * across batch splits, idempotent under replay, and must never move the
+  * index through a shuffle. */
+class IvfIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_ivfspec_").toString
+
+  private def sweep(dir: String): Unit =
+    FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+
+  private def vecs: DataFrame = Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  private def seedCodebook(): Array[Array[Double]] = vecs
+    .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+    .filter($"vec_id" < SimilaritySearch.IvfNCells)
+    .orderBy($"vec_id").collect()
+    .map(_.getSeq[Double](1).toArray)
+
+  private def queryFrame: DataFrame = vecs
+    .filter($"vec_id" < SimilaritySearch.NQueries)
+    .select($"vec_id".as("query_id"),
+      Similarity.toDoubleArray($"embedding").as("q"))
+
+  private def serve(indexDir: String): Seq[String] =
+    IvfIndex.servedIvfTopk(spark, indexDir, queryFrame,
+        k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+      .collect().map(_.toString).toSeq
+
+  test("served top-k from the store equals the in-query sim_ivf_topk on the same codebook") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      IvfIndex.admitBatchIvf(vecs, dir)
+      val served = serve(dir)
+      val inQuery = SimilaritySearch.simIvfTopk(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(served == inQuery)
+    } finally sweep(dir)
+  }
+
+  test("half+half interleaved admission equals from-scratch") {
+    val a = freshDir(); val b = freshDir()
+    try {
+      val cb = seedCodebook()
+      IvfIndex.writeIvfIndex(spark, a, cb)
+      IvfIndex.admitBatchIvf(vecs, a)
+      IvfIndex.writeIvfIndex(spark, b, cb)
+      IvfIndex.admitBatchIvf(vecs.filter($"vec_id" % 2 === 0), b)
+      IvfIndex.admitBatchIvf(vecs.filter($"vec_id" % 2 =!= 0), b)
+      assert(serve(a) == serve(b))
+    } finally { sweep(a); sweep(b) }
+  }
+
+  test("replayed batch id is a no-op; overlapping un-idded batches admit nothing new") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      IvfIndex.admitBatchIvf(vecs, dir, id = Some("b0"))
+      val before = serve(dir)
+      val cells = IvfIndex.cellsDir(dir)
+      val rowsBefore = Store.read(spark, cells).count()
+      // exact replay (same id): the idempotent-append path skips it
+      IvfIndex.admitBatchIvf(vecs, dir, id = Some("b0"))
+      assert(Store.read(spark, cells).count() == rowsBefore)
+      // overlapping re-send WITHOUT an id: the membership probe admits
+      // only genuinely new vec_ids — here, none
+      IvfIndex.admitBatchIvf(vecs.filter($"vec_id" < 50), dir)
+      assert(Store.read(spark, cells).count() == rowsBefore)
+      assert(serve(dir) == before)
+    } finally sweep(dir)
+  }
+
+  test("codebook versioning: serving uses the latest version only") {
+    val dir = freshDir()
+    try {
+      val cb = seedCodebook()
+      IvfIndex.writeIvfIndex(spark, dir, cb, version = 0)
+      IvfIndex.admitBatchIvf(vecs, dir)
+      val v0 = serve(dir)
+      // "retrain": same centroids re-registered as version 1 — old cells
+      // become invisible to serving until vectors are re-admitted under v1
+      IvfIndex.writeIvfIndex(spark, dir, cb, version = 1)
+      assert(IvfIndex.readCodebook(spark, dir)._1 == 1)
+      assert(serve(dir).isEmpty)
+      IvfIndex.admitBatchIvf(vecs, dir)
+      assert(serve(dir) == v0)
+    } finally sweep(dir)
+  }
+
+  test("admission survives compaction (maintain) with identical serving") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      // every=1 forces a compaction after each admit
+      IvfIndex.admitBatchIvf(vecs.filter($"vec_id" % 2 === 0), dir, maintainEvery = 1)
+      IvfIndex.admitBatchIvf(vecs.filter($"vec_id" % 2 =!= 0), dir, maintainEvery = 1)
+      assert(Store.deltaCount(IvfIndex.cellsDir(dir)) == 0)
+      val ref = freshDir()
+      try {
+        IvfIndex.writeIvfIndex(spark, ref, seedCodebook())
+        IvfIndex.admitBatchIvf(vecs, ref)
+        assert(serve(dir) == serve(ref))
+      } finally sweep(ref)
+    } finally sweep(dir)
+  }
+
+  test("index never moves: no SortMergeJoin; probes broadcast into the cells scan") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      IvfIndex.admitBatchIvf(vecs, dir)
+      val plan = IvfIndex.servedIvfTopk(spark, dir, queryFrame,
+          k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // the version predicate reaches the parquet scan of the cells store
+      assert(plan.contains("PushedFilters: [IsNotNull(version), EqualTo(version,"), plan)
+    } finally sweep(dir)
+  }
+
+  test("streaming admission (foreachBatch, idempotent ids) matches batch admission") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      implicit val sql = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float])]
+      val stream = input.toDF().toDF("vec_id", "embedding")
+      val all = vecs
+        .select($"vec_id", $"embedding".cast("array<float>").as("e"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val q = IvfIndex.ivfStreamingAdmission(stream, dir)
+        .option("checkpointLocation", freshDir())
+        .start()
+      try {
+        input.addData(all.filter(_._1 % 2 == 0))
+        q.processAllAvailable()
+        input.addData(all.filter(_._1 % 2 != 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val ref = freshDir()
+      try {
+        IvfIndex.writeIvfIndex(spark, ref, seedCodebook())
+        IvfIndex.admitBatchIvf(vecs, ref)
+        assert(serve(dir) == serve(ref))
+      } finally sweep(ref)
+    } finally sweep(dir)
+  }
+
+  test("driver face returns K rows per query with the sim_* schema") {
+    val df = IvfIndex.simIvfServed(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "rank", "cosine"))
+    val perQuery = df.groupBy($"query_id").count().collect()
+    assert(perQuery.length == SimilaritySearch.NQueries)
+    assert(perQuery.forall(_.getLong(1) == SimilaritySearch.K))
+  }
+}
