@@ -315,8 +315,13 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd
     * Catalyst expression), banded into 4×16-bit keys; pairs sharing a band are
-    * verified by full Hamming distance ≤ 3. Exact for d<=3 by pigeonhole.
-    * Rows-only driver check (bit-level hashing isn't ANSI SQL). */
+    * verified by full Hamming distance ≤ 3. Exact for d<=3 by pigeonhole —
+    * which makes the banded output EQUAL to brute-force hamming ≤ 3, and
+    * THAT is what the oracle checks: [[dedupSimhashSql]] re-derives FNV-1a
+    * and the sign-accumulation in DuckDB (HUGEINT wrap-around arithmetic,
+    * hex-decoded UTF-8 bytes, hi/lo 32-bit halves for xor/bit_count) and
+    * brute-forces all pairs — independent reimplementation, shared only
+    * the published FNV constants and the engine's tokenization fragment. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -338,22 +343,75 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** DuckDB twin of [[dedupSimhash]]. Independence argument: same PUBLIC
+    * algorithm (FNV-1a 64 constants, Charikar sign-accumulation), fully
+    * re-derived mechanics — bytes come from hex-decoding the token (so
+    * multi-byte UTF-8 matches Java's getBytes exactly), the 64-bit
+    * wrap-around multiply runs in HUGEINT mod 2^64 (xor emulated on the
+    * low byte, the only byte FNV xors), and the final hash lives as hi/lo
+    * 32-bit BIGINT halves so banding-free brute-force hamming uses plain
+    * xor + bit_count. Brute force over all pairs replaces the banding —
+    * legitimate because pigeonhole makes banding exact at hamming ≤ 3. */
+  val dedupSimhashSql: String = {
+    val fnv =
+      """list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        [16*(strpos('0123456789ABCDEF', hex(tok)[2*i-1])-1) +
+        |         strpos('0123456789ABCDEF', hex(tok)[2*i])-1
+        |         FOR i IN range(1, strlen(tok)+1)]),
+        |      (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    s"""WITH nrm AS (
+       |  SELECT doc_id, ${OracleFragments.norm("text")} AS norm FROM documents
+       |),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+       |  FROM nrm WHERE length(norm) > 0
+       |),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST(fnv // CAST(4294967296 AS HUGEINT) AS BIGINT) AS h_hi,
+       |    CAST(fnv % CAST(4294967296 AS HUGEINT) AS BIGINT) AS h_lo
+       |  FROM (SELECT doc_id, $fnv AS fnv FROM toks)
+       |),
+       |bitcnt AS (
+       |  SELECT doc_id, bb.bit AS bit,
+       |    sum(CASE WHEN ((CASE WHEN bb.bit < 32 THEN h_lo >> bb.bit
+       |                    ELSE h_hi >> (bb.bit-32) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS cnt
+       |  FROM th CROSS JOIN (SELECT unnest(range(0,64)) AS bit) bb
+       |  GROUP BY doc_id, bb.bit
+       |),
+       |sh AS (
+       |  SELECT n.doc_id, coalesce(s.sh_hi, 0) AS sh_hi, coalesce(s.sh_lo, 0) AS sh_lo
+       |  FROM nrm n LEFT JOIN (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN cnt > 0 AND bit >= 32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS sh_hi,
+       |      sum(CASE WHEN cnt > 0 AND bit < 32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh_lo
+       |    FROM bitcnt GROUP BY doc_id) s ON n.doc_id = s.doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** High-similarity embedding pairs: banded sign-LSH (4 bands × 4
     * deterministic hyperplanes; candidates = any band agrees) then exact
     * cosine ≥ threshold on candidates. The test embeddings are near-random
     * (max pairwise cosine ≈ 0.51), so the threshold is 0.4 — "top of the
     * distribution" rather than true near-dups, exercising the same plan
-    * shape. Rows-only check (LSH recall is probabilistic by design);
-    * LlmOpsSpec verifies precision (every emitted pair really clears the
-    * threshold, brute-force checked).
+    * shape. LlmOpsSpec verifies precision (every emitted pair really clears
+    * the threshold, brute-force checked); recall vs brute force is partial
+    * by design (~50% at the threshold boundary, what banding theory
+    * predicts at 4×4 — exact recall would need 32 bands, by which point 85%
+    * of all pairs are candidates and LSH is brute force in disguise).
     *
-    * Why this one is NOT oracle-checked like dedup_minhash_pairs: measured
-    * recall vs brute force (cos ≥ 0.4) only reaches 100% at 32 bands × 4
-    * planes — with zero margin (58/59 at 24 bands) — and by then 85% of ALL
-    * sf0.001 pairs are candidates, i.e. on near-random vectors a threshold
-    * inside the distribution bulk makes exact-recall LSH brute force in
-    * disguise. The 4-band operator keeps the honest scale shape; recall is
-    * what banding theory predicts (~50% at the threshold boundary). */
+    * Oracle-checked since r9: partial recall never blocked an oracle — the
+    * OUTPUT is deterministic (fixed planes → fixed bands → fixed candidate
+    * set), so [[dedupEmbeddingCosineSql]] re-derives the banding with the
+    * same inlined plane constants and must match pair-for-pair. */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     embeddingCosinePairs(spark, dir, threshold = EmbeddingCosineThreshold)
@@ -386,6 +444,46 @@ object Dedup {
       .select($"id_a", $"id_b",
         round(VectorFunctions.cosineSim($"v_a", $"v_b"), 4).as("cosine"))
       .filter($"cosine" >= threshold)
+  }
+
+  /** DuckDB twin of [[dedupEmbeddingCosine]] — engine-GENERATED oracle (the
+    * langid-profile pattern): the 16 deterministic hyperplanes are computed
+    * once by [[Similarity.signLshPlanes]] and inlined as literals; the
+    * mechanics (sign-bit band keys, band equi-join candidates, exact cosine
+    * filter) are re-derived in SQL. Deterministic sign-LSH is fully
+    * expressible — the earlier "recall is probabilistic" rows-only argument
+    * conflated the operator's recall vs BRUTE FORCE (genuinely partial,
+    * spec-pinned) with reproducibility of its OUTPUT (exact: same planes →
+    * same bands → same candidates → same pairs). `list_cosine_similarity`
+    * agreeing with the codegen'd kernel at 4-decimal rounding is already
+    * load-bearing in the green sim_bruteforce_topk oracle. */
+  val dedupEmbeddingCosineSql: String = {
+    val planes = Similarity.signLshPlanes(
+      SignLshBands * SignLshPlanesPerBand, dim = 64)
+    def dot(p: Seq[Double]): String =
+      s"list_inner_product(emb, [${p.mkString(", ")}])"
+    val bandSelects = (0 until SignLshBands).map { b =>
+      val key = (0 until SignLshPlanesPerBand).map { i =>
+        s"(CASE WHEN ${dot(planes(b * SignLshPlanesPerBand + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $b AS band, $key AS key FROM v"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |banded AS (
+       |$bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(va.emb, vb.emb), 4) AS cosine
+       |FROM cand
+       |JOIN v va ON va.vec_id = id_a
+       |JOIN v vb ON vb.vec_id = id_b
+       |WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= $EmbeddingCosineThreshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): connected
@@ -941,6 +1039,8 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_pairs" -> dedupMinhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_fuzzy" -> dedupFuzzySql)
 }
 
