@@ -1,0 +1,46 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Memory-bounded stress (VERDICT r8 task 5): the 100 TB claims rest on
+  * plan SHAPES — prove the bounded-state ones hold under actual pressure
+  * by running the heaviest sf0.1 queries in a forked JVM capped at
+  * -Xmx1g, local[4], 64 shuffle partitions (the bench runs them in 8 GiB
+  * / local[32] / 32 partitions — this is ~1/8 the heap with MORE, smaller
+  * partitions). Anything that OOMs here is hiding a whole-partition or
+  * driver-side materialization its scaladoc doesn't admit to. */
+class MemoryStressSpec extends AnyFunSuite {
+
+  /** The 10 heaviest queries by the r8/r9 bench, spanning every
+    * bounded-state mechanism: composed ANN reports, BPE training,
+    * LSH+connected components, recursive CTE, persisted-store admission,
+    * tokenizer apply, distributed percentile outliers, shingle joins, CC
+    * consumers. */
+  private val heaviest = Seq(
+    "sim_recall_report", "prep_bpe_budget", "dedup_semantic",
+    "q50_recursive_bom", "dedup_chunks_incremental", "text_bpe_encode",
+    "text_bpe_vocab", "prep_outliers", "dedup_ngram_jaccard",
+    "dedup_canonical")
+
+  test("heaviest sf0.1 queries complete in a 1 GiB JVM", SlowTest) {
+    val p = ForkedJvm.start("graft.MemoryStressChild",
+      Seq("/root/testdata/sf0.1") ++ heaviest,
+      extraJvm = Seq("-Xmx1g"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = new BufferedReader(new InputStreamReader(p.getInputStream))
+    try {
+      var line = r.readLine()
+      while (line != null && !line.contains("STRESS-DONE")) {
+        if (line.startsWith("STRESS-")) out += line
+        line = r.readLine()
+      }
+      assert(line != null, s"child died before finishing; saw:\n${out.mkString("\n")}")
+    } finally ForkedJvm.kill(p)
+    val fails = out.filter(_.startsWith("STRESS-FAIL"))
+    assert(fails.isEmpty, fails.mkString("\n"))
+    assert(out.count(_.startsWith("STRESS-OK")) == heaviest.size,
+      s"expected ${heaviest.size} OK lines:\n${out.mkString("\n")}")
+  }
+}
