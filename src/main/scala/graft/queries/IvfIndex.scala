@@ -160,6 +160,33 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Retrain-and-migrate — the version-migration contract made an
+    * operation: train a spherical k-means codebook ON THE VECTORS ALREADY
+    * IN THE INDEX (latest version's cells — the index is self-sufficient;
+    * no access to the original embeddings table is needed), register it as
+    * version+1, and re-admit every stored vector under the new quantizer.
+    * Serving flips to the new version atomically at the codebook append
+    * (readCodebook takes max version); a crash mid-re-admission leaves the
+    * old version's cells intact and fully servable, and the next reindex
+    * attempt re-admits idempotently (per-version membership). The old
+    * version's cells remain until a caller prunes them — migration debris
+    * is visible, never load-bearing. Returns the new version. */
+  def reindexIvf(spark: SparkSession, indexDir: String,
+      nCells: Int = SimilaritySearch.IvfNCells, iters: Int = 2,
+      maintainEvery: Int = 16): Int = {
+    import spark.implicits._
+    val (v, _) = readCodebook(spark, indexDir)
+    val stored = Store.read(spark, cellsDir(indexDir))
+      .filter($"version" === v)
+      .select($"vec_id", $"v")
+    val codebook = SimilaritySearch.trainIvfCodebookOn(
+      stored.select($"vec_id", $"v".as("r")), nCells, iters)
+    writeIvfIndex(spark, indexDir, codebook, v + 1)
+    admitBatchIvf(stored.select($"vec_id", $"v".as("embedding")),
+      indexDir, maintainEvery)
+    v + 1
+  }
+
   /** Streaming face: the SAME admission as the batch path, as a
     * foreachBatch sink with idempotent per-micro-batch ids — an
     * at-least-once replay (sink ran, checkpoint didn't commit) re-admits

@@ -181,16 +181,31 @@ object SimilaritySearch {
   private[graft] def trainIvfCodebook(spark: SparkSession, dir: String,
       nCells: Int, iters: Int): Array[Array[Double]] = {
     import spark.implicits._
+    trainIvfCodebookOn(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", Similarity.toDoubleArray($"embedding").as("r")),
+      nCells, iters)
+  }
+
+  /** [[trainIvfCodebook]] over an explicit (vec_id, r: array<double>)
+    * frame — the face [[IvfIndex.reindexIvf]] trains through, where the
+    * corpus comes from the index's own cells store instead of the
+    * embeddings table. Seeding takes the `nCells` smallest vec_ids (≡ the
+    * `vec_id < nCells` seed on dense-id tables, still deterministic on
+    * sparse ones). */
+  private[graft] def trainIvfCodebookOn(raw: DataFrame,
+      nCells: Int, iters: Int): Array[Array[Double]] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
     // train on L2-NORMALIZED vectors: cosine assignment is scale-invariant,
     // but the update step's optimum for the spherical objective is the
     // normalized mean of normalized members — averaging raw vectors would
     // weight members by their norms and break Lloyd monotonicity
-    val raw = Tables.embeddings(spark, dir)
-      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("r"))
     val norm = sqrt(VectorFunctions.dotProduct($"r", $"r"))
     val vecs = raw.select($"vec_id",
       when(norm > 0, transform($"r", x => x / norm)).otherwise($"r").as("v"))
-    var codebook = vecs.filter($"vec_id" < nCells).orderBy($"vec_id").collect()
+    var codebook = vecs.orderBy($"vec_id").limit(nCells).orderBy($"vec_id")
+      .collect()
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
       val cell = element_at(

@@ -166,6 +166,32 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally sweep(dir)
   }
 
+  test("reindexIvf retrains from the index's own cells and migrates to version+1") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      IvfIndex.admitBatchIvf(vecs, dir)
+      val nVectors = Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 0).count()
+      val newV = IvfIndex.reindexIvf(spark, dir, iters = 1)
+      assert(newV == 1)
+      assert(IvfIndex.readCodebook(spark, dir)._1 == 1)
+      // complete migration: every stored vector re-admitted under v1
+      assert(Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 1).count() == nVectors)
+      val served = serve(dir)
+      assert(served.nonEmpty)
+      assert(served.size ==
+        SimilaritySearch.NQueries * SimilaritySearch.K)
+      // re-running the migration is idempotent per version: v2 exists but
+      // carries the same vector population
+      val v2 = IvfIndex.reindexIvf(spark, dir, iters = 1)
+      assert(v2 == 2)
+      assert(Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 2).count() == nVectors)
+    } finally sweep(dir)
+  }
+
   test("driver face returns K rows per query with the sim_* schema") {
     val df = IvfIndex.simIvfServed(spark, sf)
     assert(df.columns.toSeq ==
