@@ -457,7 +457,11 @@ object Dedup {
     * same bands → same candidates → same pairs). `list_cosine_similarity`
     * agreeing with the codegen'd kernel at 4-decimal rounding is already
     * load-bearing in the green sim_bruteforce_topk oracle. */
-  val dedupEmbeddingCosineSql: String = {
+  /** Shared WITH-body for the embedding-pair oracles: sign-LSH band keys
+    * (inlined plane literals), candidate equi-join, exact-cosine filter —
+    * ends in a `pairs(id_a, id_b, cosine)` CTE that both the pair-report
+    * and the semantic-CC oracles consume. */
+  private def embeddingPairsWithBody: String = {
     val planes = Similarity.signLshPlanes(
       SignLshBands * SignLshPlanesPerBand, dim = 64)
     def dot(p: Seq[Double]): String =
@@ -468,7 +472,7 @@ object Dedup {
       }.mkString(" + ")
       s"  SELECT vec_id, $b AS band, $key AS key FROM v"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |banded AS (
        |$bandSelects
        |),
@@ -476,15 +480,45 @@ object Dedup {
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
        |  WHERE a.vec_id < b.vec_id
-       |)
-       |SELECT id_a, id_b,
-       |  round(list_cosine_similarity(va.emb, vb.emb), 4) AS cosine
-       |FROM cand
-       |JOIN v va ON va.vec_id = id_a
-       |JOIN v vb ON vb.vec_id = id_b
-       |WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= $EmbeddingCosineThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(va.emb, vb.emb), 4) AS cosine
+       |  FROM cand
+       |  JOIN v va ON va.vec_id = id_a
+       |  JOIN v vb ON vb.vec_id = id_b
+       |  WHERE round(list_cosine_similarity(va.emb, vb.emb), 4) >= $EmbeddingCosineThreshold
+       |)""".stripMargin
   }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH $embeddingPairsWithBody
+       |SELECT id_a, id_b, cosine FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of [[dedupSemantic]]: the edge set is the (now
+    * oracle-proven deterministic) pair CTE; connected components are the
+    * transitive closure by recursive CTE — `reach` saturates each vertex's
+    * reachable set over undirected edges (UNION dedups, so the fixpoint
+    * terminates), the component representative is the min reachable id,
+    * exactly the engine CC loop's min-label convergence. Quadratic in
+    * component size — fine for an oracle, not a 100 TB plan (which is why
+    * the ENGINE runs label propagation instead). */
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE $embeddingPairsWithBody,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs
+       |),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM v
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+       |),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+       |SELECT label AS cluster_rep, count(*) AS n_members
+       |FROM labels GROUP BY label
+       |ORDER BY cluster_rep""".stripMargin
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): connected
     * components over high-cosine EMBEDDING pairs instead of lexical-shingle
@@ -493,11 +527,13 @@ object Dedup {
     * [[embeddingCosinePairs]] (banded sign-LSH candidates → codegen'd exact
     * cosine) for edges and the generic [[connectedComponents]] loop; the
     * same 100 TB bounds apply (ids-only candidate join on uniform band
-    * keys, O(diameter) label rounds, one action per round). Rows-only
-    * driver check — LSH candidate recall is probabilistic by design (the
-    * [[dedupEmbeddingCosine]] oracle-infeasibility argument); the spec pins
-    * label consistency (every emitted edge's endpoints share a cluster) and
-    * member conservation instead. */
+    * keys, O(diameter) label rounds, one action per round).
+    *
+    * Oracle-checked since r9 ([[dedupSemanticSql]]): the edge set is
+    * deterministic (fixed planes), and CC over a fixed edge set is a pure
+    * function — the recursive-CTE transitive closure must produce the same
+    * (min-id representative, size) rows. The spec additionally pins label
+    * consistency and member conservation at sf0.001. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val verts = Tables.embeddings(spark, dir)
@@ -1041,6 +1077,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_fuzzy" -> dedupFuzzySql)
 }
 
