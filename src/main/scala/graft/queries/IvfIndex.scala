@@ -187,6 +187,23 @@ object IvfIndex {
     v + 1
   }
 
+  /** Drop every non-latest version's cells (and codebook rows) once a
+    * migration is cut over — the companion of [[reindexIvf]], which
+    * deliberately leaves the old version servable. Runs as a compaction
+    * REWRITE on each store (filter-to-latest inside the crash-safe
+    * rename-aside swap), so a crash mid-prune leaves a fully consistent
+    * store at one of the two states. */
+  def pruneIvfVersions(spark: SparkSession, indexDir: String,
+      numFiles: Int = 8): Unit = {
+    import spark.implicits._
+    val (latest, _) = readCodebook(spark, indexDir)
+    Store.compact(spark, codebookDir(indexDir), numFiles = 1,
+      rewrite = _.filter($"version" === latest))
+    if (Store.hasData(cellsDir(indexDir)))
+      Store.compact(spark, cellsDir(indexDir), numFiles = numFiles,
+        rewrite = _.filter($"version" === latest))
+  }
+
   /** Streaming face: the SAME admission as the batch path, as a
     * foreachBatch sink with idempotent per-micro-batch ids — an
     * at-least-once replay (sink ran, checkpoint didn't commit) re-admits

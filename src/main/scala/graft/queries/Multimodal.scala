@@ -282,9 +282,11 @@ object Multimodal {
     * collapsing to representatives first makes exact copies cost one row
     * each, and their pairs are already owned by the exact-dedup operator.
     * Output pairs relate representatives (equivalently: payload equivalence
-    * classes). Rows-only driver check (the byte-window hash isn't ANSI
-    * SQL); the spec pins rep-pairs ≡ brute-force Hamming ≤ 3 parity and the
-    * no-quadratic-blowup property on an all-copies fixture. */
+    * classes). Oracle-checked since r9 ([[multimodalPhashDedupSql]] —
+    * the byte-window FNV re-derived in DuckDB, brute force replacing the
+    * pigeonhole-exact banding); the spec additionally pins rep-pairs ≡
+    * brute-force Hamming ≤ 3 parity and the no-quadratic-blowup property
+    * on an all-copies fixture. */
   def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame =
     multimodalPhashDedupOn(Tables.documents(spark, dir))
 
@@ -358,8 +360,68 @@ object Multimodal {
     "multimodal_bytes" -> (multimodalBytes _),
     "multimodal_frames" -> (multimodalFrames _))
 
+  /** DuckDB twin of [[multimodalPhashDedup]] — the dedup_simhash oracle
+    * pattern transposed to the payload byte stream: the 4-byte sliding
+    * window FNV-1a runs as a `list_reduce` over hex-decoded payload bytes
+    * in HUGEINT mod-2^64 arithmetic (low-byte xor emulation), the sign
+    * accumulation works on hi/lo 32-bit halves, payload-equivalence
+    * classes collapse through the same md5 grouping, and brute-force
+    * pairing replaces the banding (pigeonhole-exact at hamming ≤ 3). */
+  val multimodalPhashDedupSql: String = {
+    val h0 = "CAST('14695981039346656037' AS HUGEINT)"
+    val mod = "CAST('18446744073709551616' AS HUGEINT)"
+    val fnv4 =
+      s"""list_reduce(list_prepend($h0, bl[i:i+3]),
+         |      (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+         |                 * 1099511628211) % $mod)""".stripMargin
+    s"""WITH rep AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM documents WHERE text IS NOT NULL
+       |  GROUP BY md5(text)
+       |),
+       |bl AS (
+       |  SELECT doc_id,
+       |    [16*(strpos('0123456789ABCDEF', hex(text)[2*i-1])-1) +
+       |     strpos('0123456789ABCDEF', hex(text)[2*i])-1
+       |     FOR i IN range(1, strlen(text)+1)] AS bl
+       |  FROM rep
+       |),
+       |win AS (
+       |  SELECT doc_id, unnest([$fnv4 FOR i IN range(1, len(bl)-2)]) AS fnv
+       |  FROM bl WHERE len(bl) >= 4
+       |),
+       |wh AS (
+       |  SELECT doc_id,
+       |    CAST(fnv // CAST(4294967296 AS HUGEINT) AS BIGINT) AS h_hi,
+       |    CAST(fnv % CAST(4294967296 AS HUGEINT) AS BIGINT) AS h_lo
+       |  FROM win
+       |),
+       |bitcnt AS (
+       |  SELECT doc_id, bb.bit AS bit,
+       |    sum(CASE WHEN ((CASE WHEN bb.bit < 32 THEN h_lo >> bb.bit
+       |                    ELSE h_hi >> (bb.bit-32) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS cnt
+       |  FROM wh CROSS JOIN (SELECT unnest(range(0,64)) AS bit) bb
+       |  GROUP BY doc_id, bb.bit
+       |),
+       |ph AS (
+       |  SELECT r.doc_id, coalesce(s.hi, 0) AS hi, coalesce(s.lo, 0) AS lo
+       |  FROM rep r LEFT JOIN (
+       |    SELECT doc_id,
+       |      sum(CASE WHEN cnt > 0 AND bit >= 32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS hi,
+       |      sum(CASE WHEN cnt > 0 AND bit < 32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS lo
+       |    FROM bitcnt GROUP BY doc_id) s ON r.doc_id = s.doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "multimodal_exact_dedup" -> multimodalExactDedupSql,
     "multimodal_bytes" -> multimodalBytesSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
 }

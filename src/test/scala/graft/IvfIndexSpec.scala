@@ -189,6 +189,16 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(v2 == 2)
       assert(Store.read(spark, IvfIndex.cellsDir(dir))
         .filter($"version" === 2).count() == nVectors)
+      // prune: only v2 survives, serving is unchanged
+      val servedBefore = serve(dir)
+      IvfIndex.pruneIvfVersions(spark, dir)
+      val versions = Store.read(spark, IvfIndex.cellsDir(dir))
+        .select($"version").distinct().as[Int].collect().toSet
+      assert(versions == Set(2))
+      assert(Store.read(spark, IvfIndex.codebookDir(dir))
+        .select($"version").distinct().as[Int].collect().toSet == Set(2))
+      assert(Store.read(spark, IvfIndex.cellsDir(dir)).count() == nVectors)
+      assert(serve(dir) == servedBefore)
     } finally sweep(dir)
   }
 
