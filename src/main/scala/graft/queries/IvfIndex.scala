@@ -256,8 +256,10 @@ object IvfIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_served" -> (simIvfServed _))
 
-  /** No oracle: same argmax-over-codebook non-expressibility as
-    * sim_ivf_topk; IvfIndexSpec pins served ≡ in-query on the shared
-    * codebook, which is strictly stronger than a re-derived SQL twin. */
-  val oracles: Map[String, String] = Map.empty
+  /** Same oracle as sim_ivf_topk: the driver face is spec-proven equal to
+    * the in-query operator on the shared codebook, so they ride one SQL
+    * twin — the hash check independently re-proves that serving from the
+    * persisted store is invisible in the result. */
+  val oracles: Map[String, String] = Map(
+    "sim_ivf_served" -> SimilaritySearch.simIvfTopkSql)
 }

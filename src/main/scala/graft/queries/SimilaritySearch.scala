@@ -239,7 +239,8 @@ object SimilaritySearch {
     * 16-cell one (spec-pinned at nCells = 256 in LlmOpsSpec). At 100 TB the
     * codebook is trained out-of-band (in-engine via [[trainIvfCodebook]], or
     * offline) and rides the serialized plan to executors, exactly the shape
-    * used here. Rows-only driver check; LlmOpsSpec pins exact scores, recall
+    * used here. Oracle-checked since r9 ([[simIvfTopkSql]] re-derives the
+    * kernel's arithmetic in DuckDB); LlmOpsSpec pins exact scores, recall
     * vs brute force, kernel-vs-literal-path equivalence, and Lloyd
     * monotonicity for the trainer.
     *
@@ -619,10 +620,57 @@ object SimilaritySearch {
     "sim_ivfpq_topk" -> (simIvfPqTopk _),
     "sim_label_centroids" -> (simLabelCentroids _))
 
+  /** DuckDB twin of [[simIvfTopk]] — promoted from rows-only in r9: the
+    * codebook is DATA-DERIVED (first nCells vectors), so the oracle needs
+    * no literals at all; cell assignment re-derives the
+    * [[graft.functions.VectorOps.topCells]] kernel's exact arithmetic —
+    * `dot / (sqrt(na) · sqrt(nb))` in that operation order via
+    * `list_inner_product` (both engines accumulate sequentially, so the
+    * doubles agree bitwise) — with the kernel's score-DESC / cell-DESC
+    * tie-break in the window. The earlier "argmax isn't ANSI" argument
+    * held SQL to re-implementing the kernel; with the arithmetic order
+    * matched, the re-implementation pins exactly the claim that matters
+    * (same cells → same candidates → same top-k). */
+  val simIvfTopkSql: String = {
+    val cos =
+      """(CASE WHEN sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(cb.cemb, cb.cemb)) = 0
+        |       THEN 0.0
+        |       ELSE list_inner_product(v.emb, cb.cemb) /
+        |            (sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(cb.cemb, cb.cemb))) END)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cb AS (SELECT vec_id AS cell, emb AS cemb FROM v WHERE vec_id < $IvfNCells),
+       |scored AS (
+       |  SELECT v.vec_id, cb.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, cb.cell DESC) AS rnk
+       |  FROM v CROSS JOIN cb
+       |),
+       |assigned AS (SELECT vec_id, cell FROM scored WHERE rnk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM scored
+       |           WHERE vec_id < $NQueries AND rnk <= $IvfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |ranked AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.emb, n.emb) AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.emb, n.emb) DESC, c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN v q ON q.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_quantized_rerank" -> simQuantizedRerankSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,
+    "sim_ivf_topk" -> simIvfTopkSql,
     "sim_label_centroids" -> simLabelCentroidsSql)
 }
