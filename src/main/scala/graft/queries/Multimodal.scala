@@ -77,8 +77,10 @@ object Multimodal {
   /** Batched decode over a binary payload column: documents' text bytes stand
     * in for media blobs. Per-partition iterator pass (setup once per
     * partition, stream records through) — the batch shape a real decoder
-    * needs. Rows-only driver check (fake w/h aren't ANSI SQL); the byte
-    * lengths inside are verified by `multimodal_bytes` below. */
+    * needs. Oracle-checked since r9 ([[multimodalDecodeSql]] — UTF-8
+    * payloads provably always take the stub path, whose FNV metadata is
+    * re-derivable); byte lengths are additionally verified by
+    * `multimodal_bytes` below. */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payloads = Tables.documents(spark, dir)
@@ -360,6 +362,37 @@ object Multimodal {
     "multimodal_bytes" -> (multimodalBytes _),
     "multimodal_frames" -> (multimodalFrames _))
 
+  /** DuckDB twin of [[multimodalDecode]]. Sound because every payload
+    * PROVABLY takes the stub path on this corpus: payloads are UTF-8 text
+    * bytes, and UTF-8 can never begin with PNG's 0x89 (a continuation
+    * byte) or JPEG's 0xFF (not a valid UTF-8 byte at all) — so the real
+    * header parsers never fire and the deterministic FNV-derived metadata
+    * IS the full semantics to re-derive. A corpus of real image blobs
+    * would exercise the header path instead (and the header layouts are
+    * plain fixed-offset reads, equally SQL-expressible). */
+  val multimodalDecodeSql: String = {
+    val fnv =
+      """list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        [16*(strpos('0123456789ABCDEF', hex(text)[2*i-1])-1) +
+        |         strpos('0123456789ABCDEF', hex(text)[2*i])-1
+        |         FOR i IN range(1, strlen(text)+1)]),
+        |      (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |                 * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    s"""WITH p AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |fnv AS (SELECT doc_id, strlen(text) AS n_bytes, $fnv AS h FROM p),
+       |meta AS (SELECT doc_id, n_bytes,
+       |  64 + CAST(h % 1024 AS INTEGER) AS width,
+       |  64 + CAST((h // 1024) % 1024 AS INTEGER) AS height,
+       |  CASE CAST((h // 1048576) % 3 AS INTEGER)
+       |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+       |  FROM fnv)
+       |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |  max(width) AS max_width, max(height) AS max_height
+       |FROM meta GROUP BY format ORDER BY format""".stripMargin
+  }
+
   /** DuckDB twin of [[multimodalPhashDedup]] — the dedup_simhash oracle
     * pattern transposed to the payload byte stream: the 4-byte sliding
     * window FNV-1a runs as a `list_reduce` over hex-decoded payload bytes
@@ -423,5 +456,6 @@ object Multimodal {
     "multimodal_exact_dedup" -> multimodalExactDedupSql,
     "multimodal_bytes" -> multimodalBytesSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_phash_dedup" -> multimodalPhashDedupSql)
+    "multimodal_phash_dedup" -> multimodalPhashDedupSql,
+    "multimodal_decode" -> multimodalDecodeSql)
 }
