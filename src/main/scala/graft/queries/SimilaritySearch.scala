@@ -75,9 +75,10 @@ object SimilaritySearch {
   /** LSH-bucketed ANN with multi-probe queries: the index holds one exact
     * sign-LSH key per band; each query probes its own bucket PLUS the buckets
     * reached by flipping its lowest-margin hyperplane bits (multi-probe LSH —
-    * recall comes from extra query probes, not a bigger index). Rows-only
-    * driver check (bucket membership isn't ANSI SQL); LlmOpsSpec pins exact
-    * candidate scores and recall ≥ 0.8 vs brute force. */
+    * recall comes from extra query probes, not a bigger index).
+    * Oracle-checked since r9 ([[simLshTopkSql]] re-derives banding AND the
+    * multi-probe mask ranking); LlmOpsSpec pins exact candidate scores and
+    * recall ≥ 0.8 vs brute force. */
   def simLshTopk(spark: SparkSession, dir: String): DataFrame =
     simLshTopkTuned(spark, dir, nProbe = LshNProbe)
 
@@ -321,11 +322,12 @@ object SimilaritySearch {
     * argmax (direction-only); magnitude error is absorbed by the exact
     * re-rank stage, and recall vs brute force is spec-pinned in LlmOpsSpec.
     *
-    * No DuckDB oracle: cell and code assignment hinge on argmax-over-
-    * codebook with the engine's exact float-accumulation order and
-    * tie-breaks — not ANSI-expressible without re-implementing the kernel in
-    * SQL, which would pin nothing (the sim_ivf_topk / sim_lsh_topk
-    * argument). Rows-only driver check + LlmOpsSpec recall and
+    * Oracle-checked since r9 ([[simIvfPqTopkSql]]): the earlier "re-
+    * implementing the kernel in SQL pins nothing" argument was wrong —
+    * matching the kernel's exact arithmetic ORDER in an independent
+    * engine pins precisely the claim that matters (same codes → same
+    * shortlist → same top-k), and the r9 sim_* promotions showed the
+    * order can be matched. LlmOpsSpec keeps the recall and
     * kernel-equivalence differentials. */
   def simIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -583,8 +585,10 @@ object SimilaritySearch {
     * Scale shape: each method's top-K frame is NQueries×K rows — the
     * comparison join and report aggregate are query-table-sized, trivially
     * broadcastable; the only real cost is running the methods themselves.
-    * Rows-only (ANN bucket membership isn't ANSI-expressible; brute force
-    * alone has its own oracle via sim_bruteforce_topk). */
+    * Oracle-checked since r9 ([[simRecallReportSql]] composes the four
+    * method twins and re-derives hits/K — promotable exactly because the
+    * r9 sim_* SQL twins made every method's top-K expressible, and the
+    * report carries no timings, only set overlap). */
   def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val brute = simBruteforceTopk(spark, dir)
@@ -666,7 +670,196 @@ object SimilaritySearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[simLshTopk]] — the last ANN face promotable without
+    * re-deriving PQ codes: the index side reuses the deterministic 4×4
+    * sign-LSH banding (inlined plane literals, the dedup_embedding_cosine
+    * oracle's construction); the QUERY side re-derives multi-probe — per
+    * band, the 15 non-empty flip masks scored by summed |normalized
+    * margin| of their flipped planes (plane norms computed by the same
+    * Scala at SQL-generation time and inlined, additions in ascending
+    * plane order for bitwise agreement), sorted (score, mask) ascending
+    * by DuckDB's lexicographic struct sort — the engine's array_sort —
+    * and the exact key plus the `nProbe` cheapest flips become probe
+    * keys. Candidates then flow through the same equi-join + exact-cosine
+    * top-k as the other sim_* oracles. */
+  val simLshTopkSql: String = {
+    val planes = Similarity.signLshPlanes(LshBands * LshPlanesPerBand, dim = 64)
+    val norms = planes.map(p => math.sqrt(p.map(x => x * x).sum))
+    def dot(p: Seq[Double]): String =
+      s"list_inner_product(emb, [${p.mkString(", ")}])"
+    // index side: exact keys from dot signs (≡ margin signs; norms > 0)
+    val bandSelects = (0 until LshBands).map { b =>
+      val key = (0 until LshPlanesPerBand).map { i =>
+        s"(CASE WHEN ${dot(planes(b * LshPlanesPerBand + i))} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $b AS band, $key AS key FROM v"
+    }.mkString("\n  UNION ALL\n")
+    // query side: margins as columns, then key + mask ranking per band
+    val marginSelects = (0 until LshBands).map { b =>
+      val ms = (0 until LshPlanesPerBand).map { i =>
+        val p = b * LshPlanesPerBand + i
+        s"${dot(planes(p))} / ${norms(p)} AS m$i"
+      }.mkString(",\n      ")
+      s"  SELECT query_id, $b AS band,\n      $ms FROM q"
+    }.mkString("\n  UNION ALL\n")
+    val key = (0 until LshPlanesPerBand).map { i =>
+      s"(CASE WHEN m$i >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val maskStructs = (1 until (1 << LshPlanesPerBand)).map { mask =>
+      val score = (0 until LshPlanesPerBand)
+        .filter(i => (mask & (1 << i)) != 0)
+        .map(i => s"abs(m$i)").mkString(" + ")
+      s"{'score': $score, 'mask': CAST($mask AS BIGINT)}"
+    }.mkString("[", ",\n       ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |banded AS (
+       |$bandSelects
+       |),
+       |q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < $NQueries),
+       |margins AS (
+       |$marginSelects
+       |),
+       |probes AS (
+       |  SELECT query_id, band, unnest(list_prepend(key,
+       |    list_transform(list_sort($maskStructs)[1:$LshNProbe],
+       |      s -> xor(key, s.mask)))) AS key
+       |  FROM (SELECT query_id, band, $key AS key,
+       |          m0, m1, m2, m3 FROM margins)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, b.vec_id
+       |  FROM banded b JOIN probes p ON b.band = p.band AND b.key = p.key
+       |  WHERE b.vec_id <> p.query_id
+       |),
+       |ranked AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qq.emb, n.emb) AS cos,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(qq.emb, n.emb) DESC, c.vec_id) AS rank
+       |  FROM cand c
+       |  JOIN v qq ON qq.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[simIvfPqTopk]] — completes the ANN-face promotions:
+    * every codebook is DATA-DERIVED (coarse = first nCells vectors, PQ
+    * sub-codebooks = their per-subspace slices), so the oracle re-derives
+    * the whole index from the table: coarse assignment and probes with the
+    * topCells kernel arithmetic (the [[simIvfTopkSql]] construction), PQ
+    * codes as per-(vector, subspace) argmax over centroid-slice cosines
+    * (same kernel order on the slices), the query ADC tables as plain
+    * sequential dot products, the ADC score as an EXPLICIT ascending-m
+    * addition chain (an aggregate SUM would have engine-dependent order —
+    * the kernel adds m = 0..M-1), then shortlist-by-ADC and the exact
+    * fp32 re-rank. */
+  val simIvfPqTopkSql: String = {
+    val dsub = 64 / PqM
+    def slice(col: String) = s"$col[(sm.m*$dsub+1):(sm.m*$dsub+$dsub)]"
+    val subCos = {
+      val dot = s"list_inner_product(${slice("v.emb")}, ${slice("cb.cemb")})"
+      val na = s"list_inner_product(${slice("v.emb")}, ${slice("v.emb")})"
+      val nb = s"list_inner_product(${slice("cb.cemb")}, ${slice("cb.cemb")})"
+      s"(CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
+    }
+    val cos = {
+      val dot = "list_inner_product(v.emb, cb.cemb)"
+      val na = "list_inner_product(v.emb, v.emb)"
+      val nb = "list_inner_product(cb.cemb, cb.cemb)"
+      s"(CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
+    }
+    val adcChain = (0 until PqM)
+      .map(m => s"t.tbl[$m*$PqKs + c.codes[${m + 1}] + 1]")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cb AS (SELECT vec_id AS cell, emb AS cemb FROM v WHERE vec_id < ${math.max(IvfNCells, PqKs)}),
+       |scored AS (
+       |  SELECT v.vec_id, cb.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, cb.cell DESC) AS rnk
+       |  FROM v CROSS JOIN cb WHERE cb.cell < $IvfNCells
+       |),
+       |assigned AS (SELECT vec_id, cell FROM scored WHERE rnk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM scored
+       |           WHERE vec_id < $NQueries AND rnk <= $IvfNProbe),
+       |subm AS (SELECT unnest(range(0, $PqM)) AS m),
+       |subscored AS (
+       |  SELECT v.vec_id, sm.m, cb.cell AS j,
+       |    row_number() OVER (PARTITION BY v.vec_id, sm.m
+       |      ORDER BY $subCos DESC, cb.cell DESC) AS rnk
+       |  FROM v CROSS JOIN subm sm CROSS JOIN cb WHERE cb.cell < $PqKs
+       |),
+       |codes AS (SELECT vec_id, list(j ORDER BY m) AS codes
+       |          FROM subscored WHERE rnk = 1 GROUP BY vec_id),
+       |qtbl AS (
+       |  SELECT v.vec_id AS query_id,
+       |    list(list_inner_product(${slice("v.emb")}, ${slice("cb.cemb")})
+       |         ORDER BY sm.m, cb.cell) AS tbl
+       |  FROM v CROSS JOIN subm sm CROSS JOIN cb
+       |  WHERE v.vec_id < $NQueries AND cb.cell < $PqKs
+       |  GROUP BY v.vec_id
+       |),
+       |adc AS (
+       |  SELECT p.query_id, a.vec_id, $adcChain AS adc
+       |  FROM assigned a
+       |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN qtbl t ON t.query_id = p.query_id
+       |),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS qrank
+       |    FROM adc)
+       |  WHERE qrank <= $PqShortlist
+       |),
+       |ranked AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qq.emb, n.emb) AS cos,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY list_cosine_similarity(qq.emb, n.emb) DESC, s.vec_id) AS rank
+       |  FROM short s
+       |  JOIN v qq ON qq.vec_id = s.query_id
+       |  JOIN v n ON n.vec_id = s.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[simRecallReport]]: each method's oracle SQL embeds
+    * as a subquery (nested WITH — the CTE names don't collide across
+    * subqueries), and the recall arithmetic re-derives hits/K per query.
+    * Promotable exactly because all three ANN faces now have SQL twins —
+    * the report carries no timings, only set overlap. */
+  val simRecallReportSql: String = {
+    def per(method: String, annSql: String): String =
+      s"""SELECT '$method' AS method, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(recall), 4) AS mean_recall,
+         |  round(min(recall), 4) AS min_recall
+         |FROM (
+         |  SELECT q.query_id, CAST(coalesce(h.hits, 0) AS DOUBLE) / $K AS recall
+         |  FROM (SELECT DISTINCT query_id FROM brute) q
+         |  LEFT JOIN (
+         |    SELECT a.query_id, count(*) AS hits
+         |    FROM ($annSql) a
+         |    JOIN brute b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |    GROUP BY a.query_id) h ON q.query_id = h.query_id)""".stripMargin
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($simBruteforceTopkSql))
+       |${per("lsh", simLshTopkSql)}
+       |UNION ALL
+       |${per("ivf", simIvfTopkSql)}
+       |UNION ALL
+       |${per("ivfpq", simIvfPqTopkSql)}
+       |ORDER BY method""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_lsh_topk" -> simLshTopkSql,
+    "sim_ivfpq_topk" -> simIvfPqTopkSql,
+    "sim_recall_report" -> simRecallReportSql,
     "sim_quantized_rerank" -> simQuantizedRerankSql,
     "sim_bruteforce_topk" -> simBruteforceTopkSql,
     "sim_filtered_topk" -> simFilteredTopkSql,
