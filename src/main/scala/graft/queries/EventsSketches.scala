@@ -271,9 +271,10 @@ object EventsSketches {
     * 10-row annotation is driver-side by design (the codebook-collect
     * discipline: bounded, documented).
     *
-    * Rows-only: CMS cell states aren't ANSI-expressible. The spec pins the
-    * sketch contract on this output — estimate ≥ exact always, overshoot
-    * ≤ εN — and determinism (seeded hashes). */
+    * Oracle-checked since r9 ([[eventsHeavyHittersSql]] re-implements
+    * MurmurHash3 and the counter table in SQL). The spec keeps the sketch
+    * contract pins — estimate ≥ exact always, overshoot ≤ εN — and
+    * determinism (seeded hashes). */
   def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (depth, width) = (4, 1024)
@@ -294,6 +295,63 @@ object EventsSketches {
       .orderBy($"user_id")
   }
 
+  /** DuckDB twin of [[eventsHeavyHitters]] — the CMS re-derived whole:
+    * Scala's `MurmurHash3.stringHash` (char-pair chunks, mix/mixLast,
+    * avalanche) emulated in 32-bit arithmetic over BIGINT (multiplies
+    * detour through HUGEINT mod 2^32; rotations as shift-add; floorMod at
+    * a power-of-two width is just the unsigned low bits), the 4×1024
+    * counter table built by grouping per-key counts on their cells, and
+    * the point estimate as the min over rows — byte-for-byte the
+    * aggregator's semantics, independently implemented. The sketch was
+    * never nondeterministic, only laborious to express. */
+  val eventsHeavyHittersSql: String = {
+    def mul32(a: String, b: Long): String =
+      s"CAST((CAST(($a) AS HUGEINT) * ($b)) % 4294967296 AS BIGINT)"
+    def rotl(k: String, r: Int): String =
+      s"(((($k) * ${1L << r}) % 4294967296) + (($k) // ${1L << (32 - r)}))"
+    def mixLast(h: String, d: String): String = {
+      val k3 = mul32(rotl(mul32(d, 0xcc9e2d51L), 15), 0x1b873593L)
+      s"xor(($h), ($k3))"
+    }
+    def mix(h: String, d: String): String =
+      s"(((${rotl(mixLast(h, d), 13)}) * 5 + ${0xe6546b64L}) % 4294967296)"
+    val pairs = "[unicode(k[i])*65536 + unicode(k[i+1]) " +
+      "FOR i IN range(1, strlen(k), 2) IF i+1 <= strlen(k)]"
+    val body =
+      s"list_reduce(list_prepend(CAST(seed AS BIGINT), $pairs), (h, d) -> ${mix("h", "d")})"
+    val tail = mixLast("hm", "unicode(k[strlen(k)])")
+    val av2 = mul32("xor(hx, hx // 65536)", 0x85ebca6bL)
+    val av4 = mul32(s"xor(($av2), ($av2) // 8192)", 0xc2b2ae35L)
+    val av5 = s"xor(($av4), ($av4) // 65536)"
+    s"""WITH cnt AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1
+       |),
+       |s1 AS (SELECT k, r, ${0x9747b28cL} + r AS seed
+       |       FROM cnt CROSS JOIN (SELECT unnest(range(0,4)) AS r)),
+       |s2 AS (SELECT k, r, $body AS hm FROM s1),
+       |s3 AS (SELECT k, r, CASE WHEN strlen(k) % 2 = 1 THEN $tail ELSE hm END AS ho FROM s2),
+       |s4 AS (SELECT k, r, xor(ho, strlen(k)) AS hx FROM s3),
+       |cells AS (SELECT k, r, ($av5) % 1024 AS cell FROM s4),
+       |counters AS (
+       |  SELECT cells.r, cells.cell, CAST(sum(cnt.n) AS BIGINT) AS c
+       |  FROM cells JOIN cnt ON cnt.k = cells.k
+       |  GROUP BY cells.r, cells.cell
+       |),
+       |est AS (
+       |  SELECT cells.k, min(counters.c) AS est
+       |  FROM cells JOIN counters ON counters.r = cells.r AND counters.cell = cells.cell
+       |  GROUP BY cells.k
+       |),
+       |top AS (
+       |  SELECT CAST(k AS BIGINT) AS user_id, k, n AS exact_n
+       |  FROM cnt ORDER BY n DESC, user_id LIMIT 10
+       |)
+       |SELECT t.user_id, t.exact_n, e.est AS cms_n, e.est - t.exact_n AS overcount
+       |FROM top t JOIN est e ON e.k = t.k
+       |ORDER BY t.user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_heavy_hitters" -> (eventsHeavyHitters _),
     "events_hll_mergeable" -> (eventsHllMergeable _),
@@ -301,6 +359,7 @@ object EventsSketches {
     "events_bitmap_window" -> (eventsBitmapWindow _))
 
   val oracles: Map[String, String] = Map(
+    "events_heavy_hitters" -> eventsHeavyHittersSql,
     "events_bitmap_incremental" -> Relational6.q61Sql,
     "events_bitmap_window" -> eventsBitmapWindowSql)
 }
