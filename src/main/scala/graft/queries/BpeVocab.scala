@@ -38,12 +38,13 @@ import graft.sources.Tables
   *     would otherwise embed N nested folds); a cluster deployment would
   *     use a reliable checkpoint dir, same structure.
   *
-  * No DuckDB oracle: the training loop is iterative with a data-dependent
-  * argmax per round — not expressible as one ANSI query (each round's
-  * input depends on the previous round's winner). BpeVocabSpec pins the
-  * whole merge table against an independently-written driver-side
-  * reference BPE on the same word frequencies, plus determinism across
-  * re-runs.
+  * Oracle-checked since r9: the "iterative, not one ANSI query" argument
+  * fell once the round count was recognized as a constant — [[sqlCtes]]
+  * unrolls the 16 rounds into chained materialized CTE stages and the
+  * driver hash-checks the full merge table and the per-doc encode counts.
+  * BpeVocabSpec additionally pins the merge table against an
+  * independently-written driver-side reference BPE on the same word
+  * frequencies, plus determinism across re-runs.
   */
 object BpeVocab {
 
@@ -171,11 +172,81 @@ object BpeVocab {
       .orderBy($"doc_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_vocab" -> ((s, d) => train(s, d, nMerges = 16)),
-    "text_bpe_encode" -> ((s, d) => encode(s, d, nMerges = 16)))
+  /** DuckDB re-derivation of the training loop (r9): "iterative" stopped
+    * being an oracle blocker once the round count was recognized as a
+    * CONSTANT — the 16 rounds UNROLL into 16 chained `MATERIALIZED` CTE
+    * stages (materialization is load-bearing: inlined CTEs would
+    * re-evaluate the whole prefix per reference, exponentially). Each
+    * stage re-derives one round: adjacent-pair counts weighted by word
+    * frequency, the (cnt DESC, l, r) argmax, and the greedy
+    * non-overlapping rewrite — the engine's (out, pending) fold collapses
+    * to a `list_reduce` where the accumulator's LAST element plays
+    * `pending` (sound because a just-merged symbol `l||r` can never equal
+    * `l`, so it cannot cascade within its round — the same invariant the
+    * engine relies on). */
+  private[queries] def sqlCtes(nMerges: Int): String = {
+    val words0 =
+      raw"""w0 AS MATERIALIZED (
+           |  SELECT w, list_append([w[i] FOR i IN range(1, length(w)+1)], '</w>') AS syms,
+           |         CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS w
+           |        FROM documents)
+           |  WHERE length(w) > 0
+           |  GROUP BY w
+           |)""".stripMargin
+    val rounds = (1 to nMerges).flatMap { r =>
+      Seq(
+        s"""m$r AS MATERIALIZED (
+           |  SELECT syms[ii.i] AS l, syms[ii.i+1] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM w${r - 1}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) ii
+           |  WHERE len(syms) >= 2
+           |  GROUP BY 1, 2
+           |  ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1
+           |)""".stripMargin,
+        s"""w$r AS MATERIALIZED (
+           |  SELECT t.w,
+           |    list_reduce([[s] FOR s IN t.syms],
+           |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND x[1] = m.r2
+           |                  THEN list_append(acc[1:len(acc)-1], m.l || m.r2)
+           |                  ELSE list_append(acc, x[1]) END) AS syms,
+           |    t.freq
+           |  FROM w${r - 1} t CROSS JOIN m$r m
+           |)""".stripMargin)
+    }
+    (words0 +: rounds).mkString(",\n")
+  }
 
-  // intentionally no oracle entries: iterative data-dependent training loop
-  // (see scaladoc); BpeVocabSpec carries the reference-parity differentials
-  val oracles: Map[String, String] = Map.empty
+  /** (doc_id, w) occurrences — the tokenization both SQL faces share. */
+  private[queries] val occCte: String =
+    raw"""occ AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0
+         |)""".stripMargin
+
+  private val NMerges = 16
+
+  val vocabSql: String = {
+    val union = (1 to NMerges).map { r =>
+      s"""SELECT $r AS rank, l AS "left", r2 AS "right", l || r2 AS merged, cnt AS pair_count FROM m$r"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${sqlCtes(NMerges)}\n$union\nORDER BY rank"
+  }
+
+  val encodeSql: String =
+    s"""WITH ${sqlCtes(NMerges)},
+       |$occCte
+       |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(d.syms)) AS BIGINT) AS n_tokens
+       |FROM occ o JOIN w$NMerges d ON d.w = o.w
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_vocab" -> ((s, d) => train(s, d, nMerges = NMerges)),
+    "text_bpe_encode" -> ((s, d) => encode(s, d, nMerges = NMerges)))
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_vocab" -> vocabSql,
+    "text_bpe_encode" -> encodeSql)
 }

@@ -912,6 +912,31 @@ object DataPipeline {
       budget)
   }
 
+  /** DuckDB twin of [[bpeBudgetOn]] (r9): the unrolled-BPE encode counts
+    * ([[BpeVocab.sqlCtes]]) feed the same plain-window budget SQL as
+    * prep_token_budget — the bucketed prefix sum's equivalence to the
+    * plain window is already spec-pinned, so the oracle uses the simple
+    * form. */
+  val bpeBudgetSql: String =
+    s"""WITH ${BpeVocab.sqlCtes(16)},
+       |${BpeVocab.occCte},
+       |cnts AS (
+       |  SELECT o.doc_id, CAST(sum(len(d.syms)) AS BIGINT) AS n_tokens
+       |  FROM occ o JOIN w16 d ON d.w = o.w GROUP BY o.doc_id),
+       |d AS (
+       |  SELECT doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+       |    ${OracleFragments.quality("text")} AS quality
+       |  FROM documents LEFT JOIN cnts c USING (doc_id)),
+       |c2 AS (
+       |  SELECT doc_id, quality, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM d)
+       |SELECT doc_id, quality, n_tokens, cum_before
+       |FROM c2 WHERE cum_before < 16000
+       |ORDER BY doc_id""".stripMargin
+
   def tokenBudgetSql(budget: Long = 8000): String =
     s"""WITH d AS (
        |  SELECT doc_id,
@@ -1387,6 +1412,7 @@ object DataPipeline {
     "prep_method_card" -> methodCardSql,
     "prep_domain_cap" -> domainCapSql(),
     "prep_token_budget" -> tokenBudgetSql(),
+    "prep_bpe_budget" -> bpeBudgetSql,
     "prep_epoch_order" -> epochOrderSql(),
     "prep_pack_shuffled" -> packShuffledSql(),
     "prep_negative_pairs" -> negativePairsSql(),
