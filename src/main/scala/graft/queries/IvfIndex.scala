@@ -160,6 +160,81 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---- SQ8-quantized cells: the storage-economics face ------------------
+
+  private[graft] def cellsSq8Dir(indexDir: String): String =
+    indexDir + "/cells_sq8"
+
+  /** Admit into a QUANTIZED inverted file: cells hold int8 codes plus the
+    * per-vector max-|x| scale instead of fp64 components — the IVF-SQ8
+    * production trade (FAISS `IVF,SQ8`): storage and scan bytes drop ~8×,
+    * served ranks become approximate (the [[SimilaritySearch
+    * .simQuantizedTopk]] scoring model; pair with an fp32 side table for
+    * exact re-rank when the use case needs it). Cell assignment runs on
+    * the FULL-precision vector BEFORE quantization, so cell choice is
+    * identical to the exact store's — only the stored representation and
+    * the serve-time scores differ. Same per-version membership,
+    * idempotent ids, and crash-safe protocol as [[admitBatchIvf]]. */
+  def admitBatchIvfSq8(batch: DataFrame, indexDir: String,
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (version, codebook) = readCodebook(spark, indexDir)
+    val vecs = batch
+      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+      .dropDuplicates("vec_id")
+    val fresh =
+      if (Store.hasData(cellsSq8Dir(indexDir))) {
+        val index = Store.read(spark, cellsSq8Dir(indexDir))
+          .filter($"version" === version)
+        val matched = index
+          .join(broadcast(vecs.select($"vec_id")), "vec_id")
+          .select($"vec_id")
+        vecs.join(broadcast(matched), Seq("vec_id"), "left_anti")
+      } else vecs
+    val admitted = fresh
+      .select(
+        lit(version).as("version"),
+        element_at(
+          VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1)
+          .as("cell"),
+        $"vec_id",
+        VectorFunctions.quantizeInt8($"v").as("qv"),
+        VectorFunctions.maxAbs($"v").as("m"))
+      .localCheckpoint()
+    if (Store.appendMaybeIdempotent(admitted, cellsSq8Dir(indexDir), id))
+      Store.maintain(spark, cellsSq8Dir(indexDir), every = maintainEvery)
+    admitted.select($"vec_id", $"cell")
+  }
+
+  /** Serve approximate cosine top-`k` from the QUANTIZED store alone:
+    * probes as in [[servedIvfTopk]]; candidate scores are the dequantized
+    * int8 dot (`qdot · m_q · m_c / 127²`) — integer arithmetic against
+    * the stored codes, no fp64 vector ever read. */
+  def servedIvfTopkSq8(spark: SparkSession, indexDir: String,
+      queries: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (version, codebook) = readCodebook(spark, indexDir)
+    val probes = queries.select($"query_id",
+      VectorFunctions.quantizeInt8($"q").as("qq"),
+      VectorFunctions.maxAbs($"q").as("mq"),
+      explode(VectorFunctions.codebookTopCells($"q", codebook, nprobe)).as("cell"))
+    val candidates = Store.read(spark, cellsSq8Dir(indexDir))
+      .filter($"version" === version)
+      .join(broadcast(probes), "cell")
+      .filter(if (excludeSelf) $"vec_id" =!= $"query_id" else lit(true))
+      .withColumn("score",
+        VectorFunctions.dotInt($"qq", $"qv").cast("double") *
+          $"mq" * $"m" / lit(16129.0))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+    candidates.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"score", 4).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Retrain-and-migrate — the version-migration contract made an
     * operation: train a spherical k-means codebook ON THE VECTORS ALREADY
     * IN THE INDEX (latest version's cells — the index is self-sufficient;

@@ -202,6 +202,44 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally sweep(dir)
   }
 
+  test("SQ8 cells: same cell assignment, ~8x smaller store, recall holds vs exact serving") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      val exactAssign = IvfIndex.admitBatchIvf(vecs, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val sq8Assign = IvfIndex.admitBatchIvfSq8(vecs, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      // full-precision assignment: identical cells in both stores
+      assert(sq8Assign == exactAssign)
+      // storage economics: int8 codes + scale vs fp64 components
+      def bytes(d: String): Long = {
+        def walk(f: java.io.File): Long = {
+          val fs = f.listFiles()
+          if (fs == null) f.length()
+          else fs.map(walk).sum
+        }
+        walk(new java.io.File(d))
+      }
+      val ratio = bytes(IvfIndex.cellsSq8Dir(dir)).toDouble /
+        bytes(IvfIndex.cellsDir(dir))
+      assert(ratio < 0.55, s"sq8 store should be far smaller, ratio=$ratio")
+      // approximate serving: top-K overlap vs the exact served answer
+      val exact = IvfIndex.servedIvfTopk(spark, dir, queryFrame,
+          k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = IvfIndex.servedIvfTopkSq8(spark, dir, queryFrame,
+          k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.8, s"sq8 recall vs exact serving = $recall")
+      // replay hygiene inherited from the Store protocol
+      val rows = Store.read(spark, IvfIndex.cellsSq8Dir(dir)).count()
+      IvfIndex.admitBatchIvfSq8(vecs.filter($"vec_id" < 30), dir)
+      assert(Store.read(spark, IvfIndex.cellsSq8Dir(dir)).count() == rows)
+    } finally sweep(dir)
+  }
+
   test("driver face returns K rows per query with the sim_* schema") {
     val df = IvfIndex.simIvfServed(spark, sf)
     assert(df.columns.toSeq ==
