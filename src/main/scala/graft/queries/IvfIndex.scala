@@ -328,13 +328,97 @@ object IvfIndex {
     }
   }
 
+  /** Driver face of the QUANTIZED store: same throwaway-index protocol as
+    * [[simIvfServed]], but admission and serving run the SQ8 path — the
+    * result the driver hashes is produced entirely from int8 codes +
+    * scales read back from the store. */
+  def simIvfServedSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_ivfq_index_").toString
+    try {
+      val vecs = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding")
+      val codebook = vecs
+        .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+        .filter($"vec_id" < SimilaritySearch.IvfNCells)
+        .orderBy($"vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      writeIvfIndex(spark, indexDir, codebook)
+      admitBatchIvfSq8(vecs.filter($"vec_id" % 2 === 0), indexDir)
+      admitBatchIvfSq8(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      val queries = vecs
+        .filter($"vec_id" < SimilaritySearch.NQueries)
+        .select($"vec_id".as("query_id"),
+          Similarity.toDoubleArray($"embedding").as("q"))
+      servedIvfTopkSq8(spark, indexDir, queries,
+        k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir)):
+        Unit
+    }
+  }
+
+  /** DuckDB twin of [[simIvfServedSq8]]: the [[SimilaritySearch
+    * .simIvfTopkSql]] assignment/probe construction composed with the
+    * [[SimilaritySearch.simQuantizedTopkSql]] dequantized-int8 scoring
+    * model — `round(x·127/max|x|)` codes (the kernel's CASE-guarded
+    * all-zero branch included), exact integer dot in double (≤ 64·127²,
+    * far inside the 2^53 exact-integer range), `qdot·m_q·m_c/127²` in the
+    * engine's association order. */
+  val simIvfServedSq8Sql: String = {
+    val cos =
+      """(CASE WHEN sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(cb.cemb, cb.cemb)) = 0
+        |       THEN 0.0
+        |       ELSE list_inner_product(v.emb, cb.cemb) /
+        |            (sqrt(list_inner_product(v.emb, v.emb)) * sqrt(list_inner_product(cb.cemb, cb.cemb))) END)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cb AS (SELECT vec_id AS cell, emb AS cemb FROM v WHERE vec_id < ${SimilaritySearch.IvfNCells}),
+       |scored AS (
+       |  SELECT v.vec_id, cb.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY $cos DESC, cb.cell DESC) AS rnk
+       |  FROM v CROSS JOIN cb
+       |),
+       |assigned AS (SELECT vec_id, cell FROM scored WHERE rnk = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM scored
+       |           WHERE vec_id < ${SimilaritySearch.NQueries} AND rnk <= ${SimilaritySearch.IvfNProbe}),
+       |q8 AS (
+       |  SELECT vec_id, m,
+       |    list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+       |  FROM (SELECT vec_id, emb,
+       |          list_max(list_transform(emb, x -> abs(x))) AS m,
+       |          CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+       |               THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+       |               ELSE 0.0 END AS scale
+       |        FROM v)
+       |),
+       |ranked AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT)
+       |      * qq.m * c.m / 16129.0 AS score,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY CAST(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT)
+       |                 * qq.m * c.m / 16129.0 DESC, a.vec_id) AS rank
+       |  FROM assigned a
+       |  JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN q8 qq ON qq.vec_id = p.query_id
+       |  JOIN q8 c ON c.vec_id = a.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, round(score, 4) AS score
+       |FROM ranked WHERE rank <= ${SimilaritySearch.K}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_ivf_served" -> (simIvfServed _))
+    "sim_ivf_served" -> (simIvfServed _),
+    "sim_ivf_served_sq8" -> (simIvfServedSq8 _))
 
   /** Same oracle as sim_ivf_topk: the driver face is spec-proven equal to
     * the in-query operator on the shared codebook, so they ride one SQL
     * twin — the hash check independently re-proves that serving from the
     * persisted store is invisible in the result. */
   val oracles: Map[String, String] = Map(
-    "sim_ivf_served" -> SimilaritySearch.simIvfTopkSql)
+    "sim_ivf_served" -> SimilaritySearch.simIvfTopkSql,
+    "sim_ivf_served_sq8" -> simIvfServedSq8Sql)
 }
