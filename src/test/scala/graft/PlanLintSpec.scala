@@ -152,6 +152,50 @@ class PlanLintSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("the linter actually fires on each anti-pattern (no vacuous green)") {
+    import TestSpark.spark.implicits._
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // small test frames would broadcast into a BNLJ; kill broadcast so the
+    // cross join plans as the CartesianProduct a big-big cross would
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf).select($"doc_id")
+      val big = docs.withColumnRenamed("doc_id", "b")
+      // cartesian: unconditioned cross join of two corpus-sized frames
+      val cart = docs.crossJoin(big)
+      assert(lint("probe", cart.queryExecution.executedPlan)
+        .exists(_.contains("CartesianProduct")))
+      // BNLJ with an unbounded build: inequality join, corpus-sized side
+      // force-broadcast (the hint overrides the disabled threshold)
+      val bnlj = docs.join(
+        org.apache.spark.sql.functions.broadcast(big), $"doc_id" < $"b")
+      assert(lint("probe", bnlj.queryExecution.executedPlan)
+        .exists(_.contains("BroadcastNestedLoopJoin")))
+      // interior global sort: a full orderBy feeding downstream compute.
+      // (An aggregate consumer won't do: EliminateSorts prunes the sort
+      // below order-agnostic operators — which is itself evidence the
+      // optimizer half-enforces this rule. A typed map is order-dependent,
+      // so the sort survives as genuinely interior work.)
+      val innerSort = docs.as[Long].orderBy($"doc_id").map(_ + 1)
+      assert(lint("probe", innerSort.queryExecution.executedPlan)
+        .exists(_.contains("interior global Sort")))
+      // data-bearing single-partition exchange: repartition(1) of real rows
+      val single = docs.repartition(1).groupBy($"doc_id").count()
+      assert(lint("probe", single.queryExecution.executedPlan)
+        .exists(_.contains("SinglePartition")))
+      // ...and the presentation orderBy at the top is NOT flagged
+      val topSort = docs.groupBy(($"doc_id" % 7).as("g")).count()
+        .orderBy($"g")
+      assert(!lint("probe", topSort.queryExecution.executedPlan)
+        .exists(_.contains("Sort")))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+  }
+
   test("allowlist entries stay live (no stale excuses)") {
     val unknown = allow.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"allowlisted names not in queries: $unknown")
