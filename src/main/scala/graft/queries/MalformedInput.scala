@@ -187,6 +187,28 @@ object MalformedInput {
        |FROM customer WHERE c_custkey % $CsvCorruptMod = 0
        |ORDER BY segment""".stripMargin
 
+  /** Streaming face of the PERMISSIVE contract: the same corrupt-JSON
+    * schema read as a FILE-SOURCE STREAM — a lake-ingest tail where
+    * malformed records must be quarantined per micro-batch, not crash the
+    * query. The parse options are identical to the batch path (Spark's
+    * JSON parsing is source-mode-agnostic); what the streaming face adds
+    * is the contract that corruption accounting composes with incremental
+    * execution — pinned by the spec against the batch accounting. */
+  def corruptJsonStream(spark: SparkSession, fixtureDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(corruptJsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .json(fixtureDir)
+      .withColumn("status",
+        when($"_corrupt_record".isNotNull, lit("_corrupt"))
+          .otherwise($"o_orderstatus"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_corrupt_json" -> (q69CorruptJson _),
     "q70_csv_quarantine" -> (q70CsvQuarantine _))

@@ -80,6 +80,25 @@ class MalformedInputSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PERMISSIVE quarantine matches the batch accounting") {
+    withFixture(MalformedInput.writeCorruptJson(spark, sf, _)) { dir =>
+      val q = MalformedInput.corruptJsonStream(spark, dir)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("corrupt_stream_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_mis_ck_").toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val streamed = spark.table("corrupt_stream_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = MalformedInput.q69CorruptJson(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.contains("_corrupt"))
+    }
+  }
+
   test("q69 accounting conserves rows: clean + corrupt = table size") {
     val out = MalformedInput.q69CorruptJson(spark, sf)
     val total = out.agg(sum($"n_rows")).head().getLong(0)
