@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Layout, Tables, ZoneMaps}
+
+/** Driver face for [[graft.sources.ZoneMaps]] — the data-skipping scan.
+  *
+  * The query lays out a clustered copy of lineitem (range-sliced on
+  * l_shipdate, the layout that MAKES zone maps effective), builds the
+  * per-file stats table, then answers a quarter-range revenue rollup
+  * reading only files whose range intersects the predicate.
+  *
+  * The ORACLE deliberately checks the aggregate against the ORIGINAL
+  * table: data skipping is an access-path optimization and must be
+  * result-invisible — the hash proves the pruned scan loses and invents
+  * nothing. How MUCH was pruned is pinned in ZoneMapsSpec instead:
+  * `repartitionByRange`'s sampler makes the exact file boundaries
+  * session-dependent, so a file count would be a flaky oracle but is a
+  * sound spec assertion (strictly fewer files than the layout's total).
+  */
+object ZoneScan {
+
+  def q79ZonemapScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zone_")
+    val (dataDir, statsDir) =
+      (s"$base/data", s"$base/stats")
+    try {
+      Layout.writeClustered(Tables.lineitem(spark, dir), dataDir,
+        Seq("l_shipdate"), numFiles = 16)
+      ZoneMaps.build(spark, dataDir, Seq("l_shipdate"), statsDir)
+      val (slice, _) = ZoneMaps.scanPruned(spark, dataDir, statsDir,
+        "l_shipdate", lit("1997-01-01").cast("timestamp"),
+        lit("1997-04-01").cast("timestamp"))
+      slice
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_extendedprice".cast("decimal(14,2)") *
+            (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+            .cast("double").as("revenue"))
+        .orderBy($"l_returnflag")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q79Sql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_zonemap_scan" -> (q79ZonemapScan _))
+
+  val oracles: Map[String, String] = Map(
+    "q79_zonemap_scan" -> q79Sql)
+}
