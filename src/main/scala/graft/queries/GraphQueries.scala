@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over event streams — fixed-iteration weighted PageRank
+  * on the event-type transition graph.
+  *
+  * Two very different scales live in this operator, and the implementation
+  * keeps them separate:
+  *
+  *   - EDGE EXTRACTION is the 100 TB stage: one window pass over the raw
+  *     events (lag of event_type per user, the events_paths ordering
+  *     contract: ts with event_id tie-break) followed by a count-aggregate
+  *     — the same one-shuffle shape as any sessionization. Event volume
+  *     only ever touches this stage.
+  *   - THE ITERATION runs on the AGGREGATED graph (|node|+|edge| scale,
+  *     independent of event count). It is still expressed as DataFrame
+  *     joins — rank joins probs, groupBy dst, left-join back to nodes — so
+  *     the same code runs when nodes are millions of URLs instead of five
+  *     event types; each round cuts lineage with an eager localCheckpoint
+  *     (the q50 recursive-CTE discipline: without the cut, round k's plan
+  *     re-derives rounds 1..k-1).
+  *
+  * Numerics: transition probabilities divide exact integer counts in
+  * double (`w / out_w` — both engines divide the same integers, IEEE
+  * division is deterministic); per-round contributions are double sums
+  * over ≤|node| terms, so cross-engine accumulation-order noise stays
+  * ~1e-15 and the final `round(rank, 6)` is stable. Dangling mass (nodes
+  * with no out-edges) is redistributed uniformly each round — total rank
+  * mass is conserved at every iteration (spec-pinned).
+  */
+object GraphQueries {
+
+  private val Damping = 0.85
+  private val Iters = 5
+
+  /** Weighted PageRank core over an edge frame (`src`, `dst`, `w`): rank
+    * mass flows along out-probability `w / Σ_out w`, damped, with dangling
+    * mass redistributed uniformly. Returns (`node`, `rank`) unrounded.
+    *
+    * The node count enters as a driver scalar (one count() over the node
+    * frame — the codebook-collect discipline: bounded by |nodes|’ scale,
+    * not data scale; it sizes the teleport term, not any data structure).
+    */
+  private[graft] def pagerankOn(edges: DataFrame, iters: Int = Iters,
+      damping: Double = Damping): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outW = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    val probs = edges.join(outW, "src")
+      .select($"src", $"dst",
+        ($"w".cast("double") / $"ow".cast("double")).as("p"))
+      .localCheckpoint(true)
+    val sources = probs.select($"src").distinct().localCheckpoint(true)
+
+    var rank = nodes.select($"node", lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = probs.join(rank, $"node" === $"src")
+        .groupBy($"dst").agg(sum($"rank" * $"p").as("m"))
+      val dangling = rank.join(sources, $"node" === $"src", "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      rank = nodes
+        .join(contrib, $"node" === $"dst", "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select($"node",
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce($"m", lit(0.0)) + $"dm" / n)).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** The transition multigraph of consecutive events per user: edge
+    * (src_type → dst_type) weighted by how often a user's event of type
+    * src is immediately followed by one of type dst. */
+  private[graft] def transitionEdges(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("src", lag($"event_type", 1).over(w))
+      .filter($"src".isNotNull)
+      .groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Driver face: PageRank of event types in the user-journey transition
+    * graph — "which screen/action accumulates attention once you follow
+    * where users actually go next". Oracle: the 5 rounds unrolled as
+    * chained CTEs in DuckDB, same arithmetic end to end. */
+  def eventsPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerankOn(transitionEdges(Tables.events(spark, dir)))
+      .select($"node".as("event_type"), round($"rank", 6).as("rank"))
+      .orderBy($"event_type")
+  }
+
+  val eventsPagerankSql: String = {
+    val round = (i: Int) =>
+      s"""c$i AS (
+         |  SELECT p.dst AS node, sum(r.rank * p.p) AS m
+         |  FROM probs p JOIN r$i r ON r.node = p.src GROUP BY p.dst),
+         |d$i AS (
+         |  SELECT COALESCE(sum(rank), 0) AS dm FROM r$i
+         |  WHERE node NOT IN (SELECT src FROM probs)),
+         |r${i + 1} AS (
+         |  SELECT nd.node,
+         |    0.15 / (SELECT n FROM nn) +
+         |    0.85 * (COALESCE(c.m, 0) + (SELECT dm FROM d$i) / (SELECT n FROM nn))
+         |      AS rank
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS src,
+       |    event_type AS dst
+       |  FROM events),
+       |edges AS (
+       |  SELECT src, dst, count(*) AS w FROM pairs
+       |  WHERE src IS NOT NULL GROUP BY src, dst),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+       |probs AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+       |  FROM edges e JOIN outw o ON e.src = o.src),
+       |nodes AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |${(0 until Iters).map(round).mkString(",\n")}
+       |SELECT node AS event_type, round(rank, 6) AS rank FROM r$Iters
+       |ORDER BY event_type""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pagerank" -> (eventsPagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "events_pagerank" -> eventsPagerankSql)
+}
