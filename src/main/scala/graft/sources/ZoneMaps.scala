@@ -47,31 +47,41 @@ object ZoneMaps {
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
 
-  /** Files whose `[min_col, max_col]` range intersects `[lo, hi)` — the
-    * candidate set a range predicate on `trackedCol` must read. NULL
-    * bounds (all-null file slice) are kept: the zone map may only ever
-    * prune files that provably cannot match. */
+  /** Files whose `[min_c, max_c]` range intersects `[lo, hi)` for EVERY
+    * conjunct — the candidate set a conjunction of range predicates must
+    * read. NULL bounds (all-null file slice) are kept: the zone map may
+    * only ever prune files that provably cannot match. Conjuncts compose
+    * multiplicatively on a layout that correlates several columns with
+    * file boundaries (z-order): each dimension independently excludes
+    * files the other cannot. */
   private def candidateFiles(spark: SparkSession, statsDir: String,
-      trackedCol: String, lo: Column, hi: Column): Seq[String] = {
+      preds: Seq[(String, Column, Column)]): Seq[String] = {
     import spark.implicits._
+    val keep = preds
+      .map { case (c, lo, hi) =>
+        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+      }
+      .reduce(_ && _)
     spark.read.parquet(statsDir)
-      .filter(col(s"max_$trackedCol").isNull ||
-        (col(s"max_$trackedCol") >= lo && col(s"min_$trackedCol") < hi))
+      .filter(keep)
       .select($"file").as[String]
       .collect().toSeq // bounded: one row per data file (see header)
   }
 
-  /** Scan `dataPath` for rows with `trackedCol` in `[lo, hi)`, reading
-    * ONLY files the zone map cannot exclude. Returns the filtered frame
-    * plus (filesRead, filesTotal) for observability — the pair every
+  /** Scan `dataPath` for rows satisfying every `col in [lo, hi)` conjunct,
+    * reading ONLY files the zone map cannot exclude. Returns the filtered
+    * frame plus (filesRead, filesTotal) for observability — the pair every
     * data-skipping report is built from. The residual predicate is still
     * applied (and still pushes to parquet row groups): surviving files
     * straddle the boundary, so pruning alone is never assumed exact. */
-  def scanPruned(spark: SparkSession, dataPath: String, statsDir: String,
-      trackedCol: String, lo: Column, hi: Column): (DataFrame, (Int, Int)) = {
+  def scanPrunedAll(spark: SparkSession, dataPath: String, statsDir: String,
+      preds: Seq[(String, Column, Column)]): (DataFrame, (Int, Int)) = {
+    require(preds.nonEmpty, "at least one range conjunct")
     val total = spark.read.parquet(statsDir).count().toInt
-    val files = candidateFiles(spark, statsDir, trackedCol, lo, hi)
-    val pred = col(trackedCol) >= lo && col(trackedCol) < hi
+    val files = candidateFiles(spark, statsDir, preds)
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
+      .reduce(_ && _)
     val df =
       if (files.isEmpty)
         // nothing can match: empty frame with the data's schema, no scan
@@ -85,4 +95,9 @@ object ZoneMaps {
           .filter(pred)
     (df, (files.length, total))
   }
+
+  /** Single-conjunct convenience face of [[scanPrunedAll]]. */
+  def scanPruned(spark: SparkSession, dataPath: String, statsDir: String,
+      trackedCol: String, lo: Column, hi: Column): (DataFrame, (Int, Int)) =
+    scanPrunedAll(spark, dataPath, statsDir, Seq((trackedCol, lo, hi)))
 }

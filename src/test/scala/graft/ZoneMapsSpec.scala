@@ -104,6 +104,52 @@ class ZoneMapsSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("2-D box over z-order: both conjuncts prune; 1-D clustering can't prune the other dim") {
+    val zBase = tmp()
+    val cBase = tmp()
+    try {
+      val li = Tables.lineitem(spark, sf)
+      // z-ordered on (partkey, suppkey): every file is a small 2-D box
+      Layout.writeZOrdered(li, s"$zBase/data",
+        Seq("l_partkey", "l_suppkey"), numFiles = 16)
+      ZoneMaps.build(spark, s"$zBase/data",
+        Seq("l_partkey", "l_suppkey"), s"$zBase/stats")
+      // linearly clustered on partkey only: suppkey spans every file
+      Layout.writeClustered(li, s"$cBase/data",
+        Seq("l_partkey"), numFiles = 16)
+      ZoneMaps.build(spark, s"$cBase/data",
+        Seq("l_partkey", "l_suppkey"), s"$cBase/stats")
+
+      val pk = li.agg(max($"l_partkey")).head().getLong(0)
+      val sk = li.agg(max($"l_suppkey")).head().getLong(0)
+      val box = Seq(
+        ("l_partkey", lit(0L), lit(pk / 4 + 1)),
+        ("l_suppkey", lit(0L), lit(sk / 4 + 1)))
+
+      val (zdf, (zRead, zTotal)) =
+        ZoneMaps.scanPrunedAll(spark, s"$zBase/data", s"$zBase/stats", box)
+      val (cdf, (cRead, cTotal)) =
+        ZoneMaps.scanPrunedAll(spark, s"$cBase/data", s"$cBase/stats", box)
+      assert(zRead < zTotal, s"z-order must prune the 2-D box ($zRead/$zTotal)")
+      // on the linear layout only the partkey conjunct prunes; the z-order
+      // layout must do at least as well BECAUSE the suppkey conjunct also
+      // bites there (a quarter-range box on 16 z-files)
+      assert(zRead <= cRead,
+        s"2-D layout must not read more than 1-D for a 2-D box ($zRead vs $cRead)")
+      // suppkey-only predicate: linear-on-partkey layout reads EVERYTHING
+      val (_, (sRead, sTotal)) = ZoneMaps.scanPrunedAll(
+        spark, s"$cBase/data", s"$cBase/stats",
+        Seq(("l_suppkey", lit(0L), lit(sk / 4 + 1))))
+      assert(sRead == sTotal,
+        s"the unclustered dimension cannot prune on a linear layout ($sRead/$sTotal)")
+      // and both layouts agree with each other on the rows
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select($"l_orderkey", $"l_linenumber")
+          .as[(Long, Int)].collect().toSet
+      assert(key(zdf) == key(cdf) && key(zdf).nonEmpty)
+    } finally { sweep(zBase); sweep(cBase) }
+  }
+
   test("stats build is one |files|-scale aggregate over one data scan") {
     val base = tmp()
     try {
