@@ -19,7 +19,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *  - chunk_admission: span-rewrite dedup admission into a persisted
   *                     Store index (broadcast-probe + crash-safe append);
   *  - bitmap_admission: day-keyed distinct-user bitmap partials into a
-  *                     Store (blind OR-mergeable appends).
+  *                     Store (blind OR-mergeable appends);
+  *  - mv_admission:    materialized-view monoid partials (count/sum/min/
+  *                     max per key) into a Store — the canonical
+  *                     incremental-ETL sink;
+  *  - pagerank_admission: transition-graph admission (within-batch lag
+  *                     window + frontier probe + edges/frontier append) —
+  *                     the face with real per-batch JOIN work against
+  *                     stored state.
   *
   * Per face, the FIRST batch is reported separately (it pays codegen/JIT,
   * exactly like the batch bench's warmup argument) and steady-state
@@ -113,6 +120,37 @@ object StreamBench {
             Files.createTempDirectory("graft_sb_ck2_").toString)
           .start()))
     sweep(bmStore)
+
+    // 4. materialized-view admission (orders rows: keyed monoid partials)
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+    val mvStore = tempStore()
+    results("mv_admission") = (orders.size,
+      drive[(Long, java.sql.Timestamp, String, Double)](
+        orders, batchSize = 10000,
+        in => queries.MaterializedAgg
+          .ordersStreamingAdmission(
+            in.toDF().toDF("o_orderkey", "o_orderdate", "o_orderstatus",
+              "o_totalprice"), mvStore)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_sb_ck3_").toString)
+          .start()))
+    sweep(mvStore)
+
+    // 5. transition-graph admission (time-ordered events: edges + frontier)
+    val pgStore = tempStore()
+    val eventsChrono = events.sortBy(e => (e._2.getTime, e._1))
+    results("pagerank_admission") = (events.size,
+      drive[(Long, java.sql.Timestamp, Long, String)](
+        eventsChrono, batchSize = 10000,
+        in => queries.IncrementalGraph
+          .pagerankStreamingAdmission(
+            in.toDF().toDF("event_id", "ts", "user_id", "event_type"), pgStore)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_sb_ck4_").toString)
+          .start()))
+    sweep(pgStore)
 
     def fmt(f: ((Int, Seq[Double])) => String): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
