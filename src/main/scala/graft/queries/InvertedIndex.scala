@@ -174,11 +174,95 @@ object InvertedIndex {
        |FROM ranked WHERE rank <= 10
        |ORDER BY rank""".stripMargin
 
+  // ---- positional index: phrase queries ---------------------------------
+
+  /** Positional postings of one batch: (token, doc_id, pos). Same set
+    * monoid as the boolean postings (rows are derivation-identical). */
+  private[graft] def positionalPartials(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+        posexplode(TF.wordTokens($"text")).as(Seq("pos", "token")))
+      .select($"token", $"doc_id", $"pos")
+      .distinct()
+  }
+
+  private[graft] def mergePositional(cells: DataFrame): DataFrame =
+    cells.dropDuplicates("token", "doc_id", "pos")
+
+  /** Admit one batch into a positional index. */
+  def admitDocsPositional(spark: SparkSession, storeDir: String,
+      batch: DataFrame, maintainEvery: Int = 8,
+      id: Option[String] = None): Boolean = {
+    val admitted =
+      Store.appendMaybeIdempotent(positionalPartials(batch), storeDir, id)
+    if (admitted)
+      Store.maintain(spark, storeDir, every = maintainEvery,
+        rewrite = mergePositional)
+    admitted
+  }
+
+  /** Exact-phrase search: doc_ids where `phrase`'s tokens occur at
+    * CONSECUTIVE positions. The first token's postings anchor; each later
+    * token joins on (doc_id, pos = anchor + offset) — every leg's scan is
+    * token-pruned (pushed IN over the whole phrase's tokens), and the
+    * joins are equi on (doc_id, pos) because the offset folds into the
+    * join key expression. |phrase|-1 joins over |matching-postings|-scale
+    * inputs: the standard positional-index plan. */
+  def phraseFromStore(spark: SparkSession, storeDir: String,
+      phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phrase needs at least one token")
+    val cells = mergePositional(
+      Store.read(spark, storeDir).filter($"token".isin(phrase: _*)))
+    val anchor = cells.filter($"token" === phrase.head)
+      .select($"doc_id", $"pos")
+    phrase.tail.zipWithIndex.foldLeft(anchor) { case (acc, (t, i)) =>
+      val leg = cells.filter($"token" === t)
+        .select($"doc_id".as("d2"), $"pos".as("p2"))
+      acc.join(leg, $"doc_id" === $"d2" && $"p2" === $"pos" + (i + 1))
+        .select($"doc_id", $"pos")
+    }.select($"doc_id").distinct()
+  }
+
+  private val Phrase = Seq("join", "hash")
+
+  /** Driver face: positional index from interleaved halves, exact-phrase
+    * search. Oracle: on space-normalized text, consecutive tokens ⟺ a
+    * space-padded substring match — an independent derivation of the same
+    * predicate. */
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pp_store_").toString
+    try {
+      val docs = Tables.documents(spark, dir)
+      admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 === 0))
+      admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 =!= 0))
+      phraseFromStore(spark, store, Phrase)
+        .join(docs, "doc_id")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
+        Unit
+    }
+  }
+
+  val textPhraseSearchSql: String =
+    s"""SELECT doc_id, source
+       |FROM documents
+       |WHERE ' ' || ${OracleFragments.norm("text")} || ' '
+       |  LIKE '% ${Phrase.mkString(" ")} %'
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_search_index" -> (textSearchIndex _),
+    "text_phrase_search" -> (textPhraseSearch _),
     "sim_hybrid_search" -> (simHybridSearch _))
 
   val oracles: Map[String, String] = Map(
     "text_search_index" -> textSearchIndexSql,
+    "text_phrase_search" -> textPhraseSearchSql,
     "sim_hybrid_search" -> simHybridSearchSql)
 }

@@ -127,6 +127,35 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally sweep(store)
   }
 
+  test("phrase search: consecutive positions only — adjacency recompute parity") {
+    val store = freshStore()
+    try {
+      val docs = Tables.documents(spark, sf)
+      InvertedIndex.admitDocsPositional(spark, store,
+        docs.filter($"doc_id" % 2 === 0))
+      InvertedIndex.admitDocsPositional(spark, store,
+        docs.filter($"doc_id" % 2 =!= 0))
+      val got = InvertedIndex.phraseFromStore(spark, store, Seq("join", "hash"))
+        .as[Long].collect().toSet
+      val seqs = Tables.documents(spark, sf)
+        .select($"doc_id", TF.wordTokens($"text").as("ts"))
+        .as[(Long, Seq[String])].collect()
+      val expect = seqs.collect {
+        case (id, ts) if ts.zip(ts.drop(1)).contains(("join", "hash")) => id
+      }.toSet
+      assert(got == expect, s"got=${got.size} expect=${expect.size}")
+      // the phrase set must be a strict refinement of the boolean AND —
+      // there must exist docs with both tokens NOT adjacent, and they must
+      // be excluded (otherwise this test proves nothing about positions)
+      val both = seqs.collect {
+        case (id, ts) if ts.contains("join") && ts.contains("hash") => id
+      }.toSet
+      assert(got.subsetOf(both) && got.size < both.size,
+        s"fixture must distinguish adjacency from co-occurrence " +
+          s"(phrase=${got.size}, AND=${both.size})")
+    } finally sweep(store)
+  }
+
   test("hybrid search: keyword slice then exact cosine rerank matches brute recompute") {
     val got = InvertedIndex.simHybridSearch(spark, sf)
       .as[(Long, Long, Double)].collect().toSeq
