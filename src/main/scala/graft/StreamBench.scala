@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{timestamp_micros, unix_micros}
 
 /** Streaming-throughput harness (VERDICT r8 task 10): the streaming faces
   * are correctness-tested batch-parity via MemoryStream; this puts the
@@ -86,10 +87,10 @@ object StreamBench {
     def sweep(d: String): Unit =
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)): Unit
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Seq[Double])]
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Int, Seq[Double])]
 
     // 1. domain-cap admitter: docs rows, in-query state only
-    results("domain_cap") = (docs.size, drive[(Long, String, String)](
+    results("domain_cap") = (docs.size, 500, drive[(Long, String, String)](
       docs, batchSize = 500,
       in => queries.DataPipeline
         .domainCapStream(in.toDF().toDF("doc_id", "source", "text"),
@@ -98,7 +99,7 @@ object StreamBench {
 
     // 2. span-rewrite chunk admission into a persisted index
     val chunkStore = tempStore()
-    results("chunk_admission") = (docs.size, drive[(Long, String, String)](
+    results("chunk_admission") = (docs.size, 500, drive[(Long, String, String)](
       docs, batchSize = 500,
       in => queries.IncrementalDedup
         .chunkStreamingAdmission(
@@ -110,7 +111,7 @@ object StreamBench {
 
     // 3. bitmap distinct-user admission (events rows — the volume face)
     val bmStore = tempStore()
-    results("bitmap_admission") = (events.size,
+    results("bitmap_admission") = (events.size, 10000,
       drive[(Long, java.sql.Timestamp, Long, String)](
         events, batchSize = 10000,
         in => queries.EventsSketches
@@ -126,7 +127,7 @@ object StreamBench {
       .select($"o_orderkey", $"o_orderdate", $"o_orderstatus", $"o_totalprice")
       .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
     val mvStore = tempStore()
-    results("mv_admission") = (orders.size,
+    results("mv_admission") = (orders.size, 10000,
       drive[(Long, java.sql.Timestamp, String, Double)](
         orders, batchSize = 10000,
         in => queries.MaterializedAgg
@@ -138,36 +139,44 @@ object StreamBench {
           .start()))
     sweep(mvStore)
 
-    // 5. transition-graph admission (time-ordered events: edges + frontier)
+    // 5. transition-graph admission (time-ordered events: edges + frontier).
+    // Order at MICROsecond precision — the admission contract's granularity
+    // (Timestamp.getTime is millis; sub-ms reordering would corrupt edges).
+    val eventsMicros = graft.sources.Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("tus"), $"user_id",
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+      .sortBy(e => (e._2, e._1))
     val pgStore = tempStore()
-    val eventsChrono = events.sortBy(e => (e._2.getTime, e._1))
-    results("pagerank_admission") = (events.size,
-      drive[(Long, java.sql.Timestamp, Long, String)](
-        eventsChrono, batchSize = 10000,
+    results("pagerank_admission") = (eventsMicros.size, 10000,
+      drive[(Long, Long, Long, String)](
+        eventsMicros, batchSize = 10000,
         in => queries.IncrementalGraph
           .pagerankStreamingAdmission(
-            in.toDF().toDF("event_id", "ts", "user_id", "event_type"), pgStore)
+            in.toDF().toDF("event_id", "tus", "user_id", "event_type")
+              .withColumn("ts", timestamp_micros($"tus")).drop("tus"),
+            pgStore)
           .option("checkpointLocation",
             Files.createTempDirectory("graft_sb_ck4_").toString)
           .start()))
     sweep(pgStore)
 
-    def fmt(f: ((Int, Seq[Double])) => String): String = results
+    def fmt(f: ((Int, Int, Seq[Double])) => String): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // steady-state rate excludes the first (codegen-paying) batch when
-    // more than one batch ran
-    def steady(v: (Int, Seq[Double])): String = {
-      val (rows, ts) = v
+    // more than one batch ran. The first chunk of grouped() is always a
+    // FULL batch, so the steady row count is exactly rows - batchSize —
+    // dividing rows evenly across batches would let a partial last batch
+    // inflate the rate.
+    def steady(v: (Int, Int, Seq[Double])): String = {
+      val (rows, batchSize, ts) = v
       if (ts.size <= 1) round1(rows / ts.sum).toString
-      else {
-        val batchRows = rows.toDouble / ts.size
-        round1(batchRows * (ts.size - 1) / ts.drop(1).sum).toString
-      }
+      else round1((rows - batchSize).toDouble / ts.drop(1).sum).toString
     }
     val header = s""""metric":"stream_rows_per_sec","sf":"$sfDir","cpus":"$cpus""""
     val full = s"""{$header,"steady":${fmt(steady)},""" +
       s""""total_rows":${fmt(_._1.toString)},""" +
-      s""""batch_secs":${fmt(v => v._2.map(round1).mkString("[", ",", "]"))}}"""
+      s""""batch_secs":${fmt(v => v._3.map(round1).mkString("[", ",", "]"))}}"""
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, full.getBytes(StandardCharsets.UTF_8))

@@ -183,7 +183,10 @@ object BpeVocab {
     * to a `list_reduce` where the accumulator's LAST element plays
     * `pending` (sound because a just-merged symbol `l||r` can never equal
     * `l`, so it cannot cascade within its round — the same invariant the
-    * engine relies on). */
+    * engine relies on). A round with no adjacent pair left yields an EMPTY
+    * m-CTE; the rewrite joins it with LEFT JOIN ON TRUE so the word table
+    * passes through unchanged (NULL merge matches nothing) — mirroring the
+    * engine's early-stop, instead of a CROSS JOIN wiping the corpus. */
   private[queries] def sqlCtes(nMerges: Int): String = {
     val words0 =
       raw"""w0 AS MATERIALIZED (
@@ -210,7 +213,7 @@ object BpeVocab {
            |                  THEN list_append(acc[1:len(acc)-1], m.l || m.r2)
            |                  ELSE list_append(acc, x[1]) END) AS syms,
            |    t.freq
-           |  FROM w${r - 1} t CROSS JOIN m$r m
+           |  FROM w${r - 1} t LEFT JOIN m$r m ON TRUE
            |)""".stripMargin)
     }
     (words0 +: rounds).mkString(",\n")

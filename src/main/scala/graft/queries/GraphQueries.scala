@@ -114,7 +114,12 @@ object GraphQueries {
          |  WHERE node NOT IN (SELECT src FROM probs)),
          |r${i + 1} AS (
          |  SELECT nd.node,
-         |    0.15 / (SELECT n FROM nn) +
+         |    -- the engine computes the teleport as a DOUBLE subtraction
+         |    -- (1.0 - damping = 0.15000000000000002); DuckDB's bare 0.15
+         |    -- is a DECIMAL literal one ulp away, so mirror the exact
+         |    -- double arithmetic
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |      / (SELECT n FROM nn) +
          |    0.85 * (COALESCE(c.m, 0) + (SELECT dm FROM d$i) / (SELECT n FROM nn))
          |      AS rank
          |  FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin

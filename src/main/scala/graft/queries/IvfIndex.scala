@@ -86,8 +86,11 @@ object IvfIndex {
     * vec_id, v) to the inverted file. Returns the admitted assignment
     * frame (vec_id, cell).
     *
-    * "New" = vec_id not yet indexed (any version) and minimal-row within
-    * the batch — the [[IncrementalDedup.admissionFrame]] join order:
+    * "New" = vec_id not yet indexed UNDER THE CURRENT CODEBOOK VERSION
+    * and minimal-row within the batch — membership is per-version, so
+    * after a [[reindexIvf]] retrain the same vec_ids must be re-admitted
+    * to populate the new version's cells (the versioning spec pins this).
+    * The probe uses the [[IncrementalDedup.admissionFrame]] join order:
     * batch ids broadcast INTO the cells scan (inner probe), the ≤
     * batch-sized matched set broadcasts back into the batch-side anti
     * join. The index never moves. Assignment itself is join-free: one
@@ -98,7 +101,20 @@ object IvfIndex {
     * lazily re-derived frame that probed that same path would re-evaluate
     * against its own output (the dedup-store trap). */
   def admitBatchIvf(batch: DataFrame, indexDir: String,
-      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame =
+    admitCellsInto(batch, indexDir, cellsDir(indexDir),
+      payload = Seq(org.apache.spark.sql.functions.col("v")),
+      maintainEvery, id)
+
+  /** The shared admission protocol of the exact and SQ8 inverted files —
+    * ONE implementation so a fix to the membership probe, lineage-cut
+    * ordering, or append/maintain sequencing can never silently diverge
+    * the two stores' crash-safety semantics. `payload` selects what the
+    * cells persist for each admitted vector (fp64 `v`, or int8 codes +
+    * scale), evaluated over the assignment frame's `v` column. */
+  private def admitCellsInto(batch: DataFrame, indexDir: String,
+      cellsPath: String, payload: Seq[org.apache.spark.sql.Column],
+      maintainEvery: Int, id: Option[String]): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val (version, codebook) = readCodebook(spark, indexDir)
@@ -106,12 +122,12 @@ object IvfIndex {
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
       .dropDuplicates("vec_id")
     val fresh =
-      if (Store.hasData(cellsDir(indexDir))) {
+      if (Store.hasData(cellsPath)) {
         // membership is PER CODEBOOK VERSION: a retrain (new version)
         // re-admits every vector under the new quantizer, while replays
         // and overlapping drops within a version stay no-ops. The version
         // predicate prunes the cells scan before the probe.
-        val index = Store.read(spark, cellsDir(indexDir))
+        val index = Store.read(spark, cellsPath)
           .filter($"version" === version)
         val matched = index
           .join(broadcast(vecs.select($"vec_id")), "vec_id")
@@ -119,15 +135,15 @@ object IvfIndex {
         vecs.join(broadcast(matched), Seq("vec_id"), "left_anti")
       } else vecs
     val admitted = fresh
-      .select(
+      .select(Seq(
         lit(version).as("version"),
         element_at(
           VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1)
           .as("cell"),
-        $"vec_id", $"v")
+        $"vec_id") ++ payload: _*)
       .localCheckpoint()
-    if (Store.appendMaybeIdempotent(admitted, cellsDir(indexDir), id))
-      Store.maintain(spark, cellsDir(indexDir), every = maintainEvery)
+    if (Store.appendMaybeIdempotent(admitted, cellsPath, id))
+      Store.maintain(spark, cellsPath, every = maintainEvery)
     admitted.select($"vec_id", $"cell")
   }
 
@@ -177,34 +193,11 @@ object IvfIndex {
     * idempotent ids, and crash-safe protocol as [[admitBatchIvf]]. */
   def admitBatchIvfSq8(batch: DataFrame, indexDir: String,
       maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val (version, codebook) = readCodebook(spark, indexDir)
-    val vecs = batch
-      .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
-      .dropDuplicates("vec_id")
-    val fresh =
-      if (Store.hasData(cellsSq8Dir(indexDir))) {
-        val index = Store.read(spark, cellsSq8Dir(indexDir))
-          .filter($"version" === version)
-        val matched = index
-          .join(broadcast(vecs.select($"vec_id")), "vec_id")
-          .select($"vec_id")
-        vecs.join(broadcast(matched), Seq("vec_id"), "left_anti")
-      } else vecs
-    val admitted = fresh
-      .select(
-        lit(version).as("version"),
-        element_at(
-          VectorFunctions.codebookTopCells($"v", codebook, nTop = 1), 1)
-          .as("cell"),
-        $"vec_id",
-        VectorFunctions.quantizeInt8($"v").as("qv"),
-        VectorFunctions.maxAbs($"v").as("m"))
-      .localCheckpoint()
-    if (Store.appendMaybeIdempotent(admitted, cellsSq8Dir(indexDir), id))
-      Store.maintain(spark, cellsSq8Dir(indexDir), every = maintainEvery)
-    admitted.select($"vec_id", $"cell")
+    val c = org.apache.spark.sql.functions.col _
+    admitCellsInto(batch, indexDir, cellsSq8Dir(indexDir),
+      payload = Seq(VectorFunctions.quantizeInt8(c("v")).as("qv"),
+        VectorFunctions.maxAbs(c("v")).as("m")),
+      maintainEvery, id)
   }
 
   /** Serve approximate cosine top-`k` from the QUANTIZED store alone:

@@ -83,22 +83,32 @@ object MalformedInput {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(fixture)
-      parsed
-        .withColumn("status",
-          when($"_corrupt_record".isNotNull, lit("_corrupt"))
-            .otherwise($"o_orderstatus"))
-        .groupBy($"status")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          round(sum($"o_totalprice"), 2).as("sum_price"))
-        .orderBy($"status")
-        .localCheckpoint(true)
+      // cache: both branches below share one parse (same discipline as q70)
+      val cached = parsed.cache()
+      // price sums in exact DECIMAL (the repo-wide discipline): a raw
+      // double sum of ~10^4 rows is accumulation-order-dependent and can
+      // round to different cents across engines
+      val clean = cached.filter($"_corrupt_record".isNull)
+        .groupBy($"o_orderstatus".as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_totalprice".cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+      // GLOBAL aggregate, not a group: always emits its row, so a
+      // zero-corruption feed still reports `_corrupt, 0` exactly like the
+      // oracle's unconditional UNION ALL branch
+      val corrupt = cached
+        .agg(sum($"_corrupt_record".isNotNull.cast("long")).as("n_rows"),
+          lit(null).cast("double").as("sum_price"))
+        .select(lit("_corrupt").as("status"), $"n_rows", $"sum_price")
+      try clean.unionAll(corrupt).orderBy($"status").localCheckpoint(true)
+      finally cached.unpersist(): Unit
     } finally sweep(fixture)
   }
 
   val q69CorruptJsonSql: String =
     s"""SELECT o_orderstatus AS status, count(*) AS n_rows,
-       |  round(sum(o_totalprice), 2) AS sum_price
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS sum_price
        |FROM orders WHERE o_orderkey % $JsonCorruptMod <> 0
        |GROUP BY o_orderstatus
        |UNION ALL
@@ -154,7 +164,8 @@ object MalformedInput {
         .groupBy($"c_mktsegment".as("segment"))
         .agg(
           count(lit(1)).as("n_rows"),
-          round(sum($"c_acctbal"), 2).as("sum_bal"),
+          sum($"c_acctbal".cast("decimal(12,2)"))
+            .cast("double").as("sum_bal"),
           lit(null).cast("long").as("min_key"),
           lit(null).cast("long").as("max_key"))
       // quarantined rows: all typed columns NULL by contract, but the raw
@@ -176,7 +187,7 @@ object MalformedInput {
 
   val q70CsvQuarantineSql: String =
     s"""SELECT c_mktsegment AS segment, count(*) AS n_rows,
-       |  round(sum(c_acctbal), 2) AS sum_bal,
+       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
        |  CAST(NULL AS BIGINT) AS min_key, CAST(NULL AS BIGINT) AS max_key
        |FROM customer WHERE c_custkey % $CsvCorruptMod <> 0
        |GROUP BY c_mktsegment

@@ -54,31 +54,32 @@ object ZoneMaps {
     * multiplicatively on a layout that correlates several columns with
     * file boundaries (z-order): each dimension independently excludes
     * files the other cannot. */
-  private def candidateFiles(spark: SparkSession, statsDir: String,
-      preds: Seq[(String, Column, Column)]): Seq[String] = {
-    import spark.implicits._
-    val keep = preds
-      .map { case (c, lo, hi) =>
-        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
-      }
-      .reduce(_ && _)
-    spark.read.parquet(statsDir)
-      .filter(keep)
-      .select($"file").as[String]
-      .collect().toSeq // bounded: one row per data file (see header)
-  }
-
   /** Scan `dataPath` for rows satisfying every `col in [lo, hi)` conjunct,
     * reading ONLY files the zone map cannot exclude. Returns the filtered
     * frame plus (filesRead, filesTotal) for observability — the pair every
     * data-skipping report is built from. The residual predicate is still
     * applied (and still pushes to parquet row groups): surviving files
-    * straddle the boundary, so pruning alone is never assumed exact. */
+    * straddle the boundary, so pruning alone is never assumed exact.
+    *
+    * Metadata cost: ONE read of the tiny stats table decides both the
+    * candidate list and the total (the bounded collect from the header).
+    * The data directory itself is never listed unless the candidate set is
+    * empty (only then is its schema read, to shape the empty result) —
+    * avoiding a full file listing is the entire point of the zone map. */
   def scanPrunedAll(spark: SparkSession, dataPath: String, statsDir: String,
       preds: Seq[(String, Column, Column)]): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
     require(preds.nonEmpty, "at least one range conjunct")
-    val total = spark.read.parquet(statsDir).count().toInt
-    val files = candidateFiles(spark, statsDir, preds)
+    val keep = preds
+      .map { case (c, lo, hi) =>
+        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+      }
+      .reduce(_ && _)
+    val flagged = spark.read.parquet(statsDir)
+      .select($"file", keep.as("keep")).as[(String, Boolean)]
+      .collect() // bounded: one row per data file (see header)
+    val total = flagged.length
+    val files = flagged.collect { case (f, true) => f }.toSeq
     val pred = preds
       .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
       .reduce(_ && _)
@@ -87,12 +88,10 @@ object ZoneMaps {
         // nothing can match: empty frame with the data's schema, no scan
         spark.read.parquet(dataPath).filter(lit(false))
       else
-        spark.read
-          // pin the schema from the stats-build scan's source so an empty
-          // file subset can never infer a narrower schema
-          .schema(spark.read.parquet(dataPath).schema)
-          .parquet(files: _*)
-          .filter(pred)
+        // a file subset shares the directory's writer schema (zone-mapped
+        // layouts are single-writer by construction), so no schema pin is
+        // needed and the full directory is never listed
+        spark.read.parquet(files: _*).filter(pred)
     (df, (files.length, total))
   }
 

@@ -30,14 +30,26 @@ object ForkedJvm {
   }
 
   /** Block until the child prints a line containing `marker` (returns it),
-    * or the child exits / `timeoutMs` elapses (returns None). */
+    * or the child exits / `timeoutMs` elapses (returns None). The reader
+    * only calls readLine() when input is ready, so a child that wedges
+    * while printing NOTHING still times out instead of blocking the whole
+    * test session on an indefinite readLine. */
   def awaitLine(p: Process, marker: String, timeoutMs: Long = 120000): Option[String] = {
     val r = new BufferedReader(new InputStreamReader(p.getInputStream))
     val deadline = System.currentTimeMillis() + timeoutMs
-    var line = r.readLine()
-    while (line != null && System.currentTimeMillis() < deadline) {
-      if (line.contains(marker)) return Some(line)
-      line = r.readLine()
+    val sb = new StringBuilder
+    while (System.currentTimeMillis() < deadline) {
+      if (r.ready()) {
+        val c = r.read()
+        if (c < 0) return None // EOF: child exited without the marker
+        if (c == '\n') {
+          val line = sb.toString(); sb.clear()
+          if (line.contains(marker)) return Some(line)
+        } else if (c != '\r') sb.append(c.toChar)
+      } else if (!p.isAlive && !r.ready()) {
+        // drained and dead — check the trailing unterminated line once
+        return if (sb.toString().contains(marker)) Some(sb.toString()) else None
+      } else Thread.sleep(10)
     }
     None
   }

@@ -17,7 +17,9 @@ def load(p):
 
 def norm_queries(d):
     if "queries_norm" in d:
-        return {k: v for k, v in d["queries_norm"].items() if v > 0}, True
+        q = {k: v for k, v in d["queries_norm"].items() if v > 0}
+        if q:  # all-(-1) queries_norm (failed probe) falls through to raw
+            return q, True
     probe = d.get("calibration", {}).get("spark_probe_sec", -1)
     if probe and probe > 0:
         return {k: v / probe for k, v in d["queries"].items() if v > 0}, True
@@ -47,9 +49,12 @@ def main(old_path, new_path):
             print(f"{f}: spark_probe={c['spark_probe_sec']}s cpu_probe="
                   f"{c['cpu_probe_sec_before']}/{c['cpu_probe_sec_after']}s "
                   f"loadavg={c['loadavg_before']}->{c['loadavg_after']}")
-    print(f"shared queries: {len(shared)}  median ratio: {med:.3f}  "
-          f"p10/p90: {statistics.quantiles(list(ratios.values()), n=10)[0]:.3f}/"
-          f"{statistics.quantiles(list(ratios.values()), n=10)[8]:.3f}")
+    if len(ratios) >= 2:
+        qs = statistics.quantiles(list(ratios.values()), n=10)
+        print(f"shared queries: {len(shared)}  median ratio: {med:.3f}  "
+              f"p10/p90: {qs[0]:.3f}/{qs[8]:.3f}")
+    else:  # quantiles() raises below 2 data points
+        print(f"shared queries: {len(shared)}  median ratio: {med:.3f}")
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
     best = sorted(ratios.items(), key=lambda kv: kv[1])[:8]
     print("slowest-moving (new/old):")
