@@ -46,6 +46,46 @@ class Sf01RoundNineParitySpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 index at sf0.1: served top-10 equals the dense recompute", SlowTest) {
+    import graft.functions.{TextFunctions => TF}
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_sf01_").toString
+    try {
+      val docs = Tables.documents(spark, sfBig)
+      (0 until 3).foreach { i =>
+        graft.queries.Bm25.admitDocs(spark, store,
+          docs.filter($"doc_id" % 3 === i), maintainEvery = 2,
+          id = Some(s"sfb$i"))
+      }
+      val terms = Seq("join", "hash", "window")
+      val got = graft.queries.Bm25.rankFromStore(spark, store, terms)
+        .as[(Long, Double, Long)].collect().toSeq
+      // dense driver recompute at 10x corpus — the df/avgdl constants and
+      // the tf distribution all shift with scale
+      val toks = docs.select($"doc_id", TF.wordTokens($"text").as("ts"))
+        .as[(Long, Seq[String])].collect()
+      val n = toks.length
+      val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+      val df = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val (k1, b) = (1.2, 0.75)
+      val expect = toks.flatMap { case (id, ts) =>
+        val contribs = terms.flatMap { t =>
+          val tf = ts.count(_ == t)
+          if (tf == 0) None
+          else Some(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+            (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * ts.length / avgdl)))
+        }
+        if (contribs.isEmpty) None else Some((id, contribs.sum, contribs.size.toLong))
+      }.sortBy { case (id, s, _) => (-s, id) }.take(10)
+        .map { case (id, s, nt) => (id, math.round(s * 1e4) / 1e4, nt) }
+        .toSeq
+      assert(got == expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
+        Unit
+    }
+  }
+
   test("materialized view at sf0.1: 6-way interleaved admission equals one groupBy", SlowTest) {
     val store = java.nio.file.Files
       .createTempDirectory("graft_mv_sf01_").toString
