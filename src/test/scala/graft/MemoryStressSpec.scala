@@ -13,16 +13,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * driver-side materialization its scaladoc doesn't admit to. */
 class MemoryStressSpec extends AnyFunSuite {
 
-  /** The 10 heaviest queries by the r8/r9 bench, spanning every
-    * bounded-state mechanism: composed ANN reports, BPE training,
-    * LSH+connected components, recursive CTE, persisted-store admission,
-    * tokenizer apply, distributed percentile outliers, shingle joins, CC
-    * consumers. */
+  /** The 12 heaviest queries by the r9 bench, spanning every
+    * bounded-state mechanism: graph-store admission (the r9-continuation
+    * heaviest), composed ANN reports, BPE training, LSH+connected
+    * components, recursive CTE, persisted-store admission, tokenizer
+    * apply, distributed percentile outliers, shingle joins, CC consumers,
+    * IVF serving. */
   private val heaviest = Seq(
-    "sim_recall_report", "prep_bpe_budget", "dedup_semantic",
-    "q50_recursive_bom", "dedup_chunks_incremental", "text_bpe_encode",
-    "text_bpe_vocab", "prep_outliers", "dedup_ngram_jaccard",
-    "dedup_canonical")
+    "events_pagerank_incremental", "sim_recall_report", "prep_bpe_budget",
+    "dedup_semantic", "q50_recursive_bom", "dedup_chunks_incremental",
+    "text_bpe_encode", "text_bpe_vocab", "prep_outliers",
+    "dedup_ngram_jaccard", "dedup_canonical", "sim_ivf_served")
 
   test("heaviest sf0.1 queries complete in a 1 GiB JVM", SlowTest) {
     val p = ForkedJvm.start("graft.MemoryStressChild",

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Profiling
+import graft.sources.Tables
+
+class ProfilingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("stats match a driver recompute on all three columns") {
+    val got = Profiling.prepTableStats(spark, sf)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    val rows = Tables.lineitem(spark, sf)
+      .select($"l_quantity".cast("long"), $"l_returnflag",
+        to_date($"l_shipdate").cast("string"))
+      .as[(Long, String, String)].collect()
+    val n = rows.length.toLong
+    assert(got("l_quantity") ==
+      ((n, 0L, rows.map(_._1).distinct.length.toLong,
+        rows.map(_._1).min.toString, rows.map(_._1).max.toString)))
+    assert(got("l_returnflag") ==
+      ((n, 0L, rows.map(_._2).distinct.length.toLong,
+        rows.map(_._2).min, rows.map(_._2).max)))
+    assert(got("l_shipdate") ==
+      ((n, 0L, rows.map(_._3).distinct.length.toLong,
+        rows.map(_._3).min, rows.map(_._3).max)))
+  }
+
+  test("profiling is ONE scan, not one per column (the anti-pattern it replaces)") {
+    val df = Profiling.prepTableStats(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"one fact scan for all columns:\n$plan")
+    assert(plan.contains("Expand"),
+      s"exact multi-column NDV plans through one Expand:\n$plan")
+  }
+}
