@@ -54,6 +54,29 @@ object TypedAggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** [[TopK]] with a PAYLOAD: keeps the k best (score, id) pairs under
+    * (score DESC, id ASC) — the map-side partial heap behind
+    * `q81_group_topk_agg`'s aggregate top-k. Exact-integer ordering with
+    * the id tiebreak means eviction can never disagree with a window
+    * row_number on a double ulp. State is ≤ k pairs at every
+    * partial/merge step, so the shuffle carries at most k rows per
+    * (group, partition) where the window form shuffles every fact row. */
+  class TopKBy(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def best(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sortBy { case (s, id) => (-s, id) }.take(k)
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(b: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      best(b :+ x)
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      best(a ++ b)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = best(r)
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Count-Min sketch over string keys (Cormode & Muthukrishnan 2005):
     * `depth` independent hash rows × `width` counters; point estimate =
     * min over rows. Completes the engine's sketch family (HLL cardinality
