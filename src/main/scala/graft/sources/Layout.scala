@@ -163,8 +163,12 @@ object Layout {
   /** The rename-aside swap shared by [[compact]] and [[Store.compact]]:
     * move the live directory aside, promote the rewrite, drop the old copy
     * — the live data is in `path` or `path + ".old"` at every step
-    * boundary. */
-  private[graft] def promote(tmp: String, path: String): Unit = {
+    * boundary. `salvage(oldDir, liveDir)` runs between the promotion and
+    * the drop so a caller can rescue entries from the superseded copy that
+    * the rewrite provably did not include (Store.compact moves raced
+    * delta admissions back into the live store there). */
+  private[graft] def promote(tmp: String, path: String,
+      salvage: (java.io.File, java.io.File) => Unit = (_, _) => ()): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -176,6 +180,7 @@ object Layout {
       throw new java.io.IOException(s"could not move $path aside to $bak")
     if (!new java.io.File(tmp).renameTo(dir))
       throw new java.io.IOException(s"could not move $tmp to $path")
+    salvage(bak, dir)
     rm(bak)
   }
 

@@ -146,29 +146,57 @@ object Store {
   /** Rewrite the store into `numFiles` flat files (through `rewrite`,
     * identity by default — the anomaly store passes its sum-merge), then
     * promote with the rename-aside swap and sweep any orphaned
-    * `.inprogress-*` staging dirs (dead by definition once no admit is
-    * running — single-writer stores, the same assumption the append
-    * protocol itself makes). */
+    * `.inprogress-*` staging dirs.
+    *
+    * Writer discipline: compaction is issued by ONE coordinator, but a
+    * delta APPEND racing the rewrite is tolerated — membership in the
+    * compacted image is taken from the image's own frozen file index
+    * (`inputFiles`), and the swap's salvage step moves every committed
+    * delta the image provably did not include from the superseded copy
+    * back into the live store (no loss, no double-count — spec-pinned
+    * both ways). The only remaining exclusion window is the two renames
+    * themselves (microseconds; an append staging exactly then fails its
+    * own rename and retries) — down from the whole rewrite. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
-      rewrite: DataFrame => DataFrame = identity): Unit = {
+      rewrite: DataFrame => DataFrame = identity): Unit =
+    compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+
+  /** [[compact]] with the image frame injectable — split out so the race
+    * spec can commit a delta AFTER the image's file index froze and prove
+    * the salvage path recovers it. */
+  private[graft] def compactImage(spark: SparkSession, dir: String,
+      image: DataFrame, numFiles: Int,
+      rewrite: DataFrame => DataFrame): Unit = {
     require(numFiles > 0)
-    // admission markers must survive the swap: collect ids of every
-    // committed delta (and every existing marker) BEFORE the rewrite so an
-    // idempotent writer's replay still skips after its delta is folded away
+    // exactly which deltas the image folded: from its FROZEN file index —
+    // a pre-listing could disagree with what the write actually reads
+    val includedIds: Set[String] = image.inputFiles.flatMap { p =>
+      p.split('/').find(_.startsWith("delta-")).map(_.stripPrefix("delta-"))
+    }.toSet
+    // admission markers must survive the swap for every FOLDED delta (and
+    // every already-marked id) so an idempotent replay still skips after
+    // its delta dir is gone; salvaged deltas keep their dir = their witness
     val pre = new File(dir).listFiles()
-    val admittedIds: Seq[String] =
+    val markerIds: Seq[String] = (includedIds ++ (
       if (pre == null) Seq.empty
       else pre.collect {
-        case f if f.isDirectory && f.getName.startsWith("delta-") =>
-          f.getName.stripPrefix("delta-")
         case f if f.isFile && f.getName.startsWith(".admitted-") =>
           f.getName.stripPrefix(".admitted-")
-      }.toSeq.distinct
+      }.toSeq)).toSeq.distinct
     val tmp = dir + ".compact"
-    rewrite(read(spark, dir)).repartition(numFiles)
+    rewrite(image).repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    Layout.promote(tmp, dir)
-    admittedIds.foreach(id => new File(dir, s".admitted-$id").createNewFile(): Unit)
+    Layout.promote(tmp, dir, salvage = (bak, live) => {
+      val ds = bak.listFiles()
+      if (ds != null) ds
+        .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
+          !includedIds.contains(f.getName.stripPrefix("delta-")))
+        .foreach { d =>
+          if (!d.renameTo(new File(live, d.getName)))
+            throw new IOException(s"could not salvage raced delta $d")
+        }
+    })
+    markerIds.foreach(id => new File(dir, s".admitted-$id").createNewFile(): Unit)
     val leftovers = new File(dir).listFiles()
     if (leftovers != null)
       leftovers.filter(f => f.isDirectory && f.getName.startsWith(".inprogress-"))

@@ -1,0 +1,125 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Layout, Store}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Concurrency contract of the Store protocol, stated precisely and
+  * pinned from both sides:
+  *
+  *  - CONCURRENT APPENDS with distinct ids are safe — each stages into
+  *    its own hidden directory and commits with an independent atomic
+  *    rename, so parallel writers (e.g. two ingest jobs covering disjoint
+  *    partitions) compose without coordination;
+  *  - a delta APPEND racing a COMPACTION is tolerated: image membership
+  *    comes from the image's frozen file index and the swap salvages
+  *    every committed delta the image provably did not include — pinned
+  *    from both sides (salvaged delta survives un-doubled with working
+  *    replay markers; the raw Layout.promote underneath really does drop
+  *    the old copy wholesale, so the salvage step is load-bearing). The
+  *    residual exclusion window is the two renames themselves.
+  */
+class StoreConcurrencySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshStore(): String = java.nio.file.Files
+    .createTempDirectory("graft_conc_spec_").toString
+
+  private def sweep(dir: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+  }
+
+  test("8 parallel appends with distinct ids: all land, byte-complete") {
+    val store = freshStore()
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { i =>
+        Future {
+          Store.appendIdempotent(
+            Seq.tabulate(100)(j => (i.toLong, (i * 100 + j).toLong))
+              .toDF("writer", "n"),
+            store, id = s"w$i")
+        }
+      }
+      val results = Await.result(Future.sequence(fs), 120.seconds)
+      assert(results.forall(identity), "every distinct-id admit must win")
+      val got = Store.read(spark, store).as[(Long, Long)].collect().toSet
+      val expect = (for (i <- 0 until 8; j <- 0 until 100)
+        yield (i.toLong, (i * 100 + j).toLong)).toSet
+      assert(got == expect)
+      assert(Store.deltaCount(store) == 8)
+    } finally { pool.shutdown(); sweep(store) }
+  }
+
+  test("a delta committed inside the compaction window is SALVAGED, not lost, not doubled") {
+    val store = freshStore()
+    try {
+      Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"), store, "a")
+      // compaction step 1: the image's file index freezes here
+      val image = Store.read(spark, store)
+      // a concurrent admission lands AFTER the freeze, BEFORE the swap —
+      // the exact race that used to swap the delta into the dropped .old
+      Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "b")
+      Store.compactImage(spark, store, image, numFiles = 1, rewrite = identity)
+      val after = Store.read(spark, store).as[(Long, Long)].collect().toSeq
+      assert(after.toSet == Set((1L, 1L), (2L, 2L)),
+        s"raced delta must survive compaction: $after")
+      assert(after.size == 2, s"and must not be double-counted: $after")
+      // the salvaged delta's own dir is its admission witness; the folded
+      // delta's witness is its marker — replays of BOTH must still skip
+      assert(!Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"), store, "a"))
+      assert(!Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "b"))
+      // and the next (un-raced) compaction folds the salvaged delta too
+      Store.compact(spark, store, numFiles = 1)
+      assert(Store.deltaCount(store) == 0)
+      assert(Store.read(spark, store).count() == 2)
+      assert(!Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "b"))
+    } finally sweep(store)
+  }
+
+  test("promote without salvage still drops the old copy whole (the Layout contract)") {
+    val store = freshStore()
+    try {
+      Store.append(Seq((1L, 1L)).toDF("writer", "n"), store)
+      val stale = Store.read(spark, store).localCheckpoint(true)
+      Store.append(Seq((2L, 2L)).toDF("writer", "n"), store)
+      val tmp = store + ".compact"
+      stale.repartition(1).write.mode("overwrite").parquet(tmp)
+      Layout.promote(tmp, store) // no salvage: raw swap semantics
+      assert(Store.read(spark, store).as[(Long, Long)].collect().toSet ==
+        Set((1L, 1L)),
+        "raw promote replaces wholesale — Store.compactImage's salvage is " +
+          "what adds the raced-delta recovery on top")
+    } finally sweep(store)
+  }
+
+  test("maintain() from the single writer immediately after parallel appends folds all of them") {
+    val store = freshStore()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 4).map { i =>
+        Future {
+          Store.appendIdempotent(Seq((i.toLong, i.toLong)).toDF("writer", "n"),
+            store, id = s"m$i")
+        }
+      }
+      Await.result(Future.sequence(fs), 120.seconds)
+      // writers have quiesced: the coordinator compacts (the contract's
+      // intended usage) and nothing is lost, markers keep replays no-ops
+      Store.maintain(spark, store, every = 1, numFiles = 1)
+      assert(Store.deltaCount(store) == 0)
+      assert(Store.read(spark, store).count() == 4)
+      assert(!Store.appendIdempotent(Seq((9L, 9L)).toDF("writer", "n"),
+        store, id = "m0"), "post-compaction replay must still skip")
+    } finally { pool.shutdown(); sweep(store) }
+  }
+}
