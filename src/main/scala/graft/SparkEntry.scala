@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Bm25, BpeVocab, DataPipeline, Dedup, DedupRewrite, Drift, EventsQueries, EventsSketches, Expectations, GraphQueries, GroupTopK, IncrementalGraph, InvertedIndex, IvfIndex, MalformedInput, MaterializedAgg, Multimodal, PipeQueries, Profiling, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Resample, SimilaritySearch, SqlInterface, TextAnalysis, ZoneScan}
+import graft.queries.{Attribution, Bm25, BpeVocab, DataPipeline, Dedup, DedupRewrite, Drift, EventsQueries, EventsSketches, Expectations, GraphQueries, GroupTopK, IncrementalGraph, InvertedIndex, IvfIndex, MalformedInput, MaterializedAgg, Multimodal, PipeQueries, Profiling, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Relational7, Resample, SimilaritySearch, SqlInterface, TextAnalysis, ZoneScan}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ Relational5.queries ++ Relational6.queries ++ Relational7.queries ++ MalformedInput.queries ++ PipeQueries.queries ++ Dedup.queries ++
       DedupRewrite.queries ++ SimilaritySearch.queries ++ IvfIndex.queries ++ TextAnalysis.queries ++ BpeVocab.queries ++ Multimodal.queries ++
-      EventsQueries.queries ++ EventsSketches.queries ++ Resample.queries ++ DataPipeline.queries ++ Expectations.queries ++ Drift.queries ++ MaterializedAgg.queries ++ ZoneScan.queries ++ GraphQueries.queries ++ IncrementalGraph.queries ++ InvertedIndex.queries ++ Bm25.queries ++ SqlInterface.queries ++ Profiling.queries ++ GroupTopK.queries
+      EventsQueries.queries ++ EventsSketches.queries ++ Resample.queries ++ DataPipeline.queries ++ Expectations.queries ++ Drift.queries ++ MaterializedAgg.queries ++ ZoneScan.queries ++ GraphQueries.queries ++ IncrementalGraph.queries ++ InvertedIndex.queries ++ Bm25.queries ++ SqlInterface.queries ++ Profiling.queries ++ GroupTopK.queries ++ Attribution.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ Relational5.oracles ++ Relational6.oracles ++ Relational7.oracles ++ MalformedInput.oracles ++ PipeQueries.oracles ++ Dedup.oracles ++
       DedupRewrite.oracles ++ SimilaritySearch.oracles ++ IvfIndex.oracles ++ TextAnalysis.oracles ++ BpeVocab.oracles ++ Multimodal.oracles ++
-      EventsQueries.oracles ++ EventsSketches.oracles ++ Resample.oracles ++ DataPipeline.oracles ++ Expectations.oracles ++ Drift.oracles ++ MaterializedAgg.oracles ++ ZoneScan.oracles ++ GraphQueries.oracles ++ IncrementalGraph.oracles ++ InvertedIndex.oracles ++ Bm25.oracles ++ SqlInterface.oracles ++ Profiling.oracles ++ GroupTopK.oracles
+      EventsQueries.oracles ++ EventsSketches.oracles ++ Resample.oracles ++ DataPipeline.oracles ++ Expectations.oracles ++ Drift.oracles ++ MaterializedAgg.oracles ++ ZoneScan.oracles ++ GraphQueries.oracles ++ IncrementalGraph.oracles ++ InvertedIndex.oracles ++ Bm25.oracles ++ SqlInterface.oracles ++ Profiling.oracles ++ GroupTopK.oracles ++ Attribution.oracles
 }
