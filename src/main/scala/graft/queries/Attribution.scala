@@ -64,9 +64,67 @@ object Attribution {
        |FROM att WHERE event_type = 'purchase'
        |GROUP BY chan ORDER BY chan""".stripMargin
 
+  /** Linear multi-touch: every non-purchase event in the purchase's 7-day
+    * window shares the credit equally (1/n each) — the other standard
+    * attribution model, and a different SHAPE: the frame must surface the
+    * whole touch LIST (collect_list over the RANGE frame), which then
+    * explodes into fractional credits. Credit fractions are exact
+    * rationals evaluated identically (1.0/n of the same n) and sums are
+    * rounded on the 1e-4 grid, the repo's float-aggregate discipline.
+    *
+    * Scale note: the frame materializes each purchase's touch list —
+    * bounded by the 7-day per-user event density, the same bound the
+    * last-touch frame's state already carries; the explode is
+    * |purchases × touches-per-window|, the model's intrinsic output. */
+  def eventsAttributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-WindowMicros, -1)
+    ev
+      .withColumn("touches", collect_list(
+        when($"event_type" =!= "purchase", $"event_type")).over(w))
+      .filter($"event_type" === "purchase")
+      .select(explode(
+        when(size($"touches") === 0, array(lit("organic")))
+          .otherwise($"touches")).as("chan"),
+        when(size($"touches") === 0, lit(1.0))
+          .otherwise(lit(1.0) / size($"touches")).as("credit"))
+      .groupBy($"chan")
+      .agg(round(sum($"credit"), 4).as("credit"),
+        count(lit(1)).as("n_touches"))
+      .orderBy($"chan")
+  }
+
+  val eventsAttributionLinearSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+       |win AS (
+       |  SELECT user_id, event_type,
+       |    list_filter(
+       |      list(CASE WHEN event_type <> 'purchase' THEN event_type END)
+       |        OVER (PARTITION BY user_id ORDER BY tus
+       |              RANGE BETWEEN $WindowMicros PRECEDING
+       |                        AND 1 PRECEDING),
+       |      x -> x IS NOT NULL) AS touches
+       |  FROM ev),
+       |credits AS (
+       |  SELECT unnest(CASE WHEN touches IS NULL OR len(touches) = 0
+       |           THEN ['organic'] ELSE touches END) AS chan,
+       |    CASE WHEN touches IS NULL OR len(touches) = 0 THEN 1.0
+       |         ELSE 1.0 / len(touches) END AS credit
+       |  FROM win WHERE event_type = 'purchase')
+       |SELECT chan, round(sum(credit), 4) AS credit,
+       |  count(*) AS n_touches
+       |FROM credits
+       |GROUP BY chan ORDER BY chan""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_attribution" -> (eventsAttribution _))
+    "events_attribution" -> (eventsAttribution _),
+    "events_attribution_linear" -> (eventsAttributionLinear _))
 
   val oracles: Map[String, String] = Map(
-    "events_attribution" -> eventsAttributionSql)
+    "events_attribution" -> eventsAttributionSql,
+    "events_attribution_linear" -> eventsAttributionLinearSql)
 }

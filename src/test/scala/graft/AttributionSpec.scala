@@ -44,6 +44,35 @@ class AttributionSpec extends AnyFunSuite {
       "the corpus should exercise more than one channel")
   }
 
+  test("linear multi-touch conserves credit mass and matches the history recompute") {
+    val got = Attribution.eventsAttributionLinear(spark, sf)
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((math.round(r._2 * 1e4), r._3))).toMap
+
+    val byUser = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val credits = byUser.toSeq.flatMap { case (_, evs) =>
+      evs.filter(_._3 == "purchase").toSeq.flatMap { case (_, t, _) =>
+        val touches = evs.filter(e =>
+          e._2 >= t - 7L * 86400 * 1000000 && e._2 < t && e._3 != "purchase")
+        if (touches.isEmpty) Seq("organic" -> 1.0)
+        else touches.toSeq.map(e => e._3 -> 1.0 / touches.size)
+      }
+    }
+    val expect = credits.groupBy(_._1).view.mapValues { xs =>
+      (math.round(xs.map(_._2).sum * 1e4), xs.size.toLong)
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // credit is conserved: total credit across channels = total purchases
+    val nPurchases = byUser.values.flatten.count(_._3 == "purchase")
+    val totalCredit = Attribution.eventsAttributionLinear(spark, sf)
+      .agg(sum($"credit")).head().getDouble(0)
+    assert(math.abs(totalCredit - nPurchases) < 1e-2,
+      s"each purchase must distribute exactly 1.0: $totalCredit vs $nPurchases")
+  }
+
   test("one events scan, one user-partition window — no purchase-history self-join") {
     val df = Attribution.eventsAttribution(spark, sf)
     df.collect()
