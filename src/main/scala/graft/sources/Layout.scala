@@ -178,8 +178,26 @@ object Layout {
     if (bak.exists()) rm(bak)
     if (!dir.renameTo(bak))
       throw new java.io.IOException(s"could not move $path aside to $bak")
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"could not move $tmp to $path")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      // A writer racing the two-rename window can recreate `path` (its
+      // file create mkdirs missing parents), defeating this rename. Roll
+      // back rather than strand the data in `.old`: fold whatever the
+      // racer recreated into the old copy, restore it wholesale, and
+      // surface the failure — the store reads byte-identically to before
+      // the compaction attempt and the racer's staging paths are intact.
+      val interlopers = dir.listFiles()
+      if (interlopers != null) interlopers.foreach { f =>
+        if (!f.renameTo(new java.io.File(bak, f.getName)))
+          throw new java.io.IOException(
+            s"promote rollback: could not move racer entry $f into $bak")
+      }
+      if (!dir.delete() || !bak.renameTo(dir))
+        throw new java.io.IOException(
+          s"promote rollback failed: live data is in $bak")
+      throw new java.io.IOException(
+        s"could not move $tmp to $path (a writer raced the swap); " +
+          "store restored, compacted image left for inspection")
+    }
     salvage(bak, dir)
     rm(bak)
   }

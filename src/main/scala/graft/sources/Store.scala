@@ -154,9 +154,13 @@ object Store {
     * (`inputFiles`), and the swap's salvage step moves every committed
     * delta the image provably did not include from the superseded copy
     * back into the live store (no loss, no double-count — spec-pinned
-    * both ways). The only remaining exclusion window is the two renames
-    * themselves (microseconds; an append staging exactly then fails its
-    * own rename and retries) — down from the whole rewrite. */
+    * both ways), with replay markers written INTO the compacted image so
+    * they appear in the same atomic rename that hides the folded deltas.
+    * The only remaining exclusion window is the two renames themselves
+    * (microseconds, down from the whole rewrite): an append staging
+    * exactly then either fails its own commit rename, or defeats the
+    * promote — which then ROLLS BACK wholesale (store byte-identical,
+    * compaction reports failure, racer unharmed). Never a torn store. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
       rewrite: DataFrame => DataFrame = identity): Unit =
     compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
@@ -186,6 +190,11 @@ object Store {
     val tmp = dir + ".compact"
     rewrite(image).repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // markers ride INSIDE the compacted image so they become visible in the
+    // same atomic rename that hides the folded delta dirs — creating them
+    // after the swap would open a window where a replayed id sees neither
+    // its delta nor its marker and double-admits
+    markerIds.foreach(id => new File(tmp, s".admitted-$id").createNewFile(): Unit)
     Layout.promote(tmp, dir, salvage = (bak, live) => {
       val ds = bak.listFiles()
       if (ds != null) ds
@@ -196,11 +205,11 @@ object Store {
             throw new IOException(s"could not salvage raced delta $d")
         }
     })
-    markerIds.foreach(id => new File(dir, s".admitted-$id").createNewFile(): Unit)
-    val leftovers = new File(dir).listFiles()
-    if (leftovers != null)
-      leftovers.filter(f => f.isDirectory && f.getName.startsWith(".inprogress-"))
-        .foreach(rm)
+    // no post-promote .inprogress sweep: a crash-orphaned staging dir is
+    // swept WITH the old copy by the swap itself, and the only .inprogress
+    // that could appear in the NEW live dir belongs to a LIVE racing append
+    // — deleting it mid-write could commit a half-admitted delta, exactly
+    // the torn state the stage-then-rename protocol exists to prevent
   }
 
   /** Admit-count-triggered maintenance: compact once `every` deltas have

@@ -43,13 +43,18 @@ class GroupTopKSpec extends AnyFunSuite {
       "HashAggregate.*partial".r.findFirstIn(plan).isDefined ||
       plan.contains("ObjectHashAggregate"),
       s"map-side partial heaps expected:\n$plan")
-    // the only Sort allowed is the final presentation orderBy — above the
-    // aggregate, never between the scan and the partials
-    val scanIdx = plan.indexOf("orders.parquet")
-    val aggIdx = plan.lastIndexOf("Aggregate")
-    val sortIdx = plan.indexOf("Sort ")
-    assert(sortIdx == -1 || sortIdx < aggIdx || scanIdx < aggIdx,
-      s"no sort may feed the aggregate:\n$plan")
+    // the only Sort allowed is the final presentation orderBy, which
+    // prints ABOVE (before) every aggregate in the top-down plan string;
+    // a sort feeding the partials would print between the aggregates and
+    // the scan, i.e. AFTER the first Aggregate occurrence
+    val firstAgg = plan.indexOf("Aggregate")
+    assert(firstAgg >= 0, s"aggregate expected:\n$plan")
+    var s = plan.indexOf("Sort ")
+    while (s >= 0) {
+      assert(s < firstAgg,
+        s"a Sort below the aggregates would be feeding the partials:\n$plan")
+      s = plan.indexOf("Sort ", s + 1)
+    }
   }
 
   test("heap state is bounded: buffer never exceeds k under adversarial merge order") {
