@@ -114,10 +114,14 @@ object IvfIndex {
     * scale), evaluated over the assignment frame's `v` column. */
   private def admitCellsInto(batch: DataFrame, indexDir: String,
       cellsPath: String, payload: Seq[org.apache.spark.sql.Column],
-      maintainEvery: Int, id: Option[String]): DataFrame = {
+      maintainEvery: Int, id: Option[String],
+      versionCodebook: Option[(Int, Array[Array[Double]])] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val (version, codebook) = readCodebook(spark, indexDir)
+    // reindexIvf passes the retrained quantizer explicitly: its cells must
+    // land BEFORE the codebook registers, so the store can't yet answer
+    // readCodebook for that version
+    val (version, codebook) = versionCodebook.getOrElse(readCodebook(spark, indexDir))
     val vecs = batch
       .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
       .dropDuplicates("vec_id")
@@ -231,14 +235,21 @@ object IvfIndex {
   /** Retrain-and-migrate — the version-migration contract made an
     * operation: train a spherical k-means codebook ON THE VECTORS ALREADY
     * IN THE INDEX (latest version's cells — the index is self-sufficient;
-    * no access to the original embeddings table is needed), register it as
-    * version+1, and re-admit every stored vector under the new quantizer.
-    * Serving flips to the new version atomically at the codebook append
-    * (readCodebook takes max version); a crash mid-re-admission leaves the
-    * old version's cells intact and fully servable, and the next reindex
-    * attempt re-admits idempotently (per-version membership). The old
-    * version's cells remain until a caller prunes them — migration debris
-    * is visible, never load-bearing. Returns the new version. */
+    * no access to the original embeddings table is needed), re-admit every
+    * stored vector under the new quantizer (codebook held in memory), and
+    * only THEN register the codebook as version+1.
+    *
+    * Ordering is the crash contract: serving flips to the new version at
+    * the codebook append (readCodebook takes max version), so the cells
+    * must be complete BEFORE that append — the flip is atomic AND
+    * complete. A crash anywhere mid-migration leaves readCodebook still
+    * answering the old version (whose cells are untouched and fully
+    * servable); a retried reindex re-derives the same codebook (the
+    * trainer is deterministic: smallest-vec_id seeds + Lloyd rounds over
+    * the same version-v cells) and re-admission under v+1 is a per-version
+    * membership no-op for every vector the crashed attempt already landed.
+    * The old version's cells remain until a caller prunes them — migration
+    * debris is visible, never load-bearing. Returns the new version. */
   def reindexIvf(spark: SparkSession, indexDir: String,
       nCells: Int = SimilaritySearch.IvfNCells, iters: Int = 2,
       maintainEvery: Int = 16): Int = {
@@ -249,10 +260,24 @@ object IvfIndex {
       .select($"vec_id", $"v")
     val codebook = SimilaritySearch.trainIvfCodebookOn(
       stored.select($"vec_id", $"v".as("r")), nCells, iters)
+    admitBatchIvfAt(stored.select($"vec_id", $"v".as("embedding")),
+      indexDir, v + 1, codebook, maintainEvery)
     writeIvfIndex(spark, indexDir, codebook, v + 1)
-    admitBatchIvf(stored.select($"vec_id", $"v".as("embedding")),
-      indexDir, maintainEvery)
     v + 1
+  }
+
+  /** [[admitBatchIvf]] with the quantizer passed explicitly instead of
+    * read from the store — the migration face [[reindexIvf]] admits
+    * through (its cells must land before the codebook registers), and the
+    * seam the crash spec drives to prove a migration interrupted between
+    * admission and registration leaves the old version serving. */
+  private[graft] def admitBatchIvfAt(batch: DataFrame, indexDir: String,
+      version: Int, codebook: Array[Array[Double]],
+      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+    val c = org.apache.spark.sql.functions.col _
+    admitCellsInto(batch, indexDir, cellsDir(indexDir),
+      payload = Seq(c("v")), maintainEvery, id,
+      versionCodebook = Some((version, codebook)))
   }
 
   /** Drop every non-latest version's cells (and codebook rows) once a

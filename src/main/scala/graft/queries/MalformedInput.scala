@@ -96,8 +96,12 @@ object MalformedInput {
       // GLOBAL aggregate, not a group: always emits its row, so a
       // zero-corruption feed still reports `_corrupt, 0` exactly like the
       // oracle's unconditional UNION ALL branch
+      // coalesce: a global sum over ZERO rows is NULL, but the oracle's
+      // UNION ALL branch is count(*) = 0 — the empty-corpus edge must
+      // report 0, not NULL
       val corrupt = cached
-        .agg(sum($"_corrupt_record".isNotNull.cast("long")).as("n_rows"),
+        .agg(coalesce(sum($"_corrupt_record".isNotNull.cast("long")), lit(0L))
+            .as("n_rows"),
           lit(null).cast("double").as("sum_price"))
         .select(lit("_corrupt").as("status"), $"n_rows", $"sum_price")
       try clean.unionAll(corrupt).orderBy($"status").localCheckpoint(true)

@@ -185,13 +185,23 @@ object Layout {
       // racer recreated into the old copy, restore it wholesale, and
       // surface the failure — the store reads byte-identically to before
       // the compaction attempt and the racer's staging paths are intact.
-      val interlopers = dir.listFiles()
-      if (interlopers != null) interlopers.foreach { f =>
-        if (!f.renameTo(new java.io.File(bak, f.getName)))
-          throw new java.io.IOException(
-            s"promote rollback: could not move racer entry $f into $bak")
+      // the sweep-then-delete pair is itself racy (a writer can create
+      // another entry between listFiles() and delete()), so retry the
+      // fold-interlopers/delete loop until the delete lands — bounded, and
+      // each iteration makes progress by moving whatever appeared
+      var restored = false
+      var attempts = 0
+      while (!restored && attempts < 64) {
+        attempts += 1
+        val interlopers = dir.listFiles()
+        if (interlopers != null) interlopers.foreach { f =>
+          if (!f.renameTo(new java.io.File(bak, f.getName)))
+            throw new java.io.IOException(
+              s"promote rollback: could not move racer entry $f into $bak")
+        }
+        restored = dir.delete()
       }
-      if (!dir.delete() || !bak.renameTo(dir))
+      if (!restored || !bak.renameTo(dir))
         throw new java.io.IOException(
           s"promote rollback failed: live data is in $bak")
       throw new java.io.IOException(

@@ -143,6 +143,53 @@ object Store {
     f.delete(): Unit
   }
 
+  /** Recover from a compaction that crashed mid-swap, restoring the
+    * no-loss contract BEFORE the next rewrite (whose promote would
+    * otherwise blindly drop the leftover rename-aside copy, deleting any
+    * raced-but-committed admissions stranded inside it). Two crash shapes:
+    *
+    *  - between the swap's two renames (live dir missing, `.old` present):
+    *    restore the old copy wholesale — the orphaned `.compact` image is
+    *    superseded and will be overwritten by the next rewrite.
+    *  - between promote and salvage completion (`.old` next to a live
+    *    dir): move back every committed delta the compacted image provably
+    *    did NOT fold — those with neither a `delta-` dir nor an
+    *    `.admitted-` marker in the live store (compaction writes a marker
+    *    into the image for every folded delta, so folded ids are always
+    *    witnessed and never double-admitted) — then drop the copy.
+    *
+    * Idempotent; called at every [[compact]] start and safe to invoke
+    * directly after a crash to make an unreadable store readable again. */
+  def recoverStale(dir: String): Unit = {
+    val live = new File(dir)
+    val bak = new File(dir + ".old")
+    if (!bak.exists()) return
+    if (!live.exists()) {
+      if (!bak.renameTo(live))
+        throw new IOException(s"recover: could not restore $bak to $dir")
+      return
+    }
+    val witnessed: Set[String] = {
+      val fs = live.listFiles()
+      if (fs == null) Set.empty
+      else fs.collect {
+        case f if f.getName.startsWith("delta-") =>
+          f.getName.stripPrefix("delta-")
+        case f if f.getName.startsWith(".admitted-") =>
+          f.getName.stripPrefix(".admitted-")
+      }.toSet
+    }
+    val ds = bak.listFiles()
+    if (ds != null) ds
+      .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
+        !witnessed.contains(f.getName.stripPrefix("delta-")))
+      .foreach { d =>
+        if (!d.renameTo(new File(live, d.getName)))
+          throw new IOException(s"recover: could not salvage stranded delta $d")
+      }
+    rm(bak)
+  }
+
   /** Rewrite the store into `numFiles` flat files (through `rewrite`,
     * identity by default — the anomaly store passes its sum-merge), then
     * promote with the rename-aside swap and sweep any orphaned
@@ -162,8 +209,12 @@ object Store {
     * promote — which then ROLLS BACK wholesale (store byte-identical,
     * compaction reports failure, racer unharmed). Never a torn store. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
-      rewrite: DataFrame => DataFrame = identity): Unit =
+      rewrite: DataFrame => DataFrame = identity): Unit = {
+    // recover BEFORE the image read so deltas stranded by a crashed prior
+    // swap are folded into this rewrite rather than re-salvaged
+    recoverStale(dir)
     compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+  }
 
   /** [[compact]] with the image frame injectable — split out so the race
     * spec can commit a delta AFTER the image's file index froze and prove
@@ -172,6 +223,9 @@ object Store {
       image: DataFrame, numFiles: Int,
       rewrite: DataFrame => DataFrame): Unit = {
     require(numFiles > 0)
+    // no-op unless a prior swap crashed; direct compactImage callers (the
+    // race specs) get the same stranded-delta recovery as compact()
+    recoverStale(dir)
     // exactly which deltas the image folded: from its FROZEN file index —
     // a pre-listing could disagree with what the write actually reads
     val includedIds: Set[String] = image.inputFiles.flatMap { p =>

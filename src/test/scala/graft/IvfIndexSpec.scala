@@ -166,6 +166,41 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally sweep(dir)
   }
 
+  test("migration crash contract: reindex interrupted before codebook registration leaves the old version serving; retry completes without doubling") {
+    val dir = freshDir()
+    try {
+      IvfIndex.writeIvfIndex(spark, dir, seedCodebook())
+      IvfIndex.admitBatchIvf(vecs, dir)
+      val before = serve(dir)
+      val nVectors = Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 0).count()
+      // the crashed attempt, driven by hand through reindexIvf's exact
+      // seam: train + re-admit under v1, then DIE before writeIvfIndex
+      val stored = Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 0).select($"vec_id", $"v")
+      val cb = SimilaritySearch.trainIvfCodebookOn(
+        stored.select($"vec_id", $"v".as("r")),
+        SimilaritySearch.IvfNCells, iters = 1)
+      IvfIndex.admitBatchIvfAt(
+        stored.select($"vec_id", $"v".as("embedding")),
+        dir, version = 1, codebook = cb)
+      // codebook never registered: readCodebook still answers v0 and
+      // serving is byte-identical — the flip is atomic AND complete
+      assert(IvfIndex.readCodebook(spark, dir)._1 == 0)
+      assert(serve(dir) == before,
+        "a crash mid-migration must not change serving")
+      // retry: the deterministic trainer re-derives the same codebook and
+      // per-version membership makes re-admission a no-op
+      val v1 = IvfIndex.reindexIvf(spark, dir, iters = 1)
+      assert(v1 == 1)
+      assert(Store.read(spark, IvfIndex.cellsDir(dir))
+        .filter($"version" === 1).count() == nVectors,
+        "retry must not double-admit the crashed attempt's cells")
+      val served = serve(dir)
+      assert(served.size == SimilaritySearch.NQueries * SimilaritySearch.K)
+    } finally sweep(dir)
+  }
+
   test("reindexIvf retrains from the index's own cells and migrates to version+1") {
     val dir = freshDir()
     try {

@@ -105,4 +105,19 @@ class MalformedInputSpec extends AnyFunSuite {
     assert(total == Tables.orders(spark, sf).count())
     assert(out.filter($"status" === "_corrupt").count() == 1)
   }
+
+  test("q69 on an EMPTY corpus reports _corrupt = 0, not NULL (the oracle's count(*) semantics)") {
+    // an empty orders table: the global-sum corrupt branch has zero input
+    // rows, where sum() is NULL but the oracle's count(*) is 0
+    withFixture { dir =>
+      Tables.orders(spark, sf).limit(0)
+        .write.parquet(s"$dir/orders.parquet")
+    } { dir =>
+      val rows = MalformedInput.q69CorruptJson(spark, dir).collect()
+      assert(rows.length == 1, s"only the unconditional _corrupt row: ${rows.toSeq}")
+      assert(rows.head.getString(0) == "_corrupt")
+      assert(!rows.head.isNullAt(1) && rows.head.getLong(1) == 0L,
+        "empty-corpus corrupt count must be 0, not NULL")
+    }
+  }
 }

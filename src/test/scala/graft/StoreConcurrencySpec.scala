@@ -101,6 +101,58 @@ class StoreConcurrencySpec extends AnyFunSuite {
     } finally sweep(store)
   }
 
+  test("recoverStale: a crash between the swap's two renames leaves no live dir; recovery restores the store wholesale") {
+    val store = freshStore()
+    try {
+      Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"), store, "a")
+      // emulate the crash: the live dir was moved aside and the promote
+      // rename never ran — the store is unreadable at its path
+      val dir = new java.io.File(store)
+      val bak = new java.io.File(store + ".old")
+      assert(dir.renameTo(bak))
+      Store.recoverStale(store)
+      assert(Store.read(spark, store).as[(Long, Long)].collect().toSet ==
+        Set((1L, 1L)))
+      assert(!bak.exists())
+      assert(!Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"),
+        store, "a"), "admission witness must survive recovery")
+    } finally sweep(store)
+  }
+
+  test("a compaction crash after promote but before salvage strands raced deltas in .old; the next compact recovers them (no loss, no double)") {
+    val store = freshStore()
+    try {
+      Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"), store, "a")
+      val image = Store.read(spark, store)
+      // raced admission lands after the image's file index froze
+      Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "b")
+      // by-hand compactImage, dying between the swap and the salvage step:
+      // frozen image + folded-delta marker written, both renames done,
+      // .old (holding the raced delta-b) left in place
+      val tmp = store + ".compact"
+      image.repartition(1).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp, ".admitted-a").createNewFile(): Unit
+      val dir = new java.io.File(store)
+      val bak = new java.io.File(store + ".old")
+      assert(dir.renameTo(bak))
+      assert(new java.io.File(tmp).renameTo(dir))
+      // stranded state: the raced delta is invisible (pre-fix, the next
+      // promote's blind rm of .old would silently delete it forever)
+      assert(Store.read(spark, store).as[(Long, Long)].collect().toSet ==
+        Set((1L, 1L)))
+      Store.compact(spark, store, numFiles = 1)
+      val after = Store.read(spark, store).as[(Long, Long)].collect().toSeq
+      assert(after.toSet == Set((1L, 1L), (2L, 2L)),
+        s"stranded raced delta must be recovered: $after")
+      assert(after.size == 2, s"and not double-counted: $after")
+      assert(!new java.io.File(store + ".old").exists())
+      assert(!Store.appendIdempotent(Seq((1L, 1L)).toDF("writer", "n"), store, "a"),
+        "folded delta's marker must survive the recovery compaction")
+      assert(!Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "b"),
+        "salvaged delta's replay must still skip")
+    } finally sweep(store)
+  }
+
   test("maintain() from the single writer immediately after parallel appends folds all of them") {
     val store = freshStore()
     val pool = Executors.newFixedThreadPool(4)
