@@ -162,11 +162,16 @@ object Layout {
 
   /** The rename-aside swap shared by [[compact]] and [[Store.compact]]:
     * move the live directory aside, promote the rewrite, drop the old copy
-    * — the live data is in `path` or `path + ".old"` at every step
-    * boundary. `salvage(oldDir, liveDir)` runs between the promotion and
-    * the drop so a caller can rescue entries from the superseded copy that
-    * the rewrite provably did not include (Store.compact moves raced
-    * delta admissions back into the live store there). */
+    * — the live data is in `path`, `path + ".old"`, or `path + ".compact"`
+    * at every step boundary. `salvage(oldDir, imageDir)` runs BETWEEN the
+    * two renames so a caller can rescue entries from the superseded copy
+    * that the rewrite provably did not include (Store.compact moves raced
+    * delta admissions into the image there): rescued entries become
+    * visible in the same atomic rename as the rewrite itself, so a reader
+    * that succeeds never observes a committed-then-missing entry — the
+    * alternative (salvaging after the swap) opens a window of
+    * non-monotonic reads where a raced admission is visible, then briefly
+    * gone, then back. */
   private[graft] def promote(tmp: String, path: String,
       salvage: (java.io.File, java.io.File) => Unit = (_, _) => ()): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -176,8 +181,14 @@ object Layout {
     val dir = new java.io.File(path)
     val bak = new java.io.File(path + ".old")
     if (bak.exists()) rm(bak)
+    ProtocolPoints.pause("promote.pre-aside")
     if (!dir.renameTo(bak))
       throw new java.io.IOException(s"could not move $path aside to $bak")
+    ProtocolPoints.pause("promote.aside")
+    // rescue raced entries INTO the image while nothing is live: they go
+    // visible in the same atomic rename as the rewrite
+    salvage(bak, new java.io.File(tmp))
+    ProtocolPoints.pause("promote.salvaged")
     if (!new java.io.File(tmp).renameTo(dir)) {
       // A writer racing the two-rename window can recreate `path` (its
       // file create mkdirs missing parents), defeating this rename. Roll
@@ -195,11 +206,33 @@ object Layout {
         attempts += 1
         val interlopers = dir.listFiles()
         if (interlopers != null) interlopers.foreach { f =>
-          if (!f.renameTo(new java.io.File(bak, f.getName)))
-            throw new java.io.IOException(
+          if (!f.renameTo(new java.io.File(bak, f.getName))) {
+            // the move collides when the old copy already holds an entry of
+            // the same name — only possible for a racer that re-created a
+            // path the aside-rename had already captured: a re-staged hidden
+            // dir (uncommitted by definition — its commit rename will fail
+            // and the writer retries), or a re-committed `delta-<id>` whose
+            // id the old copy already witnessed (same admission by the id
+            // contract). Both are duplicates of data the restore brings
+            // back; drop the interloper copy rather than abort the rollback
+            if (new java.io.File(bak, f.getName).exists()) rm(f)
+            else throw new java.io.IOException(
               s"promote rollback: could not move racer entry $f into $bak")
+          }
         }
         restored = dir.delete()
+      }
+      // entries the salvage step moved INTO the image are committed data:
+      // return them to the old copy before restoring it, or the rollback
+      // would strand them invisible inside `.compact` (a later
+      // Store.recoverStale would rescue them, but non-monotonically)
+      val moved = new java.io.File(tmp).listFiles()
+      if (moved != null) moved.filter(_.getName.startsWith("delta-")).foreach { f =>
+        if (!f.renameTo(new java.io.File(bak, f.getName))) {
+          if (new java.io.File(bak, f.getName).exists()) rm(f)
+          else throw new java.io.IOException(
+            s"promote rollback: could not return salvaged entry $f to $bak")
+        }
       }
       if (!restored || !bak.renameTo(dir))
         throw new java.io.IOException(
@@ -208,7 +241,7 @@ object Layout {
         s"could not move $tmp to $path (a writer raced the swap); " +
           "store restored, compacted image left for inspection")
     }
-    salvage(bak, dir)
+    ProtocolPoints.pause("promote.swapped")
     rm(bak)
   }
 

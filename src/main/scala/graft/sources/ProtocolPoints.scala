@@ -1,0 +1,28 @@
+package graft.sources
+
+/** Named pause points inside the Store/Layout commit protocols — the seam
+  * the randomized-interleaving fuzzer ([[graft.StoreFuzzSpec]]) drives to
+  * stretch the microsecond windows between protocol steps into schedulable
+  * gaps. Hooks are PER-THREAD: a fuzz worker installs a (seeded) delay for
+  * its own thread only, so concurrent fuzz seeds — and production callers
+  * on other threads — never interact. With no hook installed, [[pause]] is
+  * one ConcurrentHashMap.get against the calling thread: negligible next
+  * to the file IO on every side of each pause point. */
+private[graft] object ProtocolPoints {
+  private val hooks =
+    new java.util.concurrent.ConcurrentHashMap[Thread, String => Unit]()
+
+  /** Install a hook for the CURRENT thread (replacing any previous). */
+  def install(f: String => Unit): Unit =
+    hooks.put(Thread.currentThread(), f): Unit
+
+  /** Remove the current thread's hook. */
+  def uninstall(): Unit =
+    hooks.remove(Thread.currentThread()): Unit
+
+  /** Invoked by the protocol code at each named step boundary. */
+  @inline def pause(point: String): Unit = {
+    val f = hooks.get(Thread.currentThread())
+    if (f != null) f(point)
+  }
+}

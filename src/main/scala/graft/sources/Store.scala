@@ -44,6 +44,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
+  /** Per-store admission/swap exclusion. Crash safety is carried entirely
+    * by the rename protocol; this lock exists because the protocol's
+    * check→stage→commit sequence and the compaction swap's two renames
+    * have unavoidable TOCTOU windows BETWEEN their atomic steps — an
+    * idempotent-append existence check can race the instant where neither
+    * the folded delta nor its marker is visible (mid-swap) and
+    * double-admit, and a commit rename can land in a directory the swap
+    * is rolling back (found by the randomized-interleaving fuzzer,
+    * [[graft.StoreFuzzSpec]]). Admissions take the SHARED side (parallel
+    * writers still compose); the swap and crash recovery take the
+    * EXCLUSIVE side for only the rename sequence, never the rewrite — so
+    * compaction blocks admissions for microseconds, not for the rewrite's
+    * duration. Fair mode so a stream of admissions cannot starve the
+    * swap. In-process scope: across JVMs the single-coordinator
+    * compaction discipline (and [[withCompactionLease]]) governs. */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockFor(dir: String) = locks.computeIfAbsent(
+    new File(dir).getAbsolutePath,
+    _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+  private def withAdmitLock[A](dir: String)(body: => A): A = {
+    val l = lockFor(dir).readLock(); l.lock()
+    try body finally l.unlock()
+  }
+  private def withSwapLock[A](dir: String)(body: => A): A = {
+    val l = lockFor(dir).writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
   /** Read the store: flat base files plus every committed delta directory.
     * Hidden (`.`/`_`-prefixed) paths — staged batches, commit markers —
     * are filtered by Spark's file listing. `mergeSchema` makes schema
@@ -68,20 +97,24 @@ object Store {
     val tmp = new File(dir, s".inprogress-$id")
     val fin = new File(dir, s"delta-$id")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    ProtocolPoints.pause("store.staged")
     (tmp, fin)
   }
 
   /** The commit point: one atomic rename making the staged batch fully
     * visible. Everything before this is invisible; everything after is
     * complete. */
-  private[graft] def commitStaged(tmp: File, fin: File): Unit =
+  private[graft] def commitStaged(tmp: File, fin: File): Unit = {
+    ProtocolPoints.pause("store.pre-commit")
     if (!tmp.renameTo(fin))
       throw new IOException(s"could not commit staged batch $tmp to $fin")
+    ProtocolPoints.pause("store.committed")
+  }
 
   /** Crash-safe append: stage then commit. A failure at ANY point leaves
     * the store readable and either fully containing the batch or not
     * containing it at all — never a prefix of it. */
-  def append(df: DataFrame, dir: String): Unit = {
+  def append(df: DataFrame, dir: String): Unit = withAdmitLock(dir) {
     val (tmp, fin) = stage(df, dir)
     commitStaged(tmp, fin)
   }
@@ -95,12 +128,13 @@ object Store {
     * away but re-creates the markers, so a very late replay after
     * compaction still skips. Returns true when the batch was admitted by
     * THIS call. */
-  def appendIdempotent(df: DataFrame, dir: String, id: String): Boolean = {
+  def appendIdempotent(df: DataFrame, dir: String, id: String): Boolean = withAdmitLock(dir) {
     require(id.matches("[A-Za-z0-9_-]+"), s"batch id must be path-safe: $id")
     val fin = new File(dir, s"delta-$id")
     val marker = new File(dir, s".admitted-$id")
     if (fin.exists() || marker.exists()) false
     else {
+      ProtocolPoints.pause("store.id-checked")
       val tmp = new File(dir, s".inprogress-$id")
       df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       commitStaged(tmp, fin)
@@ -151,25 +185,31 @@ object Store {
     *  - between the swap's two renames (live dir missing, `.old` present):
     *    restore the old copy wholesale — the orphaned `.compact` image is
     *    superseded and will be overwritten by the next rewrite.
-    *  - between promote and salvage completion (`.old` next to a live
-    *    dir): move back every committed delta the compacted image provably
-    *    did NOT fold — those with neither a `delta-` dir nor an
+    *  - after the swap but before the old copy is dropped (`.old` next to
+    *    a live dir): move back every committed delta the compacted image
+    *    provably did NOT fold — those with neither a `delta-` dir nor an
     *    `.admitted-` marker in the live store (compaction writes a marker
     *    into the image for every folded delta, so folded ids are always
-    *    witnessed and never double-admitted) — then drop the copy.
+    *    witnessed and never double-admitted) — then drop the copy;
+    *  - additionally, a crash while salvaging raced deltas INTO the image
+    *    (between the swap's two renames) can leave committed deltas inside
+    *    a `.compact` that never went live: sweep those back before the
+    *    next rewrite's Overwrite would delete them.
     *
     * Idempotent; called at every [[compact]] start and safe to invoke
     * directly after a crash to make an unreadable store readable again. */
-  def recoverStale(dir: String): Unit = {
+  def recoverStale(dir: String): Unit = withSwapLock(dir) {
     val live = new File(dir)
     val bak = new File(dir + ".old")
-    if (!bak.exists()) return
-    if (!live.exists()) {
+    val img = new File(dir + ".compact")
+    if (bak.exists() && !live.exists()) {
+      // crashed between the swap's renames: restore the old copy wholesale
+      // (the orphaned image is superseded; its salvaged deltas — moved out
+      // of the old copy mid-crash — are swept back below)
       if (!bak.renameTo(live))
         throw new IOException(s"recover: could not restore $bak to $dir")
-      return
     }
-    val witnessed: Set[String] = {
+    def witnessed: Set[String] = {
       val fs = live.listFiles()
       if (fs == null) Set.empty
       else fs.collect {
@@ -179,15 +219,20 @@ object Store {
           f.getName.stripPrefix(".admitted-")
       }.toSet
     }
-    val ds = bak.listFiles()
-    if (ds != null) ds
-      .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
-        !witnessed.contains(f.getName.stripPrefix("delta-")))
-      .foreach { d =>
-        if (!d.renameTo(new File(live, d.getName)))
-          throw new IOException(s"recover: could not salvage stranded delta $d")
+    def sweepUnwitnessed(from: File): Unit = {
+      val ds = from.listFiles()
+      if (ds != null) {
+        val w = witnessed
+        ds.filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
+            !w.contains(f.getName.stripPrefix("delta-")))
+          .foreach { d =>
+            if (!d.renameTo(new File(live, d.getName)))
+              throw new IOException(s"recover: could not salvage stranded delta $d")
+          }
       }
-    rm(bak)
+    }
+    if (bak.exists() && live.exists()) { sweepUnwitnessed(bak); rm(bak) }
+    if (img.exists() && live.exists()) { sweepUnwitnessed(img); rm(img) }
   }
 
   /** Rewrite the store into `numFiles` flat files (through `rewrite`,
@@ -200,20 +245,50 @@ object Store {
     * compacted image is taken from the image's own frozen file index
     * (`inputFiles`), and the swap's salvage step moves every committed
     * delta the image provably did not include from the superseded copy
-    * back into the live store (no loss, no double-count — spec-pinned
-    * both ways), with replay markers written INTO the compacted image so
-    * they appear in the same atomic rename that hides the folded deltas.
+    * INTO the image between the swap's two renames (no loss, no
+    * double-count — spec-pinned both ways; and because rescued deltas go
+    * live in the same atomic rename as the rewrite, a successful read
+    * never observes a committed admission as transiently missing), with
+    * replay markers written INTO the compacted image so they appear in
+    * the same atomic rename that hides the folded deltas.
     * The only remaining exclusion window is the two renames themselves
     * (microseconds, down from the whole rewrite): an append staging
     * exactly then either fails its own commit rename, or defeats the
     * promote — which then ROLLS BACK wholesale (store byte-identical,
     * compaction reports failure, racer unharmed). Never a torn store. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
-      rewrite: DataFrame => DataFrame = identity): Unit = {
-    // recover BEFORE the image read so deltas stranded by a crashed prior
-    // swap are folded into this rewrite rather than re-salvaged
-    recoverStale(dir)
-    compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+      rewrite: DataFrame => DataFrame = identity): Unit =
+    withCompactionLease(dir) {
+      // recover BEFORE the image read so deltas stranded by a crashed prior
+      // swap are folded into this rewrite rather than re-salvaged
+      recoverStale(dir)
+      compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+    }
+
+  /** Cross-process single-coordinator enforcement for [[compact]] — the
+    * in-process swap lock cannot see another JVM, and before this lease
+    * the discipline was a documented convention only. The lease is an
+    * atomically-created SIBLING file (`<dir>.lease` — deliberately outside
+    * the store, so the swap's renames never move it). A second coordinator
+    * fails fast with IllegalStateException — a clear failure mode instead
+    * of a corrupted swap. A lease left by a crashed coordinator is
+    * reclaimed once older than `staleMs` (compaction holds it for
+    * seconds; the default tolerates long rewrites). */
+  private[graft] def withCompactionLease[A](dir: String,
+      staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+    val parent = new File(dir).getAbsoluteFile.getParentFile
+    if (parent != null) parent.mkdirs(): Unit
+    val lease = new File(dir + ".lease")
+    def tryAcquire(): Boolean =
+      lease.createNewFile() || {
+        val age = System.currentTimeMillis() - lease.lastModified()
+        age > staleMs && { lease.delete(): Unit; lease.createNewFile() }
+      }
+    if (!tryAcquire())
+      throw new IllegalStateException(
+        s"another compaction coordinator holds $lease; compaction is " +
+          s"single-coordinator (stale leases reclaimed after ${staleMs}ms)")
+    try body finally { lease.delete(): Unit }
   }
 
   /** [[compact]] with the image frame injectable — split out so the race
@@ -249,16 +324,21 @@ object Store {
     // after the swap would open a window where a replayed id sees neither
     // its delta nor its marker and double-admits
     markerIds.foreach(id => new File(tmp, s".admitted-$id").createNewFile(): Unit)
-    Layout.promote(tmp, dir, salvage = (bak, live) => {
-      val ds = bak.listFiles()
-      if (ds != null) ds
-        .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
-          !includedIds.contains(f.getName.stripPrefix("delta-")))
-        .foreach { d =>
-          if (!d.renameTo(new File(live, d.getName)))
-            throw new IOException(s"could not salvage raced delta $d")
-        }
-    })
+    ProtocolPoints.pause("compact.rewritten")
+    // only the swap is exclusive: in-flight admissions drain, the renames
+    // run alone, admissions resume against the promoted image
+    withSwapLock(dir) {
+      Layout.promote(tmp, dir, salvage = (bak, image) => {
+        val ds = bak.listFiles()
+        if (ds != null) ds
+          .filter(f => f.isDirectory && f.getName.startsWith("delta-") &&
+            !includedIds.contains(f.getName.stripPrefix("delta-")))
+          .foreach { d =>
+            if (!d.renameTo(new File(image, d.getName)))
+              throw new IOException(s"could not salvage raced delta $d")
+          }
+      })
+    }
     // no post-promote .inprogress sweep: a crash-orphaned staging dir is
     // swept WITH the old copy by the swap itself, and the only .inprogress
     // that could appear in the NEW live dir belongs to a LIVE racing append

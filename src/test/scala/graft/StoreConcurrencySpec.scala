@@ -153,6 +153,29 @@ class StoreConcurrencySpec extends AnyFunSuite {
     } finally sweep(store)
   }
 
+  test("compaction lease: a second coordinator fails fast; a stale lease is reclaimed; admissions are never blocked") {
+    val store = freshStore()
+    try {
+      Store.append(Seq((1L, 1L)).toDF("writer", "n"), store)
+      Store.withCompactionLease(store) {
+        // a second coordinator is refused with a clear failure mode —
+        // the single-coordinator contract is now code, not a comment
+        assertThrows[IllegalStateException](Store.compact(spark, store, numFiles = 1))
+        // the lease gates COMPACTION only: admissions proceed under it
+        assert(Store.appendIdempotent(Seq((2L, 2L)).toDF("writer", "n"), store, "x"))
+      }
+      // released: compaction runs again
+      Store.compact(spark, store, numFiles = 1)
+      assert(Store.read(spark, store).count() == 2)
+      // a crashed coordinator's lease is reclaimed once stale
+      val lease = new java.io.File(store + ".lease")
+      assert(lease.createNewFile())
+      assert(lease.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+      Store.compact(spark, store, numFiles = 1)
+      assert(!lease.exists(), "reclaimed lease must be released after the compact")
+    } finally sweep(store)
+  }
+
   test("maintain() from the single writer immediately after parallel appends folds all of them") {
     val store = freshStore()
     val pool = Executors.newFixedThreadPool(4)

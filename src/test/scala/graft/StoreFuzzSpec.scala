@@ -1,0 +1,240 @@
+package graft
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, Executors, TimeUnit}
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ProtocolPoints, Store}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** Randomized-interleaving fuzzer for the Store commit/compaction protocol
+  * (VERDICT r9 task 1) — the directed interleavings in
+  * [[StoreConcurrencySpec]] pin the races someone thought of; this spec
+  * explores the ones nobody did. Each SEED runs an independent store with:
+  *
+  *  - writer threads issuing idempotent appends (fresh ids), plain
+  *    appends, and REPLAYS of already-committed ids, retrying the
+  *    documented swap-window failure (an append racing the promote's two
+  *    renames may fail its own commit — the store is unharmed and the
+  *    writer retries);
+  *  - one compactor (the documented single-coordinator discipline)
+  *    issuing repeated compactions against the live write traffic;
+  *  - one reader continuously checking the mid-flight invariants.
+  *
+  * Every thread installs a seeded [[graft.sources.ProtocolPoints]] hook
+  * that randomly dwells at the protocol's internal step boundaries
+  * (staged / pre-commit / committed / id-checked / rewritten / pre-aside /
+  * aside / swapped / pre-drop), stretching the microsecond windows between
+  * renames into schedulable gaps so the thread scheduler can actually land
+  * inside them.
+  *
+  * INVARIANTS, checked mid-flight on every successful read and exactly at
+  * the end:
+  *  1. no loss — every batch whose admit returned before a read began is
+  *     fully present in that read;
+  *  2. never torn, never doubled — every visible batch has exactly R rows;
+  *  3. no phantoms — only admitted batch keys are ever visible;
+  *  4. replay no-op — re-admitting any used id returns false and changes
+  *     nothing, including after compactions folded the id's delta away.
+  *
+  * A read overlapping the swap's two-rename window may FAIL (the
+  * documented residual exclusion window); a failed read is retried, but a
+  * read that SUCCEEDS must satisfy the invariants — there is no tolerated
+  * wrong answer. Seed count: `GRAFT_FUZZ_SEEDS` (default 100); seeds run
+  * in parallel batches, each against its own store directory. */
+class StoreFuzzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val R = 3 // rows per batch — small so torn/doubled is decidable
+  private val OpsPerWriter = 4
+  private val Writers = 2
+  private val Compactions = 3
+
+  private def batchDf(key: String): DataFrame = {
+    import spark.implicits._
+    (0 until R).map(i => (key, i)).toDF("batch", "i").coalesce(1)
+  }
+
+  /** Retry an admission that failed in the documented swap-race window.
+    * Only IOExceptions and Spark write failures are retried — assertion
+    * errors propagate. Returns (value, retried): when an attempt threw
+    * AFTER its commit rename landed (e.g. the marker create caught the
+    * swap window), the retry legitimately reports an idempotent skip — so
+    * `retried` tells the caller to accept either outcome. */
+  private def retrying[A](seed: Long, what: String)(body: => A): (A, Boolean) = {
+    var last: Throwable = null
+    var i = 0
+    while (i < 24) {
+      i += 1
+      try return (body, i > 1)
+      catch {
+        case e: java.io.IOException => last = e
+        case e: org.apache.spark.SparkException => last = e
+      }
+      Thread.sleep(5L * i)
+    }
+    throw new AssertionError(
+      s"seed=$seed $what never succeeded after $i attempts", last)
+  }
+
+  private def runSeed(seed: Long): Unit = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_fuzz_${seed}_").toString
+    val store = root + "/store"
+    // batch key -> nanoTime its admit RETURNED (happens-before for reads)
+    val admitted = new ConcurrentHashMap[String, java.lang.Long]()
+    // ids admitted via the idempotent path — replay candidates
+    val idempotentIds = new ConcurrentLinkedQueue[String]()
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+
+    def dwellHook(rnd: Random): String => Unit =
+      _ => if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(12).toLong)
+
+    def checkRead(): Unit = {
+      val t0 = System.nanoTime()
+      val counts: Map[String, Long] =
+        try Store.read(spark, store).groupBy("batch").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        catch { case _: Exception => return } // swap window: retried later
+      counts.foreach { case (b, n) =>
+        assert(n == R, s"seed=$seed torn or doubled batch $b: $n rows (want $R)")
+        assert(admitted.containsKey(b), s"seed=$seed phantom batch $b")
+      }
+      admitted.asScala.foreach { case (b, t) =>
+        assert(t >= t0 || counts.contains(b),
+          s"seed=$seed LOST batch $b: admitted before this read began, not visible")
+      }
+    }
+
+    // bootstrap so reads never race schema inference on an empty store
+    Store.append(batchDf(s"f$seed-boot"), store)
+    admitted.put(s"f$seed-boot", System.nanoTime())
+
+    val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
+    @volatile var writersDone = false
+
+    def spawn(name: String)(body: => Unit): Unit = {
+      val t = new Thread(() => {
+        try body
+        catch { case e: Throwable => failures.add(e): Unit }
+        finally ProtocolPoints.uninstall()
+      }, name)
+      t.setDaemon(true)
+      threads += t
+    }
+
+    for (w <- 0 until Writers) spawn(s"fuzz-$seed-w$w") {
+      val rnd = new Random(seed * 1009 + w)
+      ProtocolPoints.install(dwellHook(rnd))
+      var k = 0
+      while (k < OpsPerWriter) {
+        val key = s"f$seed-w$w-b$k"
+        rnd.nextInt(4) match {
+          case 0 => // plain (un-idded) append
+            retrying(seed, s"append $key")(Store.append(batchDf(key), store))
+            admitted.put(key, System.nanoTime()): Unit
+            k += 1
+          case 3 if !idempotentIds.isEmpty => // replay: must be a no-op
+            val ids = idempotentIds.asScala.toIndexedSeq
+            val victim = ids(rnd.nextInt(ids.size))
+            val (won, _) = retrying(seed, s"replay $victim")(
+              Store.appendIdempotent(batchDf(victim), store, victim))
+            assert(!won, s"seed=$seed replayed id $victim was re-admitted")
+          case _ => // idempotent fresh admit
+            val (won, retried) = retrying(seed, s"admit $key")(
+              Store.appendIdempotent(batchDf(key), store, key))
+            // a first-attempt skip of a fresh id would be a protocol bug;
+            // after a retry, a skip means the thrown attempt had actually
+            // committed — either way the id is admitted exactly once
+            assert(won || retried,
+              s"seed=$seed fresh id $key lost its own admission")
+            admitted.put(key, System.nanoTime())
+            idempotentIds.add(key): Unit
+            k += 1
+        }
+        if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(15).toLong)
+      }
+    }
+
+    spawn(s"fuzz-$seed-compactor") {
+      val rnd = new Random(seed * 7919 + 97)
+      ProtocolPoints.install(dwellHook(rnd))
+      var c = 0
+      while (c < Compactions && failures.isEmpty) {
+        Thread.sleep(rnd.nextInt(40).toLong)
+        // a swap defeated by a racing writer rolls back wholesale and
+        // reports failure — the documented, tolerated outcome
+        try Store.compact(spark, store, numFiles = 1 + rnd.nextInt(2))
+        catch { case _: java.io.IOException => () }
+        c += 1
+      }
+    }
+
+    spawn(s"fuzz-$seed-reader") {
+      val rnd = new Random(seed * 104729 + 13)
+      while (!writersDone && failures.isEmpty) {
+        checkRead()
+        Thread.sleep(rnd.nextInt(25).toLong)
+      }
+    }
+
+    try {
+      threads.foreach(_.start())
+      threads.filter(_.getName.contains("-w")).foreach(_.join(180000))
+      writersDone = true
+      threads.foreach(_.join(180000))
+      assert(threads.forall(!_.isAlive), s"seed=$seed threads hung")
+      failures.asScala.headOption.foreach(e => throw e)
+
+      // quiesced end-state: one final recovery + compaction, then exact checks
+      Store.recoverStale(store)
+      Store.compact(spark, store, numFiles = 1)
+      val end = Store.read(spark, store).groupBy("batch").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(end.keySet == admitted.keySet().asScala.toSet,
+        s"seed=$seed end-state batch set mismatch: " +
+          s"missing=${admitted.keySet().asScala.toSet -- end.keySet} " +
+          s"phantom=${end.keySet -- admitted.keySet().asScala}")
+      assert(end.values.forall(_ == R),
+        s"seed=$seed end-state torn/doubled: ${end.filter(_._2 != R)}")
+      // every idempotent id must still replay as a no-op post-compaction
+      idempotentIds.asScala.foreach { id =>
+        assert(!Store.appendIdempotent(batchDf(id), store, id),
+          s"seed=$seed id $id re-admitted after final compaction")
+      }
+    } finally {
+      FileUtils.deleteQuietly(new java.io.File(root)): Unit
+    }
+  }
+
+  test("randomized interleavings: no loss, no double-count, no torn reads, replays no-op") {
+    val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(100)
+    val parallelism = 8
+    val pool = Executors.newFixedThreadPool(parallelism)
+    val failures = new ConcurrentLinkedQueue[(Long, Throwable)]()
+    try {
+      (1L to nSeeds.toLong).foreach { seed =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try runSeed(seed)
+            catch { case e: Throwable => failures.add(seed -> e): Unit }
+        }): Unit
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(45, TimeUnit.MINUTES), "fuzz pool timed out")
+      if (!failures.isEmpty) {
+        val all = failures.asScala.toSeq
+        val detail = all.map { case (s, e) =>
+          val cause = Option(e.getCause).map(c => s" caused by ${c.getMessage}").getOrElse("")
+          s"seed=$s: ${e.getClass.getSimpleName}: ${e.getMessage}$cause"
+        }.mkString("\n  ")
+        throw new AssertionError(
+          s"${all.size} of $nSeeds seeds failed:\n  $detail", all.head._2)
+      }
+    } finally { pool.shutdownNow(): Unit }
+  }
+}
