@@ -201,6 +201,43 @@ object Bench {
           noopSave(shared.corpus)
         } finally shared.close()
       })))
+    // ---- phase-split timing for the store-backed faces (VERDICT r9 task
+    // 3): each of these queries' headline number deliberately prices a
+    // throwaway-store build + N admissions + a serve in one figure. The
+    // production reader needs them apart — a deployment amortizes build
+    // across its lifetime and admissions across micro-batches, paying only
+    // SERVE per query. The faces are instrumented with queries.Phases
+    // wrappers (no-ops outside this collector); two samples each, per-phase
+    // min (discards a GC/JIT spike; phases are attribution, not the
+    // headline statistic — the headline stays the `queries` median above).
+    val phasedNames = Seq("sim_ivf_served", "sim_ivf_served_sq8",
+      "events_pagerank_incremental", "mv_orders_incremental",
+      "events_resample_incremental", "dedup_chunks_incremental",
+      "events_bitmap_incremental", "events_bitmap_window",
+      "text_bm25_search", "text_search_index", "text_phrase_search")
+    val phases: Seq[(String, Map[String, Double])] =
+      (if (args.nonEmpty) Nil
+       else phasedNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
+        .flatMap { case (name, fn) =>
+          val samples = (1 to 2).flatMap { i =>
+            spark.catalog.clearCache()
+            System.gc()
+            try {
+              val (df, ph) = queries.Phases.collecting(fn(spark, sfDir))
+              noopSave(df)
+              Some(ph)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name phase run $i failed: ${e.getMessage}")
+              None
+            }
+          }
+          if (samples.isEmpty) None
+          else {
+            val keys = samples.flatMap(_.keys).distinct
+            Some(name -> keys.map(k =>
+              k -> samples.map(_.getOrElse(k, 0.0)).min).toMap)
+          }
+        }
     val cpuAfter = cpuProbe()
     val loadAfter = loadAvg()
     // the headline per-query statistic: median of the best `runs` samples
@@ -232,10 +269,16 @@ object Bench {
     // ("*" for local[*]) and an unquoted value would corrupt the JSON
     val header = s""""metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""cpus":"$cpus","sf":"$sfDir","failures":$failures"""
+    def fmtPhases = phases.map { case (name, ph) =>
+      "\"" + name + "\":" + ph.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + round3(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val full = s"""{$header,"calibration":$calibration,""" +
       s""""queries":${fmt(bestMedian)},"queries_min":${fmt(_.min)},""" +
       s""""queries_norm":${fmt(normed)},""" +
       s""""queries_runs":$perRun,"composed":${fmtSeq(composed, bestMedian)},""" +
+      s""""phases":$fmtPhases,""" +
       s""""bench_file":"$outPath"}"""
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
@@ -245,6 +288,7 @@ object Bench {
     println(s"""{$header,"calibration":$calibration,""" +
       s""""queries":${fmt(ts => round3(bestMedian(ts)))},""" +
       s""""composed":${fmtSeq(composed, ts => round3(bestMedian(ts)))},""" +
+      s""""phases":$fmtPhases,""" +
       s""""bench_file":"$outPath"}""")
     Console.out.flush()
     spark.stop()

@@ -111,9 +111,13 @@ object Bm25 {
       .createTempDirectory("graft_bm25_store_").toString
     try {
       val docs = Tables.documents(spark, dir)
-      admitDocs(spark, store, docs.filter($"doc_id" % 2 === 0))
-      admitDocs(spark, store, docs.filter($"doc_id" % 2 =!= 0))
-      rankFromStore(spark, store, Terms).localCheckpoint(true)
+      Phases.time("build") {
+        admitDocs(spark, store, docs.filter($"doc_id" % 2 === 0))
+        admitDocs(spark, store, docs.filter($"doc_id" % 2 =!= 0))
+      }
+      Phases.time("serve") {
+        rankFromStore(spark, store, Terms).localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
         Unit

@@ -154,12 +154,14 @@ object DedupRewrite {
       val maxRow = docs.agg(max($"doc_id")).head()
       if (maxRow.isNullAt(0)) return dedupChunks(spark, dir)
       val mid = maxRow.getLong(0) / 2
-      val out1 = IncrementalDedup.dedupeBatchChunks(
-        docs.filter($"doc_id" <= mid), store)
-      val out2 = IncrementalDedup.dedupeBatchChunks(
-        docs.filter($"doc_id" > mid), store)
+      val (out1, out2) = Phases.time("admit") {
+        (IncrementalDedup.dedupeBatchChunks(docs.filter($"doc_id" <= mid), store),
+          IncrementalDedup.dedupeBatchChunks(docs.filter($"doc_id" > mid), store))
+      }
       // checkpoint past the store files — safe to sweep in finally
-      out1.unionAll(out2).orderBy($"doc_id").localCheckpoint(true)
+      Phases.time("serve") {
+        out1.unionAll(out2).orderBy($"doc_id").localCheckpoint(true)
+      }
     } finally {
       // finally (not success-path-only): a mid-query failure must not
       // leak the throwaway store directory

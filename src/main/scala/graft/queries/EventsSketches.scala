@@ -189,8 +189,10 @@ object EventsSketches {
       .createTempDirectory("graft_bmday_store_").toString
     try {
       val events = Tables.events(spark, dir)
-      admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
-      admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+      Phases.time("admit") {
+        admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+        admitDailyBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+      }
       val startRow = events.agg(min(to_date($"ts"))).head()
       if (startRow.isNullAt(0)) {
         // Empty corpus: no window to derive — empty result, same schema as
@@ -204,8 +206,10 @@ object EventsSketches {
               org.apache.spark.sql.types.LongType))))
       } else {
         val start = startRow.getDate(0).toLocalDate
-        distinctWindowFromStore(spark, store, start, start.plusDays(7))
-          .localCheckpoint(true)
+        Phases.time("serve") {
+          distinctWindowFromStore(spark, store, start, start.plusDays(7))
+            .localCheckpoint(true)
+        }
       }
     } finally {
       // localCheckpoint(true) above is eager, so the store is no longer
@@ -249,9 +253,13 @@ object EventsSketches {
       .createTempDirectory("graft_bitmap_store_").toString
     try {
       val events = Tables.events(spark, dir)
-      admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
-      admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
-      distinctFromStore(spark, store).localCheckpoint(true)
+      Phases.time("admit") {
+        admitBitmaps(spark, store, events.filter($"event_id" % 2 === 0))
+        admitBitmaps(spark, store, events.filter($"event_id" % 2 =!= 0))
+      }
+      Phases.time("serve") {
+        distinctFromStore(spark, store).localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
         Unit

@@ -181,14 +181,18 @@ object IncrementalGraph {
         val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
         val cut1 = t0 + (t1 - t0) / 3
         val cut2 = t0 + 2 * ((t1 - t0) / 3)
-        admitEvents(spark, store,
-          events.filter(unix_micros($"ts") <= cut1), id = Some("slice0"))
-        admitEvents(spark, store,
-          events.filter(unix_micros($"ts") > cut1 &&
-            unix_micros($"ts") <= cut2), id = Some("slice1"))
-        admitEvents(spark, store,
-          events.filter(unix_micros($"ts") > cut2), id = Some("slice2"))
-        pagerankFromStore(spark, store).localCheckpoint(true)
+        Phases.time("admit") {
+          admitEvents(spark, store,
+            events.filter(unix_micros($"ts") <= cut1), id = Some("slice0"))
+          admitEvents(spark, store,
+            events.filter(unix_micros($"ts") > cut1 &&
+              unix_micros($"ts") <= cut2), id = Some("slice1"))
+          admitEvents(spark, store,
+            events.filter(unix_micros($"ts") > cut2), id = Some("slice2"))
+        }
+        Phases.time("serve") {
+          pagerankFromStore(spark, store).localCheckpoint(true)
+        }
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):

@@ -91,13 +91,17 @@ object InvertedIndex {
       .createTempDirectory("graft_ii_store_").toString
     try {
       val docs = Tables.documents(spark, dir)
-      admitDocs(spark, store, docs.filter($"doc_id" % 2 === 0))
-      admitDocs(spark, store, docs.filter($"doc_id" % 2 =!= 0))
-      searchFromStore(spark, store, Terms)
-        .join(docs, "doc_id")
-        .select($"doc_id", $"source", $"n_chars")
-        .orderBy($"doc_id")
-        .localCheckpoint(true)
+      Phases.time("build") {
+        admitDocs(spark, store, docs.filter($"doc_id" % 2 === 0))
+        admitDocs(spark, store, docs.filter($"doc_id" % 2 =!= 0))
+      }
+      Phases.time("serve") {
+        searchFromStore(spark, store, Terms)
+          .join(docs, "doc_id")
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+          .localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
         Unit
@@ -236,13 +240,17 @@ object InvertedIndex {
       .createTempDirectory("graft_pp_store_").toString
     try {
       val docs = Tables.documents(spark, dir)
-      admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 === 0))
-      admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 =!= 0))
-      phraseFromStore(spark, store, Phrase)
-        .join(docs, "doc_id")
-        .select($"doc_id", $"source")
-        .orderBy($"doc_id")
-        .localCheckpoint(true)
+      Phases.time("build") {
+        admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 === 0))
+        admitDocsPositional(spark, store, docs.filter($"doc_id" % 2 =!= 0))
+      }
+      Phases.time("serve") {
+        phraseFromStore(spark, store, Phrase)
+          .join(docs, "doc_id")
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+          .localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
         Unit

@@ -325,21 +325,27 @@ object IvfIndex {
     try {
       val vecs = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding")
-      val codebook = vecs
-        .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
-        .filter($"vec_id" < SimilaritySearch.IvfNCells)
-        .orderBy($"vec_id").collect()
-        .map(_.getSeq[Double](1).toArray)
-      writeIvfIndex(spark, indexDir, codebook)
-      admitBatchIvf(vecs.filter($"vec_id" % 2 === 0), indexDir)
-      admitBatchIvf(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      Phases.time("build") {
+        val cb = vecs
+          .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+          .filter($"vec_id" < SimilaritySearch.IvfNCells)
+          .orderBy($"vec_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+        writeIvfIndex(spark, indexDir, cb)
+      }
+      Phases.time("admit") {
+        admitBatchIvf(vecs.filter($"vec_id" % 2 === 0), indexDir)
+        admitBatchIvf(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      }
       val queries = vecs
         .filter($"vec_id" < SimilaritySearch.NQueries)
         .select($"vec_id".as("query_id"),
           Similarity.toDoubleArray($"embedding").as("q"))
-      servedIvfTopk(spark, indexDir, queries,
-        k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
-        .localCheckpoint(true)
+      Phases.time("serve") {
+        servedIvfTopk(spark, indexDir, queries,
+          k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+          .localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir)):
         Unit
@@ -357,21 +363,27 @@ object IvfIndex {
     try {
       val vecs = Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding")
-      val codebook = vecs
-        .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
-        .filter($"vec_id" < SimilaritySearch.IvfNCells)
-        .orderBy($"vec_id").collect()
-        .map(_.getSeq[Double](1).toArray)
-      writeIvfIndex(spark, indexDir, codebook)
-      admitBatchIvfSq8(vecs.filter($"vec_id" % 2 === 0), indexDir)
-      admitBatchIvfSq8(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      Phases.time("build") {
+        val cb = vecs
+          .select($"vec_id", Similarity.toDoubleArray($"embedding").as("v"))
+          .filter($"vec_id" < SimilaritySearch.IvfNCells)
+          .orderBy($"vec_id").collect()
+          .map(_.getSeq[Double](1).toArray)
+        writeIvfIndex(spark, indexDir, cb)
+      }
+      Phases.time("admit") {
+        admitBatchIvfSq8(vecs.filter($"vec_id" % 2 === 0), indexDir)
+        admitBatchIvfSq8(vecs.filter($"vec_id" % 2 =!= 0), indexDir)
+      }
       val queries = vecs
         .filter($"vec_id" < SimilaritySearch.NQueries)
         .select($"vec_id".as("query_id"),
           Similarity.toDoubleArray($"embedding").as("q"))
-      servedIvfTopkSq8(spark, indexDir, queries,
-        k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
-        .localCheckpoint(true)
+      Phases.time("serve") {
+        servedIvfTopkSq8(spark, indexDir, queries,
+          k = SimilaritySearch.K, nprobe = SimilaritySearch.IvfNProbe)
+          .localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(indexDir)):
         Unit

@@ -146,9 +146,13 @@ object MaterializedAgg {
       .createTempDirectory("graft_mv_store_").toString
     try {
       val orders = Tables.orders(spark, dir)
-      admitOrders(spark, store, orders.filter($"o_orderkey" % 2 === 0))
-      admitOrders(spark, store, orders.filter($"o_orderkey" % 2 =!= 0))
-      serveOrders(spark, store).localCheckpoint(true)
+      Phases.time("admit") {
+        admitOrders(spark, store, orders.filter($"o_orderkey" % 2 === 0))
+        admitOrders(spark, store, orders.filter($"o_orderkey" % 2 =!= 0))
+      }
+      Phases.time("serve") {
+        serveOrders(spark, store).localCheckpoint(true)
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store)):
         Unit

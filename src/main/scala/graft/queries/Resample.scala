@@ -151,8 +151,11 @@ object Resample {
     val store = java.nio.file.Files
       .createTempDirectory("graft_resample_store_").toString
     val events = Tables.events(spark, dir)
-    admitHourly(spark, store, events.filter($"event_id" % 2 === 0))
-    val grid = admitHourly(spark, store, events.filter($"event_id" % 2 =!= 0))
+    Phases.time("admit") {
+      admitBatch(spark, store, events.filter($"event_id" % 2 === 0))
+      admitBatch(spark, store, events.filter($"event_id" % 2 =!= 0)): Unit
+    }
+    val grid = Phases.time("serve") { gridFromStore(spark, store) }
     // the grid is checkpointed past the store files — safe to sweep now
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     grid
