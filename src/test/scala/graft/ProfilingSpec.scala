@@ -41,4 +41,32 @@ class ProfilingSpec extends AnyFunSuite {
     assert(plan.contains("Expand"),
       s"exact multi-column NDV plans through one Expand:\n$plan")
   }
+
+  test("approx variant: every NDV within ±2% of exact, other stats identical, and NO Expand in the plan") {
+    val exact = Profiling.prepTableStats(spark, sf)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val approxDf = Profiling.prepTableStatsApprox(spark, sf)
+    val approx = approxDf
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (col, (_, n, nulls, ndv, mn, mx)) =>
+      val (_, an, anulls, andv, amn, amx) = approx(col)
+      // everything except NDV is computed identically — exact equality
+      assert((an, anulls, amn, amx) == ((n, nulls, mn, mx)),
+        s"$col non-NDV stats must match exactly")
+      // HLL++ at 5% rsd on these cardinalities: pin ±2% (the q20 protocol)
+      assert(math.abs(andv - ndv) <= math.max(1L, math.ceil(ndv * 0.02).toLong),
+        s"$col approx ndv $andv vs exact $ndv outside ±2%")
+    }
+    // the production win: the k-fold Expand of exact multi-countDistinct
+    // is gone — each row is aggregated once however many columns profile
+    val plan = approxDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"one fact scan:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"approx NDV must not plan an Expand:\n$plan")
+  }
 }
