@@ -77,6 +77,15 @@ object DedupRewrite {
     * (doc_id, kept: array<int>); docs absent from it rebuild empty. */
   private[graft] def rebuild(tokDocs: DataFrame, keptIdx: DataFrame): DataFrame = {
     import tokDocs.sparkSession.implicits._
+    rebuildUnordered(tokDocs, keptIdx).orderBy($"doc_id")
+  }
+
+  /** [[rebuild]] without the presentation sort — the incremental face
+    * unions two rebuilds and orders ONCE on top; sorting each branch first
+    * would be two redundant range shuffles whose order the union destroys
+    * (surfaced by the AQE-on plan lint). */
+  private[graft] def rebuildUnordered(tokDocs: DataFrame, keptIdx: DataFrame): DataFrame = {
+    import tokDocs.sparkSession.implicits._
     tokDocs
       .join(keptIdx, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -88,7 +97,6 @@ object DedupRewrite {
           filter(chunkArr, (_, i) => array_contains(
             coalesce($"kept", array().cast("array<int>")), i)),
           " ").as("text_dedup"))
-      .orderBy($"doc_id")
   }
 
   def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
@@ -155,8 +163,10 @@ object DedupRewrite {
       if (maxRow.isNullAt(0)) return dedupChunks(spark, dir)
       val mid = maxRow.getLong(0) / 2
       val (out1, out2) = Phases.time("admit") {
-        (IncrementalDedup.dedupeBatchChunks(docs.filter($"doc_id" <= mid), store),
-          IncrementalDedup.dedupeBatchChunks(docs.filter($"doc_id" > mid), store))
+        (IncrementalDedup.dedupeBatchChunks(
+            docs.filter($"doc_id" <= mid), store, ordered = false),
+          IncrementalDedup.dedupeBatchChunks(
+            docs.filter($"doc_id" > mid), store, ordered = false))
       }
       // checkpoint past the store files — safe to sweep in finally
       Phases.time("serve") {

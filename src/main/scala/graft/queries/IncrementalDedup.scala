@@ -229,7 +229,8 @@ object IncrementalDedup {
     * (doc_id, ck)) would force a full-width index probe for a corner that
     * the id discipline already excludes. */
   def dedupeBatchChunks(batch: DataFrame, indexDir: String,
-      maintainEvery: Int = 16, id: Option[String] = None): DataFrame = {
+      maintainEvery: Int = 16, id: Option[String] = None,
+      ordered: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val tokDocs = DedupRewrite.tokenized(batch)
@@ -262,7 +263,11 @@ object IncrementalDedup {
       else admitted.select($"doc_id", $"idx")
     val keptIdx = keptSource.groupBy($"doc_id")
       .agg(collect_set($"idx").as("kept"))
-    DedupRewrite.rebuild(tokDocs, keptIdx)
+    // ordered=false for callers that compose batches and sort once on
+    // top (the incremental face): a per-batch sort under a union is
+    // redundant interior work (AQE-lint-pinned)
+    if (ordered) DedupRewrite.rebuild(tokDocs, keptIdx)
+    else DedupRewrite.rebuildUnordered(tokDocs, keptIdx)
   }
 
   /** The membership screen of [[dedupeBatchChunks]] BEFORE the lineage cut

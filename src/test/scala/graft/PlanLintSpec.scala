@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -56,6 +57,11 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_filtered_topk" -> Set("bnlj"),
     "sim_quantized_rerank" -> Set("bnlj"),
     "sim_quantized_topk" -> Set("bnlj"),
+    // The recall harness runs the brute-force exact baseline INTERNALLY
+    // (ground truth the approximate families are scored against) — same
+    // NQueries-literal-bounded broadcast side as sim_bruteforce_topk,
+    // surfaced here because the AQE pass lints every internal execution.
+    "sim_recall_report" -> Set("bnlj"),
     // Token-budget prefix sums: the funnel carries the 257-row bucket
     // aggregate (256 hash buckets + remainder), never document rows — the
     // bounded-bucket design IS the operator (see DataPipeline prefix-sum
@@ -74,11 +80,19 @@ class PlanLintSpec extends AnyFunSuite {
     case other => other
   }
 
-  /** Nodes a presentation-only global sort may sit under. */
+  /** Nodes a presentation-only global sort may sit under. The AQE
+    * wrappers are transparent: they re-plan, they don't consume. Write
+    * commands (v1 and v2 — the noop sink, parquet saves) are sinks: a
+    * global sort feeding a write is the query's presentation order (or a
+    * deliberate ordered layout), not interior compute. */
   private def presentational(p: SparkPlan): Boolean = p match {
     case _: ProjectExec | _: WholeStageCodegenExec | _: InputAdapter |
         _: CollectLimitExec | _: GlobalLimitExec | _: LocalLimitExec |
-        _: ColumnarToRowExec | _: SerializeFromObjectExec => true
+        _: ColumnarToRowExec | _: SerializeFromObjectExec |
+        _: AdaptiveSparkPlanExec | _: QueryStageExec |
+        _: datasources.v2.V2CommandExec |
+        _: command.DataWritingCommandExec |
+        _: command.ExecutedCommandExec => true
     case _ => false
   }
 
@@ -95,6 +109,9 @@ class PlanLintSpec extends AnyFunSuite {
     case pr: ProjectExec => planBounded(pr.child)
     case f: FilterExec => planBounded(f.child)
     case e: exchange.BroadcastExchangeExec => planBounded(e.child)
+    case q: QueryStageExec => planBounded(q.plan)
+    case r: exchange.ReusedExchangeExec => planBounded(r.child)
+    case a: AdaptiveSparkPlanExec => planBounded(a.executedPlan)
     case _ => false
   }
 
@@ -128,6 +145,14 @@ class PlanLintSpec extends AnyFunSuite {
         case _ => ()
       }
       val anc = p :: ancestors
+      // the AQE wrappers are leaves structurally; descend into the plan
+      // they actually executed (post-re-optimization, the plan a 100 TB
+      // run would run) — this is what makes the AQE-ON pass see real shapes
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, anc)
+        case q: QueryStageExec => walk(q.plan, anc)
+        case _ => ()
+      }
       p.children.foreach(walk(_, anc))
       // subquery fragments restart ancestry: their sort/limit shape is
       // their own (a scalar subquery's global sort is still interior work)
@@ -199,5 +224,68 @@ class PlanLintSpec extends AnyFunSuite {
   test("allowlist entries stay live (no stale excuses)") {
     val unknown = allow.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"allowlisted names not in queries: $unknown")
+  }
+
+  /** The ~20 heaviest queries by the calibrated sf0.1 bench — the set the
+    * AQE-ON pass executes (VERDICT r9 task 4). */
+  private val heaviest = Seq(
+    "events_pagerank_incremental", "prep_table_stats", "dedup_semantic",
+    "dedup_canonical", "prep_bpe_budget", "events_pagerank",
+    "sim_recall_report", "dedup_chunks_incremental", "sim_ivf_served",
+    "sim_ivf_served_sq8", "text_bpe_encode", "dedup_clusters",
+    "dedup_ngram_jaccard", "text_bpe_vocab", "q79_zonemap_scan",
+    "text_lm_score", "q50_recursive_bom", "prep_corpus", "dedup_fuzzy",
+    "dedup_chunks", "prep_outliers", "q30_stats_moments")
+
+  test("AQE-ON: final adaptive plans of the heaviest queries — every internal execution included — satisfy the same contract") {
+    // The static pass above judges what the optimizer committed to with
+    // AQE off; this pass judges what ADAPTIVE execution actually ran —
+    // runtime re-plans (BNLJ demotions, skew splits, empty-relation
+    // collapses) included. Because many heavy faces checkpoint internally
+    // (their returned frame is just a checkpoint scan), plans are captured
+    // with a QueryExecutionListener: every execution the query triggers —
+    // admissions, checkpoint materializations, loop rounds, the final
+    // noop write — is linted, not just the returned frame's plan. The
+    // walk descends AdaptiveSparkPlanExec/QueryStageExec into the
+    // executed (final) physical plan.
+    assert(heaviest.forall(SparkEntry.queries.contains))
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = { captured.add(qe.executedPlan): Unit }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.listenerManager.register(listener)
+    try {
+      val violations = heaviest.flatMap { name =>
+        captured.clear()
+        try {
+          SparkEntry.queries(name)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+          // the listener fires on a bus thread: drain until stable
+          var last = -1
+          var same = 0
+          while (same < 3) {
+            Thread.sleep(100)
+            val n = captured.size
+            if (n == last) same += 1 else { same = 0; last = n }
+          }
+          import scala.jdk.CollectionConverters._
+          val plans = captured.asScala.toSeq
+          assert(plans.nonEmpty, s"$name: no executions captured")
+          plans.flatMap(lint(name, _))
+        } catch { case e: org.scalatest.exceptions.TestFailedException => throw e
+          case e: Throwable => Seq(s"$name: failed to run — ${e.getMessage}") }
+      }
+      assert(violations.isEmpty,
+        violations.distinct.mkString("\n", "\n", "\n"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
   }
 }
