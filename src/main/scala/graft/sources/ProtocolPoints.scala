@@ -20,9 +20,20 @@ private[graft] object ProtocolPoints {
   def uninstall(): Unit =
     hooks.remove(Thread.currentThread()): Unit
 
+  /** Process-wide hook for fault injection on threads the installer does
+    * not own (a StreamingQuery's micro-batch thread): checked after the
+    * per-thread hook. Installers must self-limit (fire-once flags) —
+    * suites run sequentially, so cross-suite interference is structural,
+    * not racy. */
+  @volatile private var global: String => Unit = null
+  def installGlobal(f: String => Unit): Unit = global = f
+  def uninstallGlobal(): Unit = global = null
+
   /** Invoked by the protocol code at each named step boundary. */
   @inline def pause(point: String): Unit = {
     val f = hooks.get(Thread.currentThread())
     if (f != null) f(point)
+    val g = global
+    if (g != null) g(point)
   }
 }
