@@ -273,16 +273,52 @@ object Store {
     * fails fast with IllegalStateException — a clear failure mode instead
     * of a corrupted swap. A lease left by a crashed coordinator is
     * reclaimed once older than `staleMs` (compaction holds it for
-    * seconds; the default tolerates long rewrites). */
+    * seconds; the default tolerates long rewrites).
+    *
+    * Reclaiming a stale lease is the hard part, and two designs failed the
+    * forked-JVM contest (StoreMultiJvmSpec) before this one:
+    * delete-then-create lets contender B's delete remove A's FRESH lease
+    * (both proceed), and rename-to-claim-then-create still steals a fresh
+    * lease because the staleness check and the rename are two steps — the
+    * stale file can be reclaimed-and-replaced by a fresh one in between,
+    * and the rename happily moves the replacement (4 simultaneous holders
+    * observed across 4 real JVMs). The fix is a RECLAIM TOMBSTONE: reclaim
+    * rights are taken by createNewFile on `<dir>.lease-reclaim` — atomic,
+    * exactly one winner — and only the tombstone holder may re-verify
+    * staleness and delete the lease. While the tombstone is held, the
+    * lease cannot transition under the verifier: a live holder never
+    * touches a stale-aged lease (past staleMs it must consider itself
+    * dead — the standard lease-semantics assumption), and every other
+    * contender only ever createNewFile()s, which fails while the stale
+    * file still exists. A tombstone left by a crashed reclaimer is itself
+    * swept once stale, so reclaim can never wedge permanently. The
+    * residual caveat is the one inherent to every mtime lease: an agent
+    * that stalls LONGER THAN staleMs between two protocol steps can
+    * violate — windows are 10-minute scale by default, not milliseconds. */
   private[graft] def withCompactionLease[A](dir: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val parent = new File(dir).getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs(): Unit
     val lease = new File(dir + ".lease")
+    def stale(f: File): Boolean = {
+      val lm = f.lastModified() // 0 if the file vanished: NOT stale
+      lm > 0 && System.currentTimeMillis() - lm > staleMs
+    }
     def tryAcquire(): Boolean =
       lease.createNewFile() || {
-        val age = System.currentTimeMillis() - lease.lastModified()
-        age > staleMs && { lease.delete(): Unit; lease.createNewFile() }
+        stale(lease) && {
+          val tomb = new File(dir + ".lease-reclaim")
+          if (stale(tomb)) tomb.delete(): Unit // crashed reclaimer sweep
+          tomb.createNewFile() && {
+            try {
+              // sole reclaimer: re-verify, then delete-and-recreate. A
+              // plain-createNewFile contender can still win the sliver
+              // between our delete and create — then OUR create fails and
+              // we reject: single holder either way.
+              stale(lease) && { lease.delete(): Unit; lease.createNewFile() }
+            } finally tomb.delete(): Unit
+          }
+        }
       }
     if (!tryAcquire())
       throw new IllegalStateException(
