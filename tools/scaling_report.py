@@ -2,19 +2,25 @@
 """Fit per-query growth curves from three calibrated bench runs.
 
 Usage:
-  tools/scaling_report.py bench_sf0.001.json bench_sf0.01.json bench_sf0.1.json
+  tools/scaling_report.py bench_sf0.001.json bench_sf0.01.json bench_sf0.1.json \
+      [oracle_sql.json]
 
 The three inputs are `graft.Bench` full outputs (SPARK_GRAFT_BENCH_OUT) at
-scale factors that step 10x in data volume. For each query present in all
-three, the report derives the effective growth exponent over each decade:
+ascending scale factors. For each query present in all three, the report
+derives the effective growth exponent over each decade, NORMALIZED by how
+much that query's input data actually grew (the testdata tables do not all
+step 10x: `documents` is flat across the first decade and `embeddings`
+steps 4x across the second):
 
-    e = log10(t_big / t_small)        # 1.0 == linear for a 10x data step
+    e = log(t_big / t_small) / log(rows_big / rows_small)   # 1.0 == linear
 
-and flags queries whose LAST-decade exponent exceeds the n*log(n) envelope
-(e > 1.15 ~= n^1.15, which upper-bounds n*log n over this range) AND whose
-absolute time is large enough for the ratio to be signal rather than jitter
-(t_sf0.1 > 0.5 s; below that, constant per-query setup cost dominates both
-terms and the exponent is noise).
+Input growth per query is the max over the tables its oracle SQL mentions
+(rows from parquet footers under the bench runs' own sf dirs); queries
+without oracle SQL fall back to a name-prefix heuristic. Flagged when the
+LAST-decade normalized exponent exceeds the n*log(n) envelope (e > 1.15)
+AND the data actually grew (ratio >= 2, else the exponent is 0/0 noise)
+AND the absolute time is large enough to be signal (t_big > 0.5 s; below
+that, constant per-query setup cost dominates both terms).
 
 Fixed setup cost makes small-sf exponents systematically FLATTER than the
 true asymptote (t = a + b*n^p with a ~ 0.1-0.3 s of Spark job launch), so a
@@ -23,12 +29,14 @@ exponent survives the bias in the conservative direction: overhead can only
 hide growth, never fake it. That makes the flag trustworthy and the
 all-clear approximate, which is the right asymmetry for a regression gate.
 
-Output: a markdown table (stdout) sorted by last-decade exponent, plus a
-summary line; exit 1 if any query is flagged without an entry in
-ALLOWED_SUPERLINEAR below.
+Output: a markdown table (stdout) sorted by last-decade normalized
+exponent, plus a summary line; exit 1 if any query is flagged without an
+entry in ALLOWED_SUPERLINEAR below.
 """
 import json
 import math
+import os
+import re
 import sys
 
 # Queries allowed to exceed the n*log n envelope, each with the written
@@ -37,38 +45,98 @@ ALLOWED_SUPERLINEAR = {
     # (none currently)
 }
 
-FLAG_EXPONENT = 1.15   # > n*log n envelope over a 10x step
+FLAG_EXPONENT = 1.15   # > n*log n envelope
 MIN_BIG_SEC = 0.5      # below this, setup cost dominates and e is noise
+MIN_GROWTH = 2.0       # data must actually grow for the exponent to exist
+
+TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation",
+          "region", "events", "documents", "embeddings"]
+
+# fallback when a query has no oracle SQL: name prefix -> tables read
+PREFIX_TABLES = [
+    ("sim_", ["embeddings"]),
+    ("dedup_embedding", ["embeddings"]),
+    ("dedup_semantic", ["embeddings"]),
+    ("events_", ["events"]),
+    ("multimodal_", ["documents"]),
+    ("text_", ["documents"]),
+    ("dedup_", ["documents"]),
+    ("prep_", ["documents", "lineitem"]),
+    ("pipe_", ["lineitem"]),
+]
 
 
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    probe = d.get("spark_probe_sec")
+    probe = d.get("calibration", {}).get("spark_probe_sec")
     return d.get("queries", {}), probe, d.get("sf", "?")
 
 
-def main(paths):
+def table_rows(sf_dir):
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    rows = {}
+    for t in TABLES:
+        p = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(p):
+            rows[t] = pq.ParquetFile(p).metadata.num_rows
+    return rows or None
+
+
+def query_tables(name, oracle_sql):
+    sql = oracle_sql.get(name)
+    if sql:
+        found = [t for t in TABLES if re.search(r"\b" + t + r"\b", sql)]
+        if found:
+            return found
+    for prefix, tabs in PREFIX_TABLES:
+        if name.startswith(prefix):
+            return tabs
+    return ["lineitem"]
+
+
+def growth(tabs, rows_small, rows_big):
+    if not rows_small or not rows_big:
+        return 10.0  # sf dirs unreadable: assume the nominal decade step
+    ratios = [rows_big[t] / rows_small[t]
+              for t in tabs if rows_small.get(t) and rows_big.get(t)]
+    return max(ratios) if ratios else 10.0
+
+
+def main(paths, oracle_path=None):
     (q1, p1, s1), (q2, p2, s2), (q3, p3, s3) = [load(p) for p in paths]
+    oracle_sql = {}
+    if oracle_path and os.path.exists(oracle_path):
+        with open(oracle_path) as f:
+            oracle_sql = json.load(f)
+    r1, r2, r3 = table_rows(s1), table_rows(s2), table_rows(s3)
+
     shared = sorted(set(q1) & set(q2) & set(q3))
     rows = []
     for name in shared:
         t1, t2, t3 = q1[name], q2[name], q3[name]
         if min(t1, t2, t3) <= 0:
             continue
-        e12 = math.log10(t2 / t1)
-        e23 = math.log10(t3 / t2)
-        flagged = e23 > FLAG_EXPONENT and t3 > MIN_BIG_SEC
-        rows.append((name, t1, t2, t3, e12, e23, flagged))
-    rows.sort(key=lambda r: -r[5])
+        tabs = query_tables(name, oracle_sql)
+        g12, g23 = growth(tabs, r1, r2), growth(tabs, r2, r3)
+        e12 = math.log(t2 / t1) / math.log(g12) if g12 >= MIN_GROWTH else None
+        e23 = math.log(t3 / t2) / math.log(g23) if g23 >= MIN_GROWTH else None
+        flagged = (e23 is not None and e23 > FLAG_EXPONENT
+                   and t3 > MIN_BIG_SEC)
+        rows.append((name, t1, t2, t3, g23, e12, e23, flagged))
+    rows.sort(key=lambda r: -(r[6] if r[6] is not None else -9))
 
-    print(f"<!-- probes: sf0.001={p1} sf0.01={p2} sf0.1={p3} (spark_probe_sec; "
+    print(f"<!-- probes: {s1}={p1} {s2}={p2} {s3}={p3} (spark_probe_sec; "
           f"ratios within ~15% mean the three runs are comparable) -->")
-    print("| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | "
-          "exp 0.001->0.01 | exp 0.01->0.1 | verdict |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | t(sf1) s | t(sf2) s | t(sf3) s | data x (last) | "
+          "exp sf1->sf2 | exp sf2->sf3 | verdict |")
+    print("|---|---|---|---|---|---|---|---|")
     bad = []
-    for name, t1, t2, t3, e12, e23, flagged in rows:
+    fmt = lambda e: "n/a" if e is None else f"{e:+.2f}"
+    for name, t1, t2, t3, g23, e12, e23, flagged in rows:
         verdict = "ok"
         if flagged:
             if name in ALLOWED_SUPERLINEAR:
@@ -76,9 +144,9 @@ def main(paths):
             else:
                 verdict = "**SUPER-LINEAR**"
                 bad.append(name)
-        print(f"| {name} | {t1:.3f} | {t2:.3f} | {t3:.3f} | "
-              f"{e12:+.2f} | {e23:+.2f} | {verdict} |")
-    n_flagged = sum(1 for r in rows if r[6])
+        print(f"| {name} | {t1:.3f} | {t2:.3f} | {t3:.3f} | x{g23:.0f} | "
+              f"{fmt(e12)} | {fmt(e23)} | {verdict} |")
+    n_flagged = sum(1 for r in rows if r[7])
     print(f"\n{len(rows)} queries on the curve; {n_flagged} above the "
           f"n*log n envelope in the last decade; {len(bad)} unexplained.")
     if bad:
@@ -88,6 +156,6 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
+    if len(sys.argv) not in (4, 5):
         sys.exit(__doc__)
-    sys.exit(main(sys.argv[1:4]))
+    sys.exit(main(sys.argv[1:4], sys.argv[4] if len(sys.argv) == 5 else None))
