@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Layout, Tables, ZoneMaps}
+import graft.sources.{BloomIndex, Layout, Tables, ZoneMaps}
 
 /** Driver face for [[graft.sources.ZoneMaps]] — the data-skipping scan.
   *
@@ -58,9 +58,48 @@ object ZoneScan {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Point lookup through the per-file Bloom index
+    * ([[graft.sources.BloomIndex]]) — the equality-probe complement of
+    * q79's range pruning. Lays out a clustered copy of lineitem keyed on
+    * l_orderkey, builds the per-file blooms, and fetches ONE order's
+    * lines reading only files whose filter might contain the key. The
+    * probe key is max(l_orderkey) — deterministic and oracle-expressible;
+    * the 1-row agg collect is bounded by construction. As with q79, the
+    * oracle checks the result against the ORIGINAL table (skipping must
+    * be result-invisible); how many files were pruned is pinned in
+    * BloomIndexSpec (file counts depend on the range sampler). */
+  def q82BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      Layout.writeClustered(li, dataDir, Seq("l_orderkey"), numFiles = 16)
+      BloomIndex.build(spark, dataDir, "l_orderkey", statsDir,
+        expectedPerFile = 100000L)
+      val key = li.agg(max($"l_orderkey")).as[Long].head() // bounded: 1 row
+      val (rows, _) = BloomIndex.scanPointLookup(spark, dataDir, statsDir,
+        "l_orderkey", lit(key))
+      rows
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .orderBy($"l_linenumber")
+        .localCheckpoint(true)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q82Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+      |ORDER BY l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q79_zonemap_scan" -> (q79ZonemapScan _))
+    "q79_zonemap_scan" -> (q79ZonemapScan _),
+    "q82_bloom_lookup" -> (q82BloomLookup _))
 
   val oracles: Map[String, String] = Map(
-    "q79_zonemap_scan" -> q79Sql)
+    "q79_zonemap_scan" -> q79Sql,
+    "q82_bloom_lookup" -> q82Sql)
 }

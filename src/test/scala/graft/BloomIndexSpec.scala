@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BloomIndex, Layout, Tables}
+
+/** Bloom-index contract: point lookups are result-invisible on ANY layout
+  * (a bloom "maybe" is never trusted — the equality predicate still runs),
+  * effective on a clustered layout (≈1 file read of 16, + fpp stragglers),
+  * still effective on a RANDOM layout for an absent key (the case zone
+  * maps cannot serve: "definitely absent" needs no layout correlation),
+  * and partial-merge-correct (the per-file filter must OR together
+  * map-side partials from many tasks without losing members). */
+class BloomIndexSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmp(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_bloom_spec_")
+  private def sweep(p: java.nio.file.Path): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit
+  }
+
+  private def li = Tables.lineitem(spark, sf)
+
+  private def expected(key: Long): Seq[(Long, Int, Long)] =
+    li.filter($"l_orderkey" === key)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+
+  test("clustered layout: present key reads ~1 file of 16, identical rows") {
+    val base = tmp()
+    try {
+      Layout.writeClustered(li, s"$base/data", Seq("l_orderkey"), 16)
+      BloomIndex.build(spark, s"$base/data", "l_orderkey", s"$base/stats",
+        expectedPerFile = 100000L)
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      val (df, (read, total)) = BloomIndex.scanPointLookup(spark,
+        s"$base/data", s"$base/stats", "l_orderkey", lit(key))
+      assert(total == 16, s"expected 16 file slices, saw $total")
+      // one true file + at most a couple of 1% fpp stragglers
+      assert(read >= 1 && read <= 3,
+        s"clustered point lookup must prune to ~1 file, read $read/$total")
+      val got = df.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == expected(key) && got.nonEmpty)
+    } finally sweep(base)
+  }
+
+  test("random layout: absent key prunes EVERYTHING, present key exact") {
+    val base = tmp()
+    try {
+      li.repartition(16).write.parquet(s"$base/data")
+      BloomIndex.build(spark, s"$base/data", "l_orderkey", s"$base/stats",
+        expectedPerFile = 100000L)
+      val maxKey = li.agg(max($"l_orderkey")).as[Long].head()
+      // absent key: blooms answer "definitely absent" with no layout help;
+      // allow fpp stragglers but the data scan must be (near-)empty
+      val (dfAbsent, (readA, totalA)) = BloomIndex.scanPointLookup(spark,
+        s"$base/data", s"$base/stats", "l_orderkey", lit(maxKey + 1000001L))
+      assert(totalA == 16)
+      assert(readA <= 2, s"absent key must prune nearly all files: $readA")
+      assert(dfAbsent.count() == 0)
+      // present key on a random layout: correctness unaffected (the rows
+      // are scattered, so most/all files survive — that is the documented
+      // layout trade-off, not a defect)
+      val (dfHit, _) = BloomIndex.scanPointLookup(spark,
+        s"$base/data", s"$base/stats", "l_orderkey", lit(maxKey))
+      val got = dfHit.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == expected(maxKey) && got.nonEmpty)
+    } finally sweep(base)
+  }
+
+  test("partial merge: a many-partition build loses no member key") {
+    val base = tmp()
+    try {
+      // one output file built from 32 shuffled input partitions forces the
+      // aggregate through many map-side partials + one final merge
+      li.repartition(32).write.parquet(s"$base/one")
+      // rewrite as a single file so every key lands in the same bloom
+      spark.read.parquet(s"$base/one").coalesce(1).write.parquet(s"$base/data")
+      BloomIndex.build(spark, s"$base/data", "l_orderkey", s"$base/stats",
+        expectedPerFile = 100000L)
+      val keys = li.select($"l_orderkey").distinct().as[Long].collect()
+      val stats = spark.read.parquet(s"$base/stats")
+      assert(stats.count() == 1)
+      // every true member must test positive (blooms have NO false negatives)
+      val misses = keys.filter { k =>
+        stats.filter(graft.functions.BloomSketch.mightContain(col("bloom"),
+          xxhash64(lit(k)))).isEmpty
+      }
+      assert(misses.isEmpty,
+        s"false negatives are impossible by contract, got ${misses.take(5).toSeq}")
+    } finally sweep(base)
+  }
+
+  test("declared-size honesty: undersized filter degrades fpp, never misses") {
+    val base = tmp()
+    try {
+      li.limit(5000).coalesce(1).write.parquet(s"$base/data")
+      // declare 50 expected items for ~thousands actually inserted
+      BloomIndex.build(spark, s"$base/data", "l_orderkey", s"$base/stats",
+        expectedPerFile = 50L)
+      val key = spark.read.parquet(s"$base/data")
+        .agg(max($"l_orderkey")).as[Long].head()
+      val (df, (read, total)) = BloomIndex.scanPointLookup(spark,
+        s"$base/data", s"$base/stats", "l_orderkey", lit(key))
+      assert(read == total, "saturated filter answers maybe — reads all")
+      assert(df.count() ==
+        spark.read.parquet(s"$base/data").filter($"l_orderkey" === key).count())
+    } finally sweep(base)
+  }
+}
