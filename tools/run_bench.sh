@@ -1,6 +1,7 @@
 #!/bin/bash
 # Run graft.Bench outside sbt (classes must already be compiled by sbt).
-# Usage: tools/run_bench.sh <sf-dir> <out-json> [extra JVM props...]
+# Usage: tools/run_bench.sh <sf-dir> <out-json> [query names...]
+# With query names, only those queries are benched (no probes/composed).
 set -euo pipefail
 SF_DIR="$1"; OUT="$2"; shift 2
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
@@ -16,5 +17,5 @@ done
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_BENCH_OUT="$OUT" \
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" "$@" \
-  -cp "$CP" graft.Bench
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CP" graft.Bench "$@"
