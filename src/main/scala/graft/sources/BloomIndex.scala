@@ -65,14 +65,18 @@ object BloomIndex {
     * index would hash differently and (correctly but uselessly) prune
     * everything. */
   def scanPointLookup(spark: SparkSession, dataPath: String,
-      statsDir: String, keyCol: String, key: Column): (DataFrame, (Int, Long)) = {
+      statsDir: String, keyCol: String, key: Column): (DataFrame, (Int, Int)) = {
     import spark.implicits._
-    val stats = spark.read.parquet(statsDir)
-    val total = stats.count()
-    // distributed probe; only candidate FILE NAMES reach the driver
-    val files = stats
-      .filter(BloomSketch.mightContain(col("bloom"), xxhash64(key)))
-      .select($"file").as[String].collect().toSeq
+    // ONE distributed pass over the stats table decides both the candidate
+    // list and the total (the ZoneMaps.scanPrunedAll shape); the probe runs
+    // where the blooms live and only (file, keep) pairs reach the driver —
+    // the bloom column itself never does
+    val flagged = spark.read.parquet(statsDir)
+      .select(col("file"),
+        BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep"))
+      .as[(String, Boolean)].collect()
+    val total = flagged.length
+    val files = flagged.collect { case (f, true) => f }.toSeq
     val pred = col(keyCol) === key
     val df =
       if (files.isEmpty)

@@ -291,10 +291,24 @@ object Store {
     * dead — the standard lease-semantics assumption), and every other
     * contender only ever createNewFile()s, which fails while the stale
     * file still exists. A tombstone left by a crashed reclaimer is itself
-    * swept once stale, so reclaim can never wedge permanently. The
-    * residual caveat is the one inherent to every mtime lease: an agent
-    * that stalls LONGER THAN staleMs between two protocol steps can
-    * violate — windows are 10-minute scale by default, not milliseconds. */
+    * swept once stale, so reclaim can never wedge permanently — and the
+    * sweep does NOT reuse the delete-then-create pattern the lease itself
+    * abandoned: the stale tombstone is renamed aside to a unique name
+    * (atomic, one winner), re-verified by mtime AFTER the rename, and
+    * restored if it turns out a live reclaimer created a fresh one in the
+    * check-to-rename window.
+    *
+    * Residual caveats, stated exactly: (a) the one inherent to every
+    * mtime lease — an agent stalling LONGER THAN staleMs between two
+    * protocol steps (10-minute scale by default, not milliseconds); and
+    * (b) a 3-way microsecond race REACHABLE ONLY AFTER a reclaimer
+    * crashed inside the tombstone-held window: sweeper steals a fresh
+    * tombstone, a third contender creates a new one before the restore,
+    * leaving two reclaimers. POSIX file primitives have no
+    * compare-and-swap, so each layer narrows rather than closes this;
+    * the practical guarantee is that reaching (b) requires a prior crash
+    * in a window held for microseconds plus two independent
+    * microsecond-scale collisions 10+ minutes later. */
   private[graft] def withCompactionLease[A](dir: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
     val parent = new File(dir).getAbsoluteFile.getParentFile
@@ -308,7 +322,15 @@ object Store {
       lease.createNewFile() || {
         stale(lease) && {
           val tomb = new File(dir + ".lease-reclaim")
-          if (stale(tomb)) tomb.delete(): Unit // crashed reclaimer sweep
+          if (stale(tomb)) {
+            // crashed-reclaimer sweep, rename-aside so contenders cannot
+            // delete each other's FRESH tombstones (header, residual (b))
+            val swept = new File(dir + s".lease-swept-${UUID.randomUUID()}")
+            if (tomb.renameTo(swept)) {
+              if (stale(swept)) swept.delete(): Unit // genuinely abandoned
+              else if (!swept.renameTo(tomb)) swept.delete(): Unit // stole fresh; restore
+            }
+          }
           tomb.createNewFile() && {
             try {
               // sole reclaimer: re-verify, then delete-and-recreate. A

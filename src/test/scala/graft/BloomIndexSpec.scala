@@ -73,27 +73,26 @@ class BloomIndexSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
-  test("partial merge: a many-partition build loses no member key") {
-    val base = tmp()
-    try {
-      // one output file built from 32 shuffled input partitions forces the
-      // aggregate through many map-side partials + one final merge
-      li.repartition(32).write.parquet(s"$base/one")
-      // rewrite as a single file so every key lands in the same bloom
-      spark.read.parquet(s"$base/one").coalesce(1).write.parquet(s"$base/data")
-      BloomIndex.build(spark, s"$base/data", "l_orderkey", s"$base/stats",
-        expectedPerFile = 100000L)
-      val keys = li.select($"l_orderkey").distinct().as[Long].collect()
-      val stats = spark.read.parquet(s"$base/stats")
-      assert(stats.count() == 1)
-      // every true member must test positive (blooms have NO false negatives)
-      val misses = keys.filter { k =>
-        stats.filter(graft.functions.BloomSketch.mightContain(col("bloom"),
-          xxhash64(lit(k)))).isEmpty
-      }
-      assert(misses.isEmpty,
-        s"false negatives are impossible by contract, got ${misses.take(5).toSeq}")
-    } finally sweep(base)
+  test("partial merge: 32 populated map-side partials OR together losslessly") {
+    // a global aggregate over a 32-partition scan forces the
+    // TypedImperativeAggregate through 32 NON-EMPTY partial filters merged
+    // on the reduce side — the path a lossy mergeInPlace would corrupt.
+    // (Building over a single parquet file would plan ONE input split and
+    // merge a lone partial into an empty buffer, proving nothing.)
+    val bloomBytes = li.repartition(32)
+      .agg(graft.functions.BloomSketch.bloomAgg(
+        xxhash64($"l_orderkey"), 100000L).as("bloom"))
+      .select($"bloom").as[Array[Byte]].head()
+    val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+    val keys = li.select($"l_orderkey").distinct().as[Long].collect()
+    // probe locally (one collected filter, bounded) instead of one Spark
+    // job per key; hash exactly as the build side does
+    val hashes = li.select($"l_orderkey", xxhash64($"l_orderkey"))
+      .distinct().as[(Long, Long)].collect().toMap
+    val misses = keys.filterNot(k => bloom.mightContainLong(hashes(k)))
+    assert(misses.isEmpty,
+      s"false negatives are impossible by contract, got ${misses.take(5).toSeq}")
   }
 
   test("declared-size honesty: undersized filter degrades fpp, never misses") {

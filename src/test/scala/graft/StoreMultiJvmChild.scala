@@ -75,7 +75,12 @@ object StoreMultiJvmChild {
             Store.appendMaybeIdempotent(df, dir, Some(id)): Unit
             admitted = true // admitted by this call OR witnessed already-admitted
           } catch {
-            case _: java.io.IOException => retries += 1; Thread.sleep(20)
+            // not just IOException: a stage write racing the parent's
+            // compaction cleanup can also surface as SparkException (job
+            // aborted when the swap captures the in-flight staging dir) —
+            // both are the documented clean-failure-and-retry outcome, and
+            // the id contract makes the retry exactly-once either way
+            case scala.util.control.NonFatal(_) => retries += 1; Thread.sleep(20)
           }
         }
         if (!admitted) { println(s"ADMIT-FAILED $id"); Console.out.flush(); sys.exit(3) }

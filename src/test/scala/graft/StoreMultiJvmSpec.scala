@@ -62,12 +62,18 @@ class StoreMultiJvmSpec extends AnyFunSuite {
   }
 
   private def leaseContest(store: String, n: Int, holdMs: Long,
-      preStale: Boolean): Seq[Seq[String]] = {
+      preStale: Boolean, preStaleTomb: Boolean = false): Seq[Seq[String]] = {
     new File(store).mkdirs()
     if (preStale) {
       val lease = new File(store + ".lease")
       assert(lease.createNewFile())
       assert(lease.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    }
+    if (preStaleTomb) {
+      // a reclaimer that crashed INSIDE the tombstone-held window
+      val tomb = new File(store + ".lease-reclaim")
+      assert(tomb.createNewFile())
+      assert(tomb.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
     }
     val kids = (0 until n).map(i =>
       new Drained(Seq("lease-hold", store, holdMs.toString, s"K$i")))
@@ -101,6 +107,18 @@ class StoreMultiJvmSpec extends AnyFunSuite {
   test("stale-lease reclaim races: the tombstone protocol admits at most one winner") {
     val store = freshStore()
     assertSingleHolder(leaseContest(store, n = 4, holdMs = 2000, preStale = true))
+    assert(!new File(store + ".lease").exists())
+  }
+
+  test("crashed-reclaimer sweep races: stale lease AND stale tombstone, one winner") {
+    // the review-found composite: a reclaimer died inside the
+    // tombstone-held window >staleMs ago; N contenders must sweep the
+    // abandoned tombstone WITHOUT the delete-then-create pattern (which
+    // would let two of them hold reclaim rights and race the lease swap)
+    val store = freshStore()
+    assertSingleHolder(
+      leaseContest(store, n = 4, holdMs = 2000, preStale = true,
+        preStaleTomb = true))
     assert(!new File(store + ".lease").exists())
   }
 

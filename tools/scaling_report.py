@@ -99,8 +99,6 @@ def query_tables(name, oracle_sql):
 
 
 def growth(tabs, rows_small, rows_big):
-    if not rows_small or not rows_big:
-        return 10.0  # sf dirs unreadable: assume the nominal decade step
     ratios = [rows_big[t] / rows_small[t]
               for t in tabs if rows_small.get(t) and rows_big.get(t)]
     return max(ratios) if ratios else 10.0
@@ -113,6 +111,14 @@ def main(paths, oracle_path=None):
         with open(oracle_path) as f:
             oracle_sql = json.load(f)
     r1, r2, r3 = table_rows(s1), table_rows(s2), table_rows(s3)
+    if not (r1 and r2 and r3):
+        # refuse to gate on fabricated normalization: assuming a nominal
+        # 10x step for a FLAT table scores true super-linear growth as
+        # e=+0.30 and silently inverts the report's conservative bias
+        sys.exit("ERROR: cannot read parquet row counts under the bench "
+                 "runs' sf dirs (pyarrow missing or dirs moved) — growth "
+                 "normalization would be fabricated; aborting instead of "
+                 "producing an untrustworthy gate.")
 
     shared = sorted(set(q1) & set(q2) & set(q3))
     rows = []
