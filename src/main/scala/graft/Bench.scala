@@ -214,7 +214,8 @@ object Bench {
       "events_pagerank_incremental", "mv_orders_incremental",
       "events_resample_incremental", "dedup_chunks_incremental",
       "events_bitmap_incremental", "events_bitmap_window",
-      "text_bm25_search", "text_search_index", "text_phrase_search")
+      "text_bm25_search", "text_search_index", "text_phrase_search",
+      "q83_bloom_indexed_store")
     val phases: Seq[(String, Map[String, Double])] =
       (if (args.nonEmpty) Nil
        else phasedNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))

@@ -89,6 +89,48 @@ object ZoneScan {
     }
   }
 
+  /** The INCREMENTAL face of the Bloom index — a bloom-indexed
+    * [[graft.sources.Store]]: lineitem admitted in two interleaved halves
+    * (per-delta blooms ride each admission under the same idempotency
+    * id), the data store compacted mid-stream (which renames every file
+    * and makes all stats stale — lookups stay CORRECT via the
+    * uncovered-file fallback), the index healed by maintainIndex, and the
+    * point lookup served from store + index alone. Same oracle as q82:
+    * the entire admit/compact/heal protocol must be result-invisible. */
+  def q83BloomIndexedStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomstore_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val h0 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0)
+      val h1 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 1)
+      Phases.time("admit") {
+        BloomIndex.admitIndexed(h0, dataDir, statsDir, "l_orderkey", "h0"): Unit
+      }
+      Phases.time("build") { // maintenance: the once-per-epoch cost
+        graft.sources.Store.compact(spark, dataDir, numFiles = 4)
+      }
+      Phases.time("admit") {
+        BloomIndex.admitIndexed(h1, dataDir, statsDir, "l_orderkey", "h1"): Unit
+      }
+      Phases.time("build") {
+        BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      }
+      Phases.time("serve") {
+        val key = li.agg(max($"l_orderkey")).as[Long].head() // bounded: 1 row
+        val (rows, _) = BloomIndex.lookupIndexed(spark, dataDir, statsDir,
+          "l_orderkey", lit(key))
+        rows
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+          .orderBy($"l_linenumber")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
   val q82Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
       |FROM lineitem
@@ -97,9 +139,11 @@ object ZoneScan {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zonemap_scan" -> (q79ZonemapScan _),
-    "q82_bloom_lookup" -> (q82BloomLookup _))
+    "q82_bloom_lookup" -> (q82BloomLookup _),
+    "q83_bloom_indexed_store" -> (q83BloomIndexedStore _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
-    "q82_bloom_lookup" -> q82Sql)
+    "q82_bloom_lookup" -> q82Sql,
+    "q83_bloom_indexed_store" -> q82Sql)
 }

@@ -85,4 +85,107 @@ object BloomIndex {
       else spark.read.parquet(files: _*).filter(pred)
     (df, (files.length, total))
   }
+
+  // ── Incremental face: a bloom-indexed Store ────────────────────────────
+  //
+  // Composition with [[Store]]'s crash-safe admission: each admitted delta
+  // carries its per-file blooms into a SIBLING stats store, and lookups
+  // treat the index as a conservative ACCELERATOR — a live data file the
+  // stats do not cover is read unconditionally, so a crash between the
+  // data commit and the stats append (or a compaction that renamed every
+  // file) degrades pruning to scanning, NEVER correctness. maintainIndex
+  // heals both directions (covers new files, drops rows for dead ones).
+
+  /** `_metadata.file_path` and `DataFrame.inputFiles` render the SAME file
+    * as different URI strings (`file:///x` vs `file:/x`); every path that
+    * crosses an index boundary goes through Hadoop's Path canonicalizer so
+    * set comparisons mean what they say. */
+  private[graft] def canonPath(s: String): String =
+    new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
+  private val canonPathUdf = udf(canonPath _)
+
+  private def statsFor(spark: SparkSession, dataFiles: DataFrame,
+      keyCol: String, expectedPerFile: Long, fpp: Double): DataFrame =
+    dataFiles
+      .select(col("_metadata.file_path").as("raw"),
+        xxhash64(col(keyCol)).as("h"))
+      .groupBy(col("raw"))
+      .agg(count(lit(1)).as("n_rows"),
+        BloomSketch.bloomAgg(col("h"), expectedPerFile, fpp).as("bloom"))
+      // canonicalize AFTER the agg: the udf runs once per FILE, not per row
+      .select(canonPathUdf(col("raw")).as("file"), col("n_rows"), col("bloom"))
+
+  /** Admit `df` into the data Store AND its per-file blooms into the
+    * sibling stats Store, both under the same idempotency id (replays
+    * no-op on both sides; a replay that finds the data admitted but the
+    * stats missing — the crash window — heals the stats). Returns whether
+    * this call admitted the data batch. */
+  def admitIndexed(df: DataFrame, dataDir: String, statsDir: String,
+      keyCol: String, id: String, expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Boolean = {
+    val spark = df.sparkSession
+    val admitted = Store.appendIdempotent(df, dataDir, id)
+    val delta = new java.io.File(dataDir, s"delta-$id")
+    // stats follow whenever the delta is still live (replay heal included);
+    // a delta already compacted away is covered by maintainIndex instead
+    if (delta.exists()) {
+      val stats = statsFor(spark, spark.read.parquet(delta.toString),
+        keyCol, expectedPerFile, fpp)
+      Store.appendIdempotent(stats, statsDir, s"bloom-$id"): Unit
+    }
+    admitted
+  }
+
+  /** Point lookup over a bloom-indexed Store. Decision per LIVE data file:
+    * covered by stats → its bloom decides; uncovered (crash window, or
+    * renamed by compaction) → read unconditionally. Stale stats rows
+    * pointing at dead files are ignored. Returns the filtered frame plus
+    * (filesRead, filesTotal). */
+  def lookupIndexed(spark: SparkSession, dataDir: String, statsDir: String,
+      keyCol: String, key: Column): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    val data = Store.read(spark, dataDir)
+    // |files|-bounded, the same order as Spark's own file index
+    val live = data.inputFiles.map(canonPath).toSet
+    val flagged: Map[String, Boolean] =
+      if (Store.hasData(statsDir))
+        Store.read(spark, statsDir)
+          .select(col("file"),
+            BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep"))
+          .as[(String, Boolean)].collect().toMap
+      else Map.empty
+    val files = live.toSeq.filter(f => flagged.getOrElse(f, true)).sorted
+    val pred = col(keyCol) === key
+    val df =
+      if (files.isEmpty) data.filter(lit(false))
+      else spark.read.parquet(files: _*).filter(pred)
+    (df, (files.length, live.size))
+  }
+
+  /** Heal the index: build blooms for live-but-uncovered data files (one
+    * pass over just those files) and compact the stats store down to rows
+    * whose file still exists. Run after [[Store.compact]] on the data
+    * store — compaction renames every file, so until this runs lookups
+    * fall back to full scans (correct, unpruned). */
+  def maintainIndex(spark: SparkSession, dataDir: String, statsDir: String,
+      keyCol: String, expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Unit = {
+    import spark.implicits._
+    val live = Store.read(spark, dataDir).inputFiles.map(canonPath).toSet
+    val covered: Set[String] =
+      if (Store.hasData(statsDir))
+        Store.read(spark, statsDir).select($"file").as[String].collect().toSet
+      else Set.empty
+    val missing = (live -- covered).toSeq.sorted
+    if (missing.nonEmpty)
+      Store.append(
+        statsFor(spark, spark.read.parquet(missing: _*), keyCol,
+          expectedPerFile, fpp),
+        statsDir)
+    if (Store.hasData(statsDir)) {
+      val liveDf = live.toSeq.toDF("file")
+      Store.compact(spark, statsDir, numFiles = 1,
+        rewrite = _.join(broadcast(liveDf), Seq("file"), "left_semi"))
+    }
+  }
 }

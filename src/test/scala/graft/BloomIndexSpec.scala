@@ -95,6 +95,79 @@ class BloomIndexSpec extends AnyFunSuite {
       s"false negatives are impossible by contract, got ${misses.take(5).toSeq}")
   }
 
+  test("indexed store: admits carry blooms, replays no-op, lookup exact + pruned") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      // cluster each half so the probe key concentrates in few files
+      val h0 = li.filter($"l_orderkey" =!= key).repartitionByRange(4, $"l_orderkey")
+      val h1 = li.filter($"l_orderkey" === key).coalesce(1)
+      assert(BloomIndex.admitIndexed(h0, dataDir, statsDir, "l_orderkey", "b0"))
+      assert(BloomIndex.admitIndexed(h1, dataDir, statsDir, "l_orderkey", "b1"))
+      // replay: neither data nor stats double-admit
+      val statsRows = sources.Store.read(spark, statsDir).count()
+      assert(!BloomIndex.admitIndexed(h1, dataDir, statsDir, "l_orderkey", "b1"))
+      assert(sources.Store.read(spark, statsDir).count() == statsRows)
+      val (df, (read, total)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key))
+      assert(read < total, s"covered files must prune: $read/$total")
+      val got = df.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == expected(key) && got.nonEmpty)
+    } finally sweep(base)
+  }
+
+  test("indexed store: uncovered files are read unconditionally; maintain heals") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      BloomIndex.admitIndexed(li.filter($"l_orderkey" =!= key),
+        dataDir, statsDir, "l_orderkey", "b0"): Unit
+      // the crash window: data committed, stats never written
+      sources.Store.appendIdempotent(li.filter($"l_orderkey" === key),
+        dataDir, "b1"): Unit
+      val (df, (read, total)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key))
+      assert(read >= 1, "the uncovered delta must be read despite no stats")
+      assert(df.count() == expected(key).size && expected(key).nonEmpty)
+      // heal: every live file covered, no stale rows
+      BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      val live = sources.Store.read(spark, dataDir).inputFiles
+        .map(BloomIndex.canonPath).toSet
+      val covered = sources.Store.read(spark, statsDir)
+        .select($"file").as[String].collect().toSet
+      assert(covered == live, s"heal must cover exactly the live files")
+      assert(total >= read)
+    } finally sweep(base)
+  }
+
+  test("indexed store: compaction stales every stat; lookups stay correct, heal restores pruning") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      BloomIndex.admitIndexed(li, dataDir, statsDir, "l_orderkey", "b0"): Unit
+      sources.Store.compact(spark, dataDir, numFiles = 8)
+      // all file names changed: stats cover nothing, lookup full-scans
+      val (df1, (read1, total1)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key))
+      assert(read1 == total1, "stale index must fall back to reading all")
+      assert(df1.count() == expected(key).size)
+      BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      val covered = sources.Store.read(spark, statsDir)
+        .select($"file").as[String].collect().toSet
+      assert(covered == sources.Store.read(spark, dataDir).inputFiles
+          .map(BloomIndex.canonPath).toSet,
+        "maintain must drop dead rows and cover the compacted files")
+      // absent key after heal: blooms prune everything again
+      val (_, (readAbsent, _)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key + 999999L))
+      assert(readAbsent <= 1, s"healed index must prune an absent key: $readAbsent")
+    } finally sweep(base)
+  }
+
   test("declared-size honesty: undersized filter degrades fpp, never misses") {
     val base = tmp()
     try {
