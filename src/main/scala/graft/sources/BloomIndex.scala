@@ -162,6 +162,22 @@ object BloomIndex {
     (df, (files.length, live.size))
   }
 
+  /** Streaming face: the SAME admission as [[admitIndexed]], as a
+    * foreachBatch sink with idempotent per-micro-batch ids — an
+    * at-least-once replay (sink ran, checkpoint didn't commit) re-admits
+    * nothing on either store, and a replay that finds the data committed
+    * but the stats missing heals them (the [[IvfIndex]] admission shape,
+    * with the index's own crash window covered by the same id). */
+  def streamingAdmission(rows: DataFrame, dataDir: String, statsDir: String,
+      keyCol: String, expectedPerFile: Long = 100000L, fpp: Double = 0.01)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitIndexed(batch, dataDir, statsDir, keyCol, s"bl$batchId",
+          expectedPerFile, fpp): Unit
+      }
+
   /** Heal the index: build blooms for live-but-uncovered data files (one
     * pass over just those files) and compact the stats store down to rows
     * whose file still exists. Run after [[Store.compact]] on the data

@@ -117,6 +117,19 @@ class StreamingAdmissionRestartSpec extends AnyFunSuite {
         .collect().map(_.toString).toSeq)
   }
 
+  test("bloom-indexed store admission: kill/restart from checkpoint equals uninterrupted run") {
+    import org.apache.spark.sql.functions.lit
+    runEventsFamily(
+      (df, store) => graft.sources.BloomIndex.streamingAdmission(
+        df, s"$store/data", s"$store/stats", "event_id"),
+      store => (1L to 9L).flatMap { k =>
+        val (df, _) = graft.sources.BloomIndex.lookupIndexed(spark,
+          s"$store/data", s"$store/stats", "event_id", lit(k))
+        df.select("event_id", "user_id", "event_type")
+          .collect().map(_.toString).toSeq
+      })
+  }
+
   test("resample admission: kill/restart from checkpoint equals uninterrupted run") {
     runEventsFamily(
       (df, store) => Resample.streamingAdmission(df, store),
