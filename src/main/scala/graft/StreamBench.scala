@@ -161,6 +161,21 @@ object StreamBench {
           .start()))
     sweep(pgStore)
 
+    // 6. bloom-indexed store admission (events rows: data + per-file
+    // blooms committed under one idempotency id per micro-batch)
+    val blBase = tempStore()
+    results("bloom_index_admission") = (events.size, 10000,
+      drive[(Long, java.sql.Timestamp, Long, String)](
+        events, batchSize = 10000,
+        in => graft.sources.BloomIndex
+          .streamingAdmission(
+            in.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+            s"$blBase/data", s"$blBase/stats", "event_id")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_sb_ck5_").toString)
+          .start()))
+    sweep(blBase)
+
     def fmt(f: ((Int, Int, Seq[Double])) => String): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // steady-state rate excludes the first (codegen-paying) batch when
