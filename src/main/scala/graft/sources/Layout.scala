@@ -160,6 +160,44 @@ object Layout {
     promote(tmp, path)
   }
 
+  /** [[compact]] with the file COUNT derived from a target file SIZE — the
+    * knob a production deployment actually owns. A fixed `numFiles` is
+    * only right at one data volume: at 100 TB nobody knows the count, but
+    * everybody knows the size the scan layer wants (512 MB–1 GB per file:
+    * big enough that footer/open cost amortizes, small enough that a task
+    * is a sane work unit and min/max pruning has resolution). The current
+    * volume comes from the directory's own footer-level byte sizes — a
+    * |files|-bounded driver listing, the same order as the file index —
+    * and the rewrite targets `ceil(bytes / targetBytes)` files.
+    *
+    * The estimate is pre-rewrite bytes, so re-clustering that changes
+    * compression ratios moves the realized size (documented, not
+    * corrected: a second invocation converges, and the knob's job is
+    * order-of-magnitude file economics, not byte precision). */
+  def compactToFileSize(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long,
+      clusterCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0)
+    val bytes = parquetBytes(new java.io.File(path))
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    compact(spark, path, numFiles, clusterCols)
+    numFiles
+  }
+
+  /** Total bytes of committed parquet data under `dir` (recursive;
+    * hidden staging/marker entries excluded, mirroring what [[Store.read]]
+    * and the parquet file index will actually list). */
+  private[graft] def parquetBytes(dir: java.io.File): Long = {
+    val kids = dir.listFiles()
+    if (kids == null) 0L
+    else kids.iterator.filterNot(f =>
+      f.getName.startsWith(".") || f.getName.startsWith("_")).map { f =>
+      if (f.isDirectory) parquetBytes(f)
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    }.sum
+  }
+
   /** The rename-aside swap shared by [[compact]] and [[Store.compact]]:
     * move the live directory aside, promote the rewrite, drop the old copy
     * — the live data is in `path`, `path + ".old"`, or `path + ".compact"`
