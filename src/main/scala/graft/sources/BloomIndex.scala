@@ -43,16 +43,10 @@ object BloomIndex {
     * unconditional, so pruning stays CORRECT either way. */
   def build(spark: SparkSession, dataPath: String, keyCol: String,
       statsDir: String, expectedPerFile: Long = 100000L,
-      fpp: Double = 0.01): Unit = {
-    spark.read.parquet(dataPath)
-      .select(col("_metadata.file_path").as("file"),
-        xxhash64(col(keyCol)).as("h"))
-      .groupBy(col("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        BloomSketch.bloomAgg(col("h"), expectedPerFile, fpp).as("bloom"))
+      fpp: Double = 0.01): Unit =
+    statsFor(spark, spark.read.parquet(dataPath), keyCol, expectedPerFile, fpp)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
-  }
 
   /** Scan `dataPath` for rows with `keyCol === key`, reading ONLY files
     * whose Bloom filter might contain the key. Returns the filtered frame
@@ -77,14 +71,20 @@ object BloomIndex {
       .as[(String, Boolean)].collect()
     val total = flagged.length
     val files = flagged.collect { case (f, true) => f }.toSeq
-    val pred = col(keyCol) === key
-    val df =
-      if (files.isEmpty)
-        // definitely-absent everywhere: empty frame, no data scan at all
-        spark.read.parquet(dataPath).filter(lit(false))
-      else spark.read.parquet(files: _*).filter(pred)
+    val df = readCandidates(spark, files, col(keyCol) === key,
+      fallbackSchemaFrom = spark.read.parquet(dataPath))
     (df, (files.length, total))
   }
+
+  /** Shared probe tail: read only `files` (with mergeSchema, honoring the
+    * Store's schema-evolution contract — a file subset must not let one
+    * sampled footer decide the result schema) and apply the residual
+    * predicate; an empty candidate set returns an empty frame shaped by
+    * `fallbackSchemaFrom` with no data scan at all. */
+  private def readCandidates(spark: SparkSession, files: Seq[String],
+      pred: Column, fallbackSchemaFrom: => DataFrame): DataFrame =
+    if (files.isEmpty) fallbackSchemaFrom.filter(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files: _*).filter(pred)
 
   // ── Incremental face: a bloom-indexed Store ────────────────────────────
   //
@@ -101,7 +101,7 @@ object BloomIndex {
     * crosses an index boundary goes through Hadoop's Path canonicalizer so
     * set comparisons mean what they say. */
   private[graft] def canonPath(s: String): String =
-    new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
+    new org.apache.hadoop.fs.Path(s).toString // Path(String) tolerates spaces; URI.create would throw
   private val canonPathUdf = udf(canonPath _)
 
   private def statsFor(spark: SparkSession, dataFiles: DataFrame,
@@ -127,11 +127,18 @@ object BloomIndex {
     val admitted = Store.appendIdempotent(df, dataDir, id)
     val delta = new java.io.File(dataDir, s"delta-$id")
     // stats follow whenever the delta is still live (replay heal included);
-    // a delta already compacted away is covered by maintainIndex instead
+    // a delta already compacted away is covered by maintainIndex instead.
+    // The delta re-read can RACE a maintenance compaction's swap (the
+    // exists() check and the Spark job's file listing are two steps) —
+    // that race must not fail an admission whose data already committed:
+    // skip the stats instead, leaving the file in the uncovered-read-
+    // unconditionally state that maintainIndex (or a replay) heals.
     if (delta.exists()) {
-      val stats = statsFor(spark, spark.read.parquet(delta.toString),
-        keyCol, expectedPerFile, fpp)
-      Store.appendIdempotent(stats, statsDir, s"bloom-$id"): Unit
+      try {
+        val stats = statsFor(spark, spark.read.parquet(delta.toString),
+          keyCol, expectedPerFile, fpp)
+        Store.appendIdempotent(stats, statsDir, s"bloom-$id"): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     admitted
   }
@@ -155,10 +162,8 @@ object BloomIndex {
           .as[(String, Boolean)].collect().toMap
       else Map.empty
     val files = live.toSeq.filter(f => flagged.getOrElse(f, true)).sorted
-    val pred = col(keyCol) === key
-    val df =
-      if (files.isEmpty) data.filter(lit(false))
-      else spark.read.parquet(files: _*).filter(pred)
+    val df = readCandidates(spark, files, col(keyCol) === key,
+      fallbackSchemaFrom = data)
     (df, (files.length, live.size))
   }
 
@@ -199,9 +204,18 @@ object BloomIndex {
           expectedPerFile, fpp),
         statsDir)
     if (Store.hasData(statsDir)) {
-      val liveDf = live.toSeq.toDF("file")
+      // the live listing is recomputed INSIDE the rewrite, at image time:
+      // a semi-join against the listing taken above would drop the stats
+      // of any delta admitted while the heal ran. The residual window
+      // (admit between this listing and the image write) leaves that
+      // file merely UNCOVERED — scanned unconditionally, healed by the
+      // next maintainIndex — never wrongly pruned.
       Store.compact(spark, statsDir, numFiles = 1,
-        rewrite = _.join(broadcast(liveDf), Seq("file"), "left_semi"))
+        rewrite = { stats =>
+          val liveNow = Store.read(spark, dataDir)
+            .inputFiles.map(canonPath).toSeq.toDF("file")
+          stats.join(broadcast(liveNow), Seq("file"), "left_semi")
+        })
     }
   }
 }

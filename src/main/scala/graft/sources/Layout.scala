@@ -173,7 +173,13 @@ object Layout {
     * The estimate is pre-rewrite bytes, so re-clustering that changes
     * compression ratios moves the realized size (documented, not
     * corrected: a second invocation converges, and the knob's job is
-    * order-of-magnitude file economics, not byte precision). */
+    * order-of-magnitude file economics, not byte precision).
+    *
+    * Scope: PLAIN parquet directories — the same file set the rewrite's
+    * `spark.read.parquet(path)` will fold, so the estimate and the
+    * rewrite agree by construction. Store-shaped directories (flat base
+    * + `delta-*` subdirs) compact through [[Store.compact]], which owns
+    * the recursive layout and its admission protocol. */
   def compactToFileSize(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long,
       clusterCols: Seq[String] = Nil): Int = {
@@ -184,18 +190,18 @@ object Layout {
     numFiles
   }
 
-  /** Total bytes of committed parquet data under `dir` (recursive;
-    * hidden staging/marker entries excluded, mirroring what [[Store.read]]
-    * and the parquet file index will actually list). */
+  /** Total bytes of TOP-LEVEL parquet files in `dir` — deliberately
+    * non-recursive, mirroring exactly what [[compact]]'s plain
+    * `spark.read.parquet` reads (hidden staging/marker entries excluded).
+    * A recursive sum would count `delta-*` subdirs the rewrite never
+    * folds and derive a file count from bytes that stay behind. */
   private[graft] def parquetBytes(dir: java.io.File): Long = {
     val kids = dir.listFiles()
     if (kids == null) 0L
-    else kids.iterator.filterNot(f =>
-      f.getName.startsWith(".") || f.getName.startsWith("_")).map { f =>
-      if (f.isDirectory) parquetBytes(f)
-      else if (f.getName.endsWith(".parquet")) f.length()
-      else 0L
-    }.sum
+    else kids.iterator.filter(f =>
+      f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.length()).sum
   }
 
   /** The rename-aside swap shared by [[compact]] and [[Store.compact]]:
