@@ -100,8 +100,16 @@ object BloomIndex {
     * as different URI strings (`file:///x` vs `file:/x`); every path that
     * crosses an index boundary goes through Hadoop's Path canonicalizer so
     * set comparisons mean what they say. */
-  private[graft] def canonPath(s: String): String =
-    new org.apache.hadoop.fs.Path(s).toString // Path(String) tolerates spaces; URI.create would throw
+  private[graft] def canonPath(s: String): String = {
+    // inputFiles percent-ENCODES ("my%20store") while raw path strings may
+    // carry literal spaces that make URI parsing throw: decode through URI
+    // when the string parses as one, fall back to Hadoop's lenient Path
+    // parsing otherwise. The decoded form is what spark.read accepts back.
+    val p =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(s))
+      catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
+    p.toString
+  }
   private val canonPathUdf = udf(canonPath _)
 
   private def statsFor(spark: SparkSession, dataFiles: DataFrame,

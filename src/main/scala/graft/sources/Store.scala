@@ -256,6 +256,34 @@ object Store {
     * exactly then either fails its own commit rename, or defeats the
     * promote — which then ROLLS BACK wholesale (store byte-identical,
     * compaction reports failure, racer unharmed). Never a torn store. */
+  /** [[compact]] with the file count derived from a target file SIZE —
+    * the Store-side sibling of [[Layout.compactToFileSize]], summing
+    * bytes RECURSIVELY because that is exactly the file set [[read]]
+    * lists and [[compact]]'s rewrite folds (the flat base plus every
+    * committed `delta-*`; hidden staging/marker entries excluded). The
+    * estimate is pre-rewrite bytes — a rewrite that drops rows (TTL,
+    * version prune) or re-compresses lands smaller; a second maintenance
+    * pass converges, and the knob's job is file-count economics, not byte
+    * precision. Returns the derived count. */
+  def compactToFileSize(spark: SparkSession, dir: String, targetBytes: Long,
+      rewrite: DataFrame => DataFrame = identity): Int = {
+    require(targetBytes > 0)
+    def bytes(f: File): Long = {
+      val kids = f.listFiles()
+      if (kids == null) 0L
+      else kids.iterator.filterNot(k =>
+        k.getName.startsWith(".") || k.getName.startsWith("_")).map { k =>
+        if (k.isDirectory) bytes(k)
+        else if (k.getName.endsWith(".parquet")) k.length()
+        else 0L
+      }.sum
+    }
+    val total = bytes(new File(dir))
+    val numFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    compact(spark, dir, numFiles, rewrite)
+    numFiles
+  }
+
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
       rewrite: DataFrame => DataFrame = identity): Unit =
     withCompactionLease(dir) {

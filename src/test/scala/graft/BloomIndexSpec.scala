@@ -168,6 +168,49 @@ class BloomIndexSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("a store path containing spaces round-trips the whole indexed protocol") {
+    // pins the canonicalizer contract: java.net.URI.create would throw on
+    // the raw space in inputFiles' unencoded strings; Hadoop Path parsing
+    // must serve the same store Store.read serves
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/my store/data", s"$base/my store/stats")
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      BloomIndex.admitIndexed(li, dataDir, statsDir, "l_orderkey", "b0"): Unit
+      BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      val (df, (read, total)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key))
+      assert(total >= 1 && read >= 1)
+      val got = df.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == expected(key) && got.nonEmpty)
+    } finally sweep(base)
+  }
+
+  test("Store.compactToFileSize: count derived from recursive delta bytes, lossless") {
+    val base = tmp()
+    try {
+      val dir = s"$base/store"
+      // several deltas of known size
+      (0 until 6).foreach(i => sources.Store.appendIdempotent(
+        li.limit(2000).coalesce(1), dir, s"b$i"): Unit)
+      val totalRows = sources.Store.read(spark, dir).count()
+      val bytes = {
+        def sum(f: java.io.File): Long = {
+          val kids = f.listFiles(); if (kids == null) 0L
+          else kids.map(k => if (k.isDirectory) sum(k)
+            else if (k.getName.endsWith(".parquet") && !k.getName.startsWith(".")) k.length()
+            else 0L).sum
+        }
+        sum(new java.io.File(dir))
+      }
+      val planned = sources.Store.compactToFileSize(spark, dir, bytes / 3)
+      assert(planned == 3 || planned == 4, s"ceil(bytes/target) ≈ 3, got $planned")
+      assert(sources.Store.read(spark, dir).count() == totalRows)
+      assert(sources.Store.read(spark, dir).inputFiles.length == planned)
+    } finally sweep(base)
+  }
+
   test("declared-size honesty: undersized filter degrades fpp, never misses") {
     val base = tmp()
     try {
