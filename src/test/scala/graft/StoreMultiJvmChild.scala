@@ -89,6 +89,45 @@ object StoreMultiJvmChild {
       println(s"APPENDER-DONE $retries"); Console.out.flush()
       spark.stop()
 
+    case "bloom-appender" =>
+      // admitIndexed (data + per-file blooms under one id) from a foreign
+      // JVM while the parent compacts/heals both stores: the composition's
+      // clean-failure-and-retry contract, cross-process. Keys are disjoint
+      // per (child, batch, row) so the parent can point-look-up exact rows.
+      val base = args(1); val childId = args(2)
+      val nBatches = args(3).toInt; val rowsPerBatch = args(4).toInt
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName(s"graft-bloom-mjvm-$childId")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      val childOffset = (childId.hashCode.toLong & 0xff) * 10000000L
+      var retries = 0
+      (0 until nBatches).foreach { b =>
+        val id = s"c$childId-b$b"
+        val df = Seq.tabulate(rowsPerBatch)(j =>
+          (childOffset + b.toLong * 100000 + j, childId, b.toLong))
+          .toDF("k", "child", "batch")
+        var admitted = false
+        var attempts = 0
+        while (!admitted && attempts < 60) {
+          attempts += 1
+          try {
+            graft.sources.BloomIndex.admitIndexed(df, s"$base/data",
+              s"$base/stats", "k", id): Unit
+            admitted = true
+          } catch {
+            case scala.util.control.NonFatal(_) => retries += 1; Thread.sleep(20)
+          }
+        }
+        if (!admitted) { println(s"ADMIT-FAILED $id"); Console.out.flush(); sys.exit(3) }
+        println(s"ADMITTED $id"); Console.out.flush()
+      }
+      println(s"APPENDER-DONE $retries"); Console.out.flush()
+      spark.stop()
+
     case other => sys.error(s"unknown mode $other")
   }
 }

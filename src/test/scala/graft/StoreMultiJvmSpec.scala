@@ -122,6 +122,57 @@ class StoreMultiJvmSpec extends AnyFunSuite {
     assert(!new File(store + ".lease").exists())
   }
 
+  test("bloom-indexed admits from 2 JVMs race compaction + heal: exact point lookups") {
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    import graft.sources.BloomIndex
+    val base = freshStore()
+    new File(s"$base/data").mkdirs()
+    val nBatches = 4; val rows = 150
+    val kids = Seq("A", "B").map(id =>
+      new Drained(Seq("bloom-appender", base, id, nBatches.toString, rows.toString)))
+    // maintenance loop racing the admits: data compaction renames every
+    // file (stats go stale), maintainIndex heals — both are allowed to be
+    // DEFEATED by a racing admit (clean IOException) and simply retried
+    var maintains = 0; var defeats = 0
+    val deadline = System.currentTimeMillis() + 10 * 60 * 1000
+    while (kids.exists(_.proc.isAlive) && System.currentTimeMillis() < deadline) {
+      if (Store.hasData(s"$base/data")) {
+        try {
+          Store.compact(spark, s"$base/data", numFiles = 2)
+          BloomIndex.maintainIndex(spark, s"$base/data", s"$base/stats", "k")
+          maintains += 1
+        } catch { case _: java.io.IOException => defeats += 1 }
+      }
+      Thread.sleep(300)
+    }
+    if (kids.exists(_.proc.isAlive)) {
+      kids.foreach(k => ForkedJvm.kill(k.proc))
+      fail("bloom appenders did not finish in 10 min; tails: " +
+        kids.map(_.lines.takeRight(3).mkString("|")).mkString(" || "))
+    }
+    val outs = kids.map(_.result())
+    outs.foreach(o => assert(o.exists(_.contains("APPENDER-DONE")),
+      s"appender must finish, got tail: ${o.takeRight(5).mkString(" | ")}"))
+    info(s"maintains=$maintains defeats=$defeats")
+    // settle: one final heal so the index covers the final layout
+    BloomIndex.maintainIndex(spark, s"$base/data", s"$base/stats", "k")
+    val data = Store.read(spark, s"$base/data")
+    assert(data.count() == 2L * nBatches * rows, "no loss, no double-admit")
+    // exact point lookups through the index for one key per (child, batch)
+    Seq("A", "B").foreach { child =>
+      val off = (child.hashCode.toLong & 0xff) * 10000000L
+      (0 until nBatches).foreach { b =>
+        val key = off + b.toLong * 100000 // row j=0 of the batch
+        val (df, (read, total)) = BloomIndex.lookupIndexed(spark,
+          s"$base/data", s"$base/stats", "k", lit(key))
+        val got = df.select(col("child"), col("batch")).collect()
+        assert(got.length == 1 && got.head.getString(0) == child &&
+          got.head.getLong(1) == b.toLong, s"key $key must resolve exactly")
+        assert(read <= total)
+      }
+    }
+  }
+
   test("appends from 2 foreign JVMs race a compaction loop: every batch lands exactly once") {
     val store = freshStore()
     new File(store).mkdirs()
