@@ -33,6 +33,8 @@ import graft.functions.BloomSketch
   *    stores raw key bytes. */
 object BloomIndex {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** One distributed pass over `dataPath`: per-file row count + Bloom
     * filter of `xxhash64(keyCol)`, written (overwrite) to `statsDir`.
     *
@@ -43,10 +45,27 @@ object BloomIndex {
     * unconditional, so pruning stays CORRECT either way. */
   def build(spark: SparkSession, dataPath: String, keyCol: String,
       statsDir: String, expectedPerFile: Long = 100000L,
-      fpp: Double = 0.01): Unit =
-    statsFor(spark, spark.read.parquet(dataPath), keyCol, expectedPerFile, fpp)
-      .coalesce(1)
+      fpp: Double = 0.01): Unit = {
+    val data = spark.read.parquet(dataPath)
+    statsFor(spark, data, keyCol, expectedPerFile, fpp)
+      .coalesce(statsNumFiles(data.inputFiles.length, expectedPerFile, fpp))
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
+  }
+
+  /** Stats-table output file count sized from its predicted BYTE volume
+    * (|dataFiles| rows x one serialized bloom each), not a hardcoded 1:
+    * at the design point of 10^6 files x ~100 KB blooms a coalesce(1)
+    * write is a ~100 GB single task. The bloom's serialized size is a
+    * pure function of (expectedItems, fpp), so one throwaway filter
+    * prices a row exactly. */
+  private[graft] def statsNumFiles(nDataFiles: Int, expectedPerFile: Long,
+      fpp: Double, targetBytes: Long = 64L << 20): Int = {
+    val bytesPerRow =
+      org.apache.spark.util.sketch.BloomFilter
+        .create(expectedPerFile, fpp).bitSize() / 8 + 64
+    math.max(1L, (nDataFiles.toLong * bytesPerRow + targetBytes - 1)
+      / targetBytes).toInt
+  }
 
   /** Scan `dataPath` for rows with `keyCol === key`, reading ONLY files
     * whose Bloom filter might contain the key. Returns the filtered frame
@@ -60,17 +79,21 @@ object BloomIndex {
     * everything. */
   def scanPointLookup(spark: SparkSession, dataPath: String,
       statsDir: String, keyCol: String, key: Column): (DataFrame, (Int, Int)) = {
-    import spark.implicits._
     // ONE distributed pass over the stats table decides both the candidate
-    // list and the total (the ZoneMaps.scanPrunedAll shape); the probe runs
-    // where the blooms live and only (file, keep) pairs reach the driver —
-    // the bloom column itself never does
-    val flagged = spark.read.parquet(statsDir)
+    // list and the total: the probe AND the keep-filter run where the
+    // blooms live, so the driver receives only the SURVIVING file names
+    // (true hits + fpp stragglers) plus one count — never the bloom column
+    // and never an |files|-sized flag list
+    val row = spark.read.parquet(statsDir)
       .select(col("file"),
         BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep"))
-      .as[(String, Boolean)].collect()
-    val total = flagged.length
-    val files = flagged.collect { case (f, true) => f }.toSeq
+      .agg(count(lit(1)).as("total"),
+        // when() without otherwise yields NULL for pruned files, and
+        // collect_list skips NULLs: survivors only
+        collect_list(when(col("keep"), col("file"))).as("files"))
+      .head()
+    val total = row.getLong(0).toInt
+    val files = row.getSeq[String](1)
     val df = readCandidates(spark, files, col(keyCol) === key,
       fallbackSchemaFrom = spark.read.parquet(dataPath))
     (df, (files.length, total))
@@ -146,7 +169,24 @@ object BloomIndex {
         val stats = statsFor(spark, spark.read.parquet(delta.toString),
           keyCol, expectedPerFile, fpp)
         Store.appendIdempotent(stats, statsDir, s"bloom-$id"): Unit
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        // a path-shaped failure IS the tolerated race (the delta vanished
+        // between exists() and the job's listing/read — compaction folded
+        // it; maintainIndex covers the renamed file). Any OTHER analysis
+        // error (unresolved keyCol, bad config) is deterministic: silently
+        // absorbing it would permanently disable pruning with zero signal,
+        // so rethrow. Runtime job failures are logged, never silent.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && (
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist")) =>
+          log.warn(s"bloom stats for delta-$id skipped (delta compacted " +
+            s"away mid-admission; maintainIndex heals): ${e.getMessage}")
+        case e: org.apache.spark.sql.AnalysisException => throw e
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"bloom stats for delta-$id skipped (data admitted; " +
+            s"file stays uncovered until maintainIndex heals)", e)
+      }
     }
     admitted
   }
@@ -160,16 +200,30 @@ object BloomIndex {
       keyCol: String, key: Column): (DataFrame, (Int, Int)) = {
     import spark.implicits._
     val data = Store.read(spark, dataDir)
-    // |files|-bounded, the same order as Spark's own file index
+    // |files|-bounded, the same order as Spark's own file index (which the
+    // Store.read above already drove through the driver); everything FROM
+    // here is survivor-bounded
     val live = data.inputFiles.map(canonPath).toSet
-    val flagged: Map[String, Boolean] =
-      if (Store.hasData(statsDir))
-        Store.read(spark, statsDir)
-          .select(col("file"),
-            BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep"))
-          .as[(String, Boolean)].collect().toMap
-      else Map.empty
-    val files = live.toSeq.filter(f => flagged.getOrElse(f, true)).sorted
+    val files: Seq[String] =
+      if (!Store.hasData(statsDir)) live.toSeq.sorted
+      else {
+        // decide per live file DISTRIBUTED-side: covered -> its bloom
+        // decides; uncovered (left-join miss: crash window or a compaction
+        // rename) -> read unconditionally. Stale stats rows for dead files
+        // fall out of the left join. Only the files-to-READ come back —
+        // true hits + fpp stragglers + uncovered, never an |files| flag
+        // list. distinct() guards against a heal racing an admit leaving
+        // two stats rows for one file (either row alone is correct; a
+        // duplicated name must not make the reader scan the file twice).
+        val liveDf = live.toSeq.toDF("file")
+        liveDf.join(
+            Store.read(spark, statsDir).select(col("file"),
+              BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep")),
+            Seq("file"), "left_outer")
+          .filter(coalesce(col("keep"), lit(true)))
+          .select(col("file")).distinct()
+          .as[String].collect().toSeq.sorted
+      }
     val df = readCandidates(spark, files, col(keyCol) === key,
       fallbackSchemaFrom = data)
     (df, (files.length, live.size))
@@ -209,7 +263,8 @@ object BloomIndex {
     if (missing.nonEmpty)
       Store.append(
         statsFor(spark, spark.read.parquet(missing: _*), keyCol,
-          expectedPerFile, fpp),
+          expectedPerFile, fpp)
+          .coalesce(statsNumFiles(missing.length, expectedPerFile, fpp)),
         statsDir)
     if (Store.hasData(statsDir)) {
       // the live listing is recomputed INSIDE the rewrite, at image time:
@@ -218,12 +273,15 @@ object BloomIndex {
       // (admit between this listing and the image write) leaves that
       // file merely UNCOVERED — scanned unconditionally, healed by the
       // next maintainIndex — never wrongly pruned.
-      Store.compact(spark, statsDir, numFiles = 1,
+      // File count: sized from the stats store's own BYTE volume (a heal
+      // over 10^6 files x ~100 KB blooms is a ~100 GB table — a
+      // hardcoded numFiles=1 would funnel it through one task).
+      Store.compactToFileSize(spark, statsDir, targetBytes = 64L << 20,
         rewrite = { stats =>
           val liveNow = Store.read(spark, dataDir)
             .inputFiles.map(canonPath).toSeq.toDF("file")
           stats.join(broadcast(liveNow), Seq("file"), "left_semi")
-        })
+        }): Unit
     }
   }
 }

@@ -44,6 +44,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Store {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Per-store admission/swap exclusion. Crash safety is carried entirely
     * by the rename protocol; this lock exists because the protocol's
     * check→stage→commit sequence and the compaction swap's two renames
@@ -256,6 +258,15 @@ object Store {
     * exactly then either fails its own commit rename, or defeats the
     * promote — which then ROLLS BACK wholesale (store byte-identical,
     * compaction reports failure, racer unharmed). Never a torn store. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
+      rewrite: DataFrame => DataFrame = identity): Unit =
+    withCompactionLease(dir) {
+      // recover BEFORE the image read so deltas stranded by a crashed prior
+      // swap are folded into this rewrite rather than re-salvaged
+      recoverStale(dir)
+      compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+    }
+
   /** [[compact]] with the file count derived from a target file SIZE —
     * the Store-side sibling of [[Layout.compactToFileSize]], summing
     * bytes RECURSIVELY because that is exactly the file set [[read]]
@@ -283,15 +294,6 @@ object Store {
     compact(spark, dir, numFiles, rewrite)
     numFiles
   }
-
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
-      rewrite: DataFrame => DataFrame = identity): Unit =
-    withCompactionLease(dir) {
-      // recover BEFORE the image read so deltas stranded by a crashed prior
-      // swap are folded into this rewrite rather than re-salvaged
-      recoverStale(dir)
-      compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
-    }
 
   /** Cross-process single-coordinator enforcement for [[compact]] — the
     * in-process swap lock cannot see another JVM, and before this lease
@@ -328,23 +330,43 @@ object Store {
     *
     * Residual caveats, stated exactly: (a) the one inherent to every
     * mtime lease — an agent stalling LONGER THAN staleMs between two
-    * protocol steps (10-minute scale by default, not milliseconds); and
-    * (b) a 3-way microsecond race REACHABLE ONLY AFTER a reclaimer
+    * protocol steps (10-minute scale by default, not milliseconds) —
+    * narrowed two ways: a HEARTBEAT thread refreshes the held lease's
+    * mtime every staleMs/4 during the body (so a long rewrite is not an
+    * overrun — only a stalled/dead JVM is), and release verifies a stored
+    * OWNERSHIP TOKEN before deleting, so a holder that nevertheless
+    * overran and was reclaimed aborts its release instead of deleting the
+    * successor's lease (which would have admitted a third coordinator);
+    * and (b) a 3-way microsecond race REACHABLE ONLY AFTER a reclaimer
     * crashed inside the tombstone-held window: sweeper steals a fresh
     * tombstone, a third contender creates a new one before the restore,
     * leaving two reclaimers. POSIX file primitives have no
     * compare-and-swap, so each layer narrows rather than closes this;
     * the practical guarantee is that reaching (b) requires a prior crash
     * in a window held for microseconds plus two independent
-    * microsecond-scale collisions 10+ minutes later. */
+    * microsecond-scale collisions 10+ minutes later.
+    *
+    * CLOCK ASSUMPTION, stated at the API: staleness compares the lease
+    * file's mtime (stamped by whoever WROTE it, possibly via an NFS
+    * server's clock) against THIS process's `currentTimeMillis` — a
+    * cross-clock comparison wherever the store is on a network
+    * filesystem or coordinators run on different hosts. `skewMarginMs`
+    * absorbs bounded skew (a fresh lease is only reclaimed once older
+    * than staleMs + skewMarginMs by the local clock), and a lease whose
+    * mtime reads as FUTURE is by construction never stale — a
+    * fast-clocked writer can only make its lease live longer, never get
+    * it stolen early. Skew beyond the margin re-opens caveat (a); size
+    * the margin to the deployment's NTP bound. */
   private[graft] def withCompactionLease[A](dir: String,
-      staleMs: Long = 10 * 60 * 1000L)(body: => A): A = {
+      staleMs: Long = 10 * 60 * 1000L,
+      skewMarginMs: Long = 30 * 1000L)(body: => A): A = {
     val parent = new File(dir).getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs(): Unit
     val lease = new File(dir + ".lease")
     def stale(f: File): Boolean = {
       val lm = f.lastModified() // 0 if the file vanished: NOT stale
-      lm > 0 && System.currentTimeMillis() - lm > staleMs
+      // a future lm (skewed writer clock) gives a negative age: not stale
+      lm > 0 && System.currentTimeMillis() - lm > staleMs + skewMarginMs
     }
     def tryAcquire(): Boolean =
       lease.createNewFile() || {
@@ -373,8 +395,43 @@ object Store {
     if (!tryAcquire())
       throw new IllegalStateException(
         s"another compaction coordinator holds $lease; compaction is " +
-          s"single-coordinator (stale leases reclaimed after ${staleMs}ms)")
-    try body finally { lease.delete(): Unit }
+          s"single-coordinator (stale leases reclaimed after " +
+          s"${staleMs + skewMarginMs}ms)")
+    // ownership token: the release (and each heartbeat) verifies the lease
+    // is still OURS before touching it — a reclaimed-and-replaced lease
+    // belongs to the successor. The token write also stamps the first
+    // mtime refresh. Token verification reads are not atomic with the
+    // subsequent touch; the residual race only ever REFRESHES a
+    // successor's fresh lease (extending it — safe direction) or skips a
+    // delete (leaving a lease the next contender reclaims once stale).
+    val token = UUID.randomUUID().toString
+    try java.nio.file.Files.write(lease.toPath,
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: IOException => lease.delete(): Unit; throw e }
+    def owned(): Boolean =
+      try new String(java.nio.file.Files.readAllBytes(lease.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == token
+      catch { case _: IOException => false }
+    // heartbeat: a live holder never lets its lease age into reclaim
+    // range, however long the rewrite runs — only a stalled/dead JVM does
+    val hbStop = new java.util.concurrent.CountDownLatch(1)
+    val hb = new Thread(() => {
+      val interval = math.max(250L, staleMs / 4)
+      while (!hbStop.await(interval, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        if (owned()) lease.setLastModified(System.currentTimeMillis()): Unit
+      }
+    }, s"graft-lease-heartbeat-$dir")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hbStop.countDown()
+      hb.join(1000)
+      if (owned()) lease.delete(): Unit
+      else log.warn(s"compaction lease $lease was reclaimed mid-run " +
+        "(holder overran staleMs despite the heartbeat — stalled JVM or " +
+        "clock skew beyond the margin); leaving the successor's lease " +
+        "in place")
+    }
   }
 
   /** [[compact]] with the image frame injectable — split out so the race

@@ -176,6 +176,64 @@ class StoreConcurrencySpec extends AnyFunSuite {
     } finally sweep(store)
   }
 
+  test("lease clock-skew: a fresh lease with a FUTURE mtime is never reclaimed") {
+    // a coordinator on a fast-clocked host (or an NFS server ahead of us)
+    // stamps an mtime our local clock reads as future: its age is
+    // negative, so however small staleMs is, the lease must hold
+    val store = freshStore()
+    try {
+      val lease = new java.io.File(store + ".lease")
+      new java.io.File(store).mkdirs()
+      assert(lease.createNewFile())
+      assert(lease.setLastModified(System.currentTimeMillis() + 5L * 60 * 1000))
+      assertThrows[IllegalStateException](
+        Store.withCompactionLease(store, staleMs = 1L, skewMarginMs = 0L) { fail("acquired a live lease") })
+      assert(lease.exists(), "the future-stamped lease must be untouched")
+      lease.delete(): Unit
+    } finally sweep(store)
+  }
+
+  test("lease heartbeat: a holder running LONGER than staleMs is never reclaimed") {
+    // pre-heartbeat this was the documented inherent caveat: a rewrite
+    // outrunning staleMs let a second coordinator reclaim mid-run. The
+    // heartbeat (staleMs/4 cadence) keeps a LIVE holder's lease fresh for
+    // as long as the body runs; only a stalled/dead JVM ages out.
+    val store = freshStore()
+    try {
+      new java.io.File(store).mkdirs()
+      val contenderRejected = new java.util.concurrent.atomic.AtomicInteger(0)
+      Store.withCompactionLease(store, staleMs = 1000L, skewMarginMs = 0L) {
+        (1 to 3).foreach { _ =>
+          Thread.sleep(1200) // each sleep alone exceeds staleMs
+          try Store.withCompactionLease(store, staleMs = 1000L, skewMarginMs = 0L) {
+            fail("contender reclaimed a heartbeating holder's lease")
+          } catch { case _: IllegalStateException => contenderRejected.incrementAndGet(): Unit }
+        }
+      }
+      assert(contenderRejected.get() == 3)
+      // released cleanly: the next coordinator acquires immediately
+      Store.withCompactionLease(store, staleMs = 1000L, skewMarginMs = 0L) { () }
+    } finally sweep(store)
+  }
+
+  test("lease ownership token: an overrun holder never deletes its successor's lease") {
+    // simulate the reclaim-while-running shape directly: mid-body, the
+    // lease is replaced by a successor's (foreign token). The finally
+    // must verify ownership and LEAVE the foreign lease in place —
+    // deleting it would admit a third coordinator.
+    val store = freshStore()
+    try {
+      new java.io.File(store).mkdirs()
+      val lease = new java.io.File(store + ".lease")
+      Store.withCompactionLease(store) {
+        java.nio.file.Files.write(lease.toPath, "successor-token".getBytes)
+      }
+      assert(lease.exists(), "release must not delete a lease it no longer owns")
+      assert(new String(java.nio.file.Files.readAllBytes(lease.toPath)) == "successor-token")
+      lease.delete(): Unit
+    } finally sweep(store)
+  }
+
   test("maintain() from the single writer immediately after parallel appends folds all of them") {
     val store = freshStore()
     val pool = Executors.newFixedThreadPool(4)
