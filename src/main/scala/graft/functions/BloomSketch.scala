@@ -112,6 +112,79 @@ case class BloomMightContain(left: Expression, right: Expression)
       r: Expression): BloomMightContain = copy(left = l, right = r)
 }
 
+/** `bloom_contains_flags(bloomBytes, hashedKeys)` — probe a serialized
+  * [[BloomAgg]] filter with a whole BATCH of pre-hashed keys at once,
+  * returning one boolean per key. The point is the deserialization
+  * economics: a K-key batch probed with K [[BloomMightContain]] calls
+  * deserializes the row's filter K times; this does it ONCE per stats row
+  * and answers all K membership tests against the live object. Like its
+  * single-key sibling it is deliberately CodegenFallback and only ever
+  * evaluated at stats-table scale (one row per data file). Null bloom or
+  * null key array → null; the key array must be null-free (callers build
+  * it from xxhash64 over literals, which never yields null elements). */
+case class BloomContainsFlags(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _)
+        if left.dataType == BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_flags takes (binary bloom, array<long> hashed keys), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(BooleanType, containsNull = false)
+  override def prettyName: String = "bloom_contains_flags"
+
+  override protected def nullSafeEval(bloom: Any, keys: Any): Any = {
+    val filter = BloomFilter
+      .readFrom(new ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+    val hs = keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hs.map(filter.mightContainLong))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BloomContainsFlags = copy(left = l, right = r)
+}
+
+/** `bloom_might_contain_any(bloomBytes, hashedKeys)` — does the filter
+  * possibly contain ANY of the batch? The short-circuiting disjunction of
+  * [[BloomContainsFlags]], for callers that only need the file-survives
+  * decision (join-driven file pruning probes each file's bloom with the
+  * whole dim-side key set and keeps the file on the first hit). One
+  * deserialization per stats row, early exit on the first maybe. */
+case class BloomMightContainAny(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _)
+        if left.dataType == BinaryType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain_any takes (binary bloom, array<long> hashed " +
+        s"keys), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_any"
+
+  override protected def nullSafeEval(bloom: Any, keys: Any): Any = {
+    val filter = BloomFilter
+      .readFrom(new ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+    val hs = keys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    var i = 0
+    while (i < hs.length) {
+      if (filter.mightContainLong(hs(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BloomMightContainAny = copy(left = l, right = r)
+}
+
 object BloomSketch {
   /** Column face: bloom of pre-hashed long keys. */
   def bloomAgg(hashedKey: Column, expectedItems: Long,
@@ -124,4 +197,14 @@ object BloomSketch {
   def mightContain(bloom: Column, hashedKey: Column): Column =
     GraftBridge.column(BloomMightContain(
       GraftBridge.expression(bloom), GraftBridge.expression(hashedKey)))
+
+  /** Column face: per-key membership flags for a batch of hashed keys. */
+  def containsFlags(bloom: Column, hashedKeys: Column): Column =
+    GraftBridge.column(BloomContainsFlags(
+      GraftBridge.expression(bloom), GraftBridge.expression(hashedKeys)))
+
+  /** Column face: any-match probe for a batch of hashed keys. */
+  def mightContainAny(bloom: Column, hashedKeys: Column): Column =
+    GraftBridge.column(BloomMightContainAny(
+      GraftBridge.expression(bloom), GraftBridge.expression(hashedKeys)))
 }

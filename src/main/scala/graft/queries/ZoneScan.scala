@@ -140,13 +140,60 @@ object ZoneScan {
       |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       |ORDER BY l_linenumber""".stripMargin
 
+  /** BATCHED point lookup over the bloom-indexed Store
+    * ([[graft.sources.BloomIndex.lookupIndexedBatch]]): the same
+    * admit/heal protocol as q83, then BOTH the max and the min order key
+    * fetched through ONE stats pass — the shape production lookup traffic
+    * actually has (K keys per request, not one), where K sequential
+    * probes would pay K stats scans. Oracle: the union of the two keys'
+    * lines from the original table — the batch path must be
+    * result-identical to two single lookups. */
+  def q86BloomLookupBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloombatch_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val h0 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0)
+      val h1 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 1)
+      Phases.time("admit") {
+        BloomIndex.admitIndexed(h0, dataDir, statsDir, "l_orderkey", "h0"): Unit
+        BloomIndex.admitIndexed(h1, dataDir, statsDir, "l_orderkey", "h1"): Unit
+      }
+      Phases.time("build") {
+        BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      }
+      val (lo, hi) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+        .as[(Long, Long)].head() // bounded: 1 row
+      Phases.time("serve") {
+        val (rows, _, _) = BloomIndex.lookupIndexedBatch(spark, dataDir,
+          statsDir, "l_orderkey", Seq(lit(lo), lit(hi)))
+        rows
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q86Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+      |   OR l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zonemap_scan" -> (q79ZonemapScan _),
     "q82_bloom_lookup" -> (q82BloomLookup _),
-    "q83_bloom_indexed_store" -> (q83BloomIndexedStore _))
+    "q83_bloom_indexed_store" -> (q83BloomIndexedStore _),
+    "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
     "q82_bloom_lookup" -> q82Sql,
-    "q83_bloom_indexed_store" -> q82Sql)
+    "q83_bloom_indexed_store" -> q82Sql,
+    "q86_bloom_lookup_batch" -> q86Sql)
 }

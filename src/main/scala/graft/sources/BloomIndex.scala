@@ -229,6 +229,61 @@ object BloomIndex {
     (df, (files.length, live.size))
   }
 
+  /** Batched point lookup over a bloom-indexed Store: ONE stats pass
+    * decides the candidate files for ALL K keys — production lookup
+    * traffic arrives in batches, and K sequential [[lookupIndexed]] calls
+    * pay K stats-table scans (and K bloom deserializations per stats row)
+    * for what one array-probe pass answers. Each stats row's filter is
+    * deserialized once and probed with the whole key batch
+    * ([[graft.functions.BloomContainsFlags]]); covered files keep their
+    * per-key flags, uncovered live files (crash window, compaction
+    * rename) conservatively flag every key. Only rows with at least one
+    * maybe survive to the driver — true hits + fpp stragglers + uncovered,
+    * never |files|.
+    *
+    * Returns (rows matching ANY key, per-key candidate files indexed like
+    * `keys` — the attribution a lookup router needs to dispatch each key
+    * to its files, each entry a subset of that key's single-lookup
+    * candidates — and (filesRead, filesTotal)). */
+  def lookupIndexedBatch(spark: SparkSession, dataDir: String,
+      statsDir: String, keyCol: String, keys: Seq[Column])
+      : (DataFrame, Seq[Seq[String]], (Int, Int)) = {
+    import spark.implicits._
+    require(keys.nonEmpty, "at least one lookup key")
+    val data = Store.read(spark, dataDir)
+    val live = data.inputFiles.map(canonPath).toSet
+    val k = keys.length
+    val collected: Seq[(String, Seq[Boolean])] =
+      if (!Store.hasData(statsDir))
+        live.toSeq.sorted.map(f => f -> Seq.fill(k)(true))
+      else {
+        val hashes = array(keys.map(key => xxhash64(key)): _*)
+        val liveDf = live.toSeq.toDF("file")
+        liveDf.join(
+            Store.read(spark, statsDir).select(col("file"),
+              BloomSketch.containsFlags(col("bloom"), hashes).as("flags")),
+            Seq("file"), "left_outer")
+          .select(col("file"),
+            coalesce(col("flags"),
+              array_repeat(lit(true), lit(k))).as("flags"))
+          .filter(exists(col("flags"), identity))
+          .as[(String, Seq[Boolean])].collect().toSeq
+      }
+    // a heal racing an admit can leave two stats rows for one file; merge
+    // per-key flags with OR (either row alone is correct — disagreement is
+    // only ever an fpp straggler, and OR keeps the conservative side)
+    val survivors: Seq[(String, Seq[Boolean])] = collected
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce((a, b) => a.lazyZip(b).map(_ || _)))
+      .toSeq.sortBy(_._1)
+    val perKey: Seq[Seq[String]] = keys.indices.map(i =>
+      survivors.collect { case (f, flags) if flags(i) => f })
+    val pred = keys.map(key => col(keyCol) === key).reduce(_ || _)
+    val df = readCandidates(spark, survivors.map(_._1), pred,
+      fallbackSchemaFrom = data)
+    (df, perKey, (survivors.length, live.size))
+  }
+
   /** Streaming face: the SAME admission as [[admitIndexed]], as a
     * foreachBatch sink with idempotent per-micro-batch ids — an
     * at-least-once replay (sink ran, checkpoint didn't commit) re-admits

@@ -168,6 +168,67 @@ class BloomIndexSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("batched lookup: one stats pass serves K keys, attribution ⊆ single-key candidates") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val (loKey, hiKey) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+        .as[(Long, Long)].head()
+      val absent = hiKey + 1000001L
+      BloomIndex.admitIndexed(li.repartitionByRange(8, $"l_orderkey"),
+        dataDir, statsDir, "l_orderkey", "b0"): Unit
+      BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      val keys = Seq(loKey, hiKey, absent)
+      val (df, perKey, (read, total)) = BloomIndex.lookupIndexedBatch(
+        spark, dataDir, statsDir, "l_orderkey", keys.map(lit(_)))
+      // result = union of the per-key row sets, exactly
+      val got = df.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == (expected(loKey) ++ expected(hiKey)).sorted && got.nonEmpty)
+      // attribution: each key's candidates ⊆ its single-lookup candidates
+      // (the batch probe answers the SAME membership tests), absent key
+      // attributes to at most fpp stragglers, and the batch never reads
+      // more than the singles combined
+      var singleReadSum = 0
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val (_, (readK, _)) = BloomIndex.lookupIndexed(spark, dataDir,
+          statsDir, "l_orderkey", lit(k))
+        singleReadSum += readK
+        // re-derive the single-key candidate set from attribution contract
+        assert(perKey(i).nonEmpty || k == absent)
+      }
+      assert(perKey(2).size <= 1, s"absent key must attribute ≈0 files: ${perKey(2)}")
+      assert(read <= singleReadSum && read < total,
+        s"batch read $read must not exceed singles' $singleReadSum and must prune ($total total)")
+      assert(perKey.flatten.distinct.size == read,
+        "filesRead must be exactly the union of per-key candidates")
+    } finally sweep(base)
+  }
+
+  test("duplicated stats rows (heal racing an admit) never duplicate result rows") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      BloomIndex.admitIndexed(li, dataDir, statsDir, "l_orderkey", "b0"): Unit
+      BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
+      // simulate the benign race: every file covered by TWO stats rows
+      sources.Store.append(
+        sources.Store.read(spark, statsDir).localCheckpoint(true), statsDir)
+      val (df, (read, total)) = BloomIndex.lookupIndexed(spark, dataDir,
+        statsDir, "l_orderkey", lit(key))
+      assert(read <= total, s"dup stats must not inflate the file list: $read/$total")
+      val got = df.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted
+      assert(got == expected(key), "a duplicated stats row must not re-read a file")
+      val (dfB, _, (readB, totalB)) = BloomIndex.lookupIndexedBatch(spark,
+        dataDir, statsDir, "l_orderkey", Seq(lit(key)))
+      assert(readB <= totalB)
+      assert(dfB.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        .as[(Long, Int, Long)].collect().toSeq.sorted == expected(key))
+    } finally sweep(base)
+  }
+
   test("a store path containing spaces round-trips the whole indexed protocol") {
     // pins the canonicalizer contract: java.net.URI.create would throw on
     // the raw space in inputFiles' unencoded strings; Hadoop Path parsing
