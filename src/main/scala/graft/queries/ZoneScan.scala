@@ -140,6 +140,59 @@ object ZoneScan {
       |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       |ORDER BY l_linenumber""".stripMargin
 
+  /** The INCREMENTAL face of the zone map — a zone-mapped
+    * [[graft.sources.Store]] whose RANGE pruning survives maintenance:
+    * lineitem admitted in two range-shaped halves (per-file min/max stats
+    * ride each admission), the data store compacted mid-stream WITH
+    * `clusterBy = l_shipdate` (the order-preserving rewrite — a
+    * round-robin compact would hand every file the full date range and
+    * permanently kill skipping, the r10 verdict's #1 gap), the index
+    * healed by maintainIndex, and a quarter-range revenue rollup served
+    * from store + index alone. Same oracle as q79: the whole
+    * admit/compact/heal protocol must be result-invisible. */
+  def q84ZoneIndexedStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zonestore_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      def shaped(half: Int) = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
+        .repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+      Phases.time("admit") {
+        ZoneMaps.admitIndexed(shaped(0),
+          dataDir, statsDir, Seq("l_shipdate"), "h0"): Unit
+      }
+      Phases.time("build") { // maintenance: ORDER-PRESERVING rewrite
+        graft.sources.Store.compact(spark, dataDir, numFiles = 8,
+          clusterBy = Seq("l_shipdate"))
+      }
+      Phases.time("admit") {
+        ZoneMaps.admitIndexed(shaped(1),
+          dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
+      }
+      Phases.time("build") {
+        ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("l_shipdate"))
+      }
+      Phases.time("serve") {
+        val (slice, _) = ZoneMaps.lookupRangeIndexed(spark, dataDir, statsDir,
+          Seq(("l_shipdate", lit("1997-01-01").cast("timestamp"),
+            lit("1997-04-01").cast("timestamp"))))
+        slice
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_extendedprice".cast("decimal(14,2)") *
+              (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+              .cast("double").as("revenue"))
+          .orderBy($"l_returnflag")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
   /** BATCHED point lookup over the bloom-indexed Store
     * ([[graft.sources.BloomIndex.lookupIndexedBatch]]): the same
     * admit/heal protocol as q83, then BOTH the max and the min order key
@@ -189,11 +242,13 @@ object ZoneScan {
     "q79_zonemap_scan" -> (q79ZonemapScan _),
     "q82_bloom_lookup" -> (q82BloomLookup _),
     "q83_bloom_indexed_store" -> (q83BloomIndexedStore _),
+    "q84_zone_indexed_store" -> (q84ZoneIndexedStore _),
     "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
     "q82_bloom_lookup" -> q82Sql,
     "q83_bloom_indexed_store" -> q82Sql,
+    "q84_zone_indexed_store" -> q79Sql,
     "q86_bloom_lookup_batch" -> q86Sql)
 }

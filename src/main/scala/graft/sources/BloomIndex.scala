@@ -133,7 +133,7 @@ object BloomIndex {
       catch { case _: Exception => new org.apache.hadoop.fs.Path(s) }
     p.toString
   }
-  private val canonPathUdf = udf(canonPath _)
+  private[graft] val canonPathUdf = udf(canonPath _)
 
   private def statsFor(spark: SparkSession, dataFiles: DataFrame,
       keyCol: String, expectedPerFile: Long, fpp: Double): DataFrame =

@@ -257,14 +257,25 @@ object Store {
     * (microseconds, down from the whole rewrite): an append staging
     * exactly then either fails its own commit rename, or defeats the
     * promote — which then ROLLS BACK wholesale (store byte-identical,
-    * compaction reports failure, racer unharmed). Never a torn store. */
+    * compaction reports failure, racer unharmed). Never a torn store.
+    *
+    * `clusterBy` makes the rewrite ORDER-PRESERVING: non-empty, the image
+    * is range-partitioned and sorted on those columns (the
+    * [[Layout.writeClustered]] shape) instead of round-robin
+    * `repartition`d — so a store serving RANGE scans (zone-mapped
+    * postings, time-sliced events) keeps its key-to-file locality across
+    * maintenance cycles instead of losing file skipping at the first
+    * compaction. Empty (the default) keeps the cheap shuffle for stores
+    * whose reads are full scans or bloom-indexed point lookups (the bloom
+    * face is layout-independent by design). */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
-      rewrite: DataFrame => DataFrame = identity): Unit =
+      rewrite: DataFrame => DataFrame = identity,
+      clusterBy: Seq[String] = Nil): Unit =
     withCompactionLease(dir) {
       // recover BEFORE the image read so deltas stranded by a crashed prior
       // swap are folded into this rewrite rather than re-salvaged
       recoverStale(dir)
-      compactImage(spark, dir, read(spark, dir), numFiles, rewrite)
+      compactImage(spark, dir, read(spark, dir), numFiles, rewrite, clusterBy)
     }
 
   /** [[compact]] with the file count derived from a target file SIZE —
@@ -277,7 +288,8 @@ object Store {
     * pass converges, and the knob's job is file-count economics, not byte
     * precision. Returns the derived count. */
   def compactToFileSize(spark: SparkSession, dir: String, targetBytes: Long,
-      rewrite: DataFrame => DataFrame = identity): Int = {
+      rewrite: DataFrame => DataFrame = identity,
+      clusterBy: Seq[String] = Nil): Int = {
     require(targetBytes > 0)
     def bytes(f: File): Long = {
       val kids = f.listFiles()
@@ -291,7 +303,7 @@ object Store {
     }
     val total = bytes(new File(dir))
     val numFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    compact(spark, dir, numFiles, rewrite)
+    compact(spark, dir, numFiles, rewrite, clusterBy)
     numFiles
   }
 
@@ -439,7 +451,8 @@ object Store {
     * the salvage path recovers it. */
   private[graft] def compactImage(spark: SparkSession, dir: String,
       image: DataFrame, numFiles: Int,
-      rewrite: DataFrame => DataFrame): Unit = {
+      rewrite: DataFrame => DataFrame,
+      clusterBy: Seq[String] = Nil): Unit = {
     require(numFiles > 0)
     // no-op unless a prior swap crashed; direct compactImage callers (the
     // race specs) get the same stranded-delta recovery as compact()
@@ -460,8 +473,18 @@ object Store {
           f.getName.stripPrefix(".admitted-")
       }.toSeq)).toSeq.distinct
     val tmp = dir + ".compact"
-    rewrite(image).repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val shaped = rewrite(image)
+    val out =
+      if (clusterBy.isEmpty) shaped.repartition(numFiles)
+      else {
+        // order-preserving rewrite: range slices + in-file sort, so the
+        // compacted files keep narrow key ranges and zone-map/footer
+        // pruning survives the maintenance cycle
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        shaped.repartitionByRange(numFiles, cols: _*)
+          .sortWithinPartitions(cols: _*)
+      }
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
     // markers ride INSIDE the compacted image so they become visible in the
     // same atomic rename that hides the folded delta dirs — creating them
     // after the swap would open a window where a replayed id sees neither
@@ -496,6 +519,8 @@ object Store {
     * growing with admit count. At 100 TB, size `numFiles` to the store's
     * bytes (the local default suits index-sized stores). */
   def maintain(spark: SparkSession, dir: String, every: Int = 16,
-      numFiles: Int = 8, rewrite: DataFrame => DataFrame = identity): Unit =
-    if (every > 0 && deltaCount(dir) >= every) compact(spark, dir, numFiles, rewrite)
+      numFiles: Int = 8, rewrite: DataFrame => DataFrame = identity,
+      clusterBy: Seq[String] = Nil): Unit =
+    if (every > 0 && deltaCount(dir) >= every)
+      compact(spark, dir, numFiles, rewrite, clusterBy)
 }

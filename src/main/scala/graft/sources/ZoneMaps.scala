@@ -99,4 +99,157 @@ object ZoneMaps {
   def scanPruned(spark: SparkSession, dataPath: String, statsDir: String,
       trackedCol: String, lo: Column, hi: Column): (DataFrame, (Int, Int)) =
     scanPrunedAll(spark, dataPath, statsDir, Seq((trackedCol, lo, hi)))
+
+  // ── Incremental face: a zone-mapped Store ─────────────────────────────
+  //
+  // The range-scan sibling of [[BloomIndex]]'s bloom-indexed Store, with
+  // the identical admission/heal protocol: each admitted delta carries its
+  // per-file min/max stats into a SIBLING stats store under the same
+  // idempotency id, lookups treat the map as a conservative ACCELERATOR
+  // (a live data file the stats do not cover is read unconditionally —
+  // crash window and compaction renames degrade pruning to scanning,
+  // never correctness), and maintainIndex heals both directions. The one
+  // thing the range face needs that the bloom face does not: the DATA
+  // store's maintenance compaction must be order-preserving
+  // ([[Store.compact]]'s `clusterBy`) — a round-robin rewrite gives every
+  // compacted file the full key range and nothing prunes ever again
+  // (spec-pinned both ways in ZoneMapStoreSpec).
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def statsFor(dataFiles: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "track at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    dataFiles
+      .select(col("_metadata.file_path").as("raw") +: cols.map(col): _*)
+      .groupBy(col("raw"))
+      .agg(aggs.head, aggs.tail: _*)
+      // canonicalize AFTER the agg: the udf runs once per FILE, and the
+      // canonical form is what set-compares against DataFrame.inputFiles
+      .select(BloomIndex.canonPathUdf(col("raw")).as("file") +:
+        (col("n_rows") +: cols.flatMap(c =>
+          Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+  }
+
+  /** Admit `df` into the data Store AND its per-file ranges into the
+    * sibling stats Store, both under the same idempotency id (the
+    * [[BloomIndex.admitIndexed]] protocol — replays no-op on both sides,
+    * a replay that finds data admitted but stats missing heals the
+    * stats). For the ranges to PRUNE, shape the batch before admitting
+    * (`repartitionByRange` + `sortWithinPartitions` on the tracked
+    * columns); an unshaped admit is merely unprunable, never wrong.
+    * Returns whether this call admitted the data batch. */
+  def admitIndexed(df: DataFrame, dataDir: String, statsDir: String,
+      cols: Seq[String], id: String): Boolean = {
+    val spark = df.sparkSession
+    val admitted = Store.appendIdempotent(df, dataDir, id)
+    val delta = new java.io.File(dataDir, s"delta-$id")
+    if (delta.exists()) {
+      try {
+        val stats = statsFor(spark.read.parquet(delta.toString), cols)
+          .coalesce(1) // |delta files| short rows
+        Store.appendIdempotent(stats, statsDir, s"zm-$id"): Unit
+      } catch {
+        // same tolerance contract as the bloom face: a path-shaped
+        // failure is the delta-vs-compaction listing race (heal covers
+        // the renamed file); other analysis errors are deterministic
+        // misconfiguration and must surface
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && (
+              e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist")) =>
+          log.warn(s"zone stats for delta-$id skipped (delta compacted " +
+            s"away mid-admission; maintainIndex heals): ${e.getMessage}")
+        case e: org.apache.spark.sql.AnalysisException => throw e
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"zone stats for delta-$id skipped (data admitted; " +
+            s"file stays uncovered until maintainIndex heals)", e)
+      }
+    }
+    admitted
+  }
+
+  /** Range scan over a zone-mapped Store. Decision per LIVE data file,
+    * DISTRIBUTED-side: covered by stats → its ranges decide (NULL bounds
+    * keep — an all-null slice may only be pruned by a provable
+    * non-match); uncovered (left-join miss: crash window, compaction
+    * rename) → read unconditionally, which the same NULL-keeps predicate
+    * expresses for free. Stale stats rows for dead files fall out of the
+    * join. Only the files-to-READ come back to the driver. Returns the
+    * filtered frame plus (filesRead, filesTotal). */
+  def lookupRangeIndexed(spark: SparkSession, dataDir: String,
+      statsDir: String, preds: Seq[(String, Column, Column)])
+      : (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    require(preds.nonEmpty, "at least one range conjunct")
+    val data = Store.read(spark, dataDir)
+    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    val files: Seq[String] =
+      if (!Store.hasData(statsDir)) live.toSeq.sorted
+      else {
+        val keep = preds
+          .map { case (c, lo, hi) =>
+            col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+          }
+          .reduce(_ && _)
+        val liveDf = live.toSeq.toDF("file")
+        liveDf.join(Store.read(spark, statsDir), Seq("file"), "left_outer")
+          .filter(keep)
+          .select(col("file")).distinct()
+          .as[String].collect().toSeq.sorted
+      }
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
+      .reduce(_ && _)
+    val df =
+      if (files.isEmpty) data.filter(lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).filter(pred)
+    (df, (files.length, live.size))
+  }
+
+  /** Streaming face: the SAME admission as [[admitIndexed]], as a
+    * foreachBatch sink with idempotent per-micro-batch ids — the
+    * [[BloomIndex.streamingAdmission]] shape. */
+  def streamingAdmission(rows: DataFrame, dataDir: String, statsDir: String,
+      cols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitIndexed(batch, dataDir, statsDir, cols, s"zm$batchId"): Unit
+      }
+
+  /** Heal the index: build ranges for live-but-uncovered data files (one
+    * pass over just those files) and compact the stats store down to rows
+    * whose file still exists. Run after [[Store.compact]] on the data
+    * store — pass that compaction `clusterBy` on the tracked columns or
+    * the healed ranges will all straddle everything (correct, unpruned).
+    * The stats rewrite is size-targeted, never a hardcoded single task. */
+  def maintainIndex(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit = {
+    import spark.implicits._
+    val live = Store.read(spark, dataDir).inputFiles
+      .map(BloomIndex.canonPath).toSet
+    val covered: Set[String] =
+      if (Store.hasData(statsDir))
+        Store.read(spark, statsDir).select($"file").as[String].collect().toSet
+      else Set.empty
+    val missing = (live -- covered).toSeq.sorted
+    if (missing.nonEmpty)
+      Store.append(
+        statsFor(spark.read.parquet(missing: _*), cols).coalesce(1),
+        statsDir)
+    if (Store.hasData(statsDir)) {
+      // live listing recomputed INSIDE the rewrite, at image time — the
+      // same no-lost-stats reasoning as BloomIndex.maintainIndex
+      Store.compactToFileSize(spark, statsDir, targetBytes = 64L << 20,
+        rewrite = { stats =>
+          val liveNow = Store.read(spark, dataDir)
+            .inputFiles.map(BloomIndex.canonPath).toSeq.toDF("file")
+          stats.join(broadcast(liveNow), Seq("file"), "left_semi")
+        }): Unit
+    }
+  }
 }

@@ -130,6 +130,21 @@ class StreamingAdmissionRestartSpec extends AnyFunSuite {
       })
   }
 
+  test("zone-mapped store admission: kill/restart from checkpoint equals uninterrupted run") {
+    import org.apache.spark.sql.functions.lit
+    runEventsFamily(
+      (df, store) => graft.sources.ZoneMaps.streamingAdmission(
+        df, s"$store/data", s"$store/stats", Seq("ts")),
+      store => {
+        val (df, _) = graft.sources.ZoneMaps.lookupRangeIndexed(spark,
+          s"$store/data", s"$store/stats",
+          Seq(("ts", lit("2024-01-01 10:00:00").cast("timestamp"),
+            lit("2024-01-01 12:30:00").cast("timestamp"))))
+        df.select("event_id", "user_id", "event_type")
+          .collect().map(_.toString).toSeq.sorted
+      })
+  }
+
   test("resample admission: kill/restart from checkpoint equals uninterrupted run") {
     runEventsFamily(
       (df, store) => Resample.streamingAdmission(df, store),
