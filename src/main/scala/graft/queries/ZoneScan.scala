@@ -193,6 +193,68 @@ object ZoneScan {
     }
   }
 
+  /** Join-driven file pruning ([[graft.sources.BloomIndex.prunedJoinScan]])
+    * — the star-join completion of the skipping family: q32 prunes row
+    * groups WITHIN a scan from a runtime bloom, q82 prunes files for a
+    * LITERAL key; this prunes the fact side's FILE SET from a selective
+    * dim side's key set before the join. Lineitem admitted bloom-indexed
+    * on l_orderkey (64 range slices, stats riding the admissions); the
+    * dim is a 1-month 1-URGENT slice of orders (~0.25%); the fact scan
+    * reads only files whose bloom might hold a dim key, then the ordinary
+    * broadcast join + rollup runs. Oracle: the same join over the
+    * original tables — file skipping must be result-invisible. How MUCH
+    * is pruned is pinned in BloomIndexSpec (survivor counts follow the
+    * keys-to-files ratio: strong at 10^6 files or a concentrated dim,
+    * modest at 64 files x 38 scattered keys — the spec pins both). */
+  def q85JoinFilePruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_joinprune_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      def shaped(half: Int) = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
+        .repartitionByRange(32, $"l_orderkey")
+        .sortWithinPartitions($"l_orderkey")
+      Phases.time("admit") {
+        BloomIndex.admitIndexed(shaped(0), dataDir, statsDir,
+          "l_orderkey", "h0", expectedPerFile = 100000L): Unit
+        BloomIndex.admitIndexed(shaped(1), dataDir, statsDir,
+          "l_orderkey", "h1", expectedPerFile = 100000L): Unit
+      }
+      Phases.time("serve") {
+        val dim = Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("1997-03-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-04-01").cast("timestamp") &&
+            $"o_orderpriority" === "1-URGENT")
+        val (fact, _) = BloomIndex.prunedJoinScan(spark, dataDir, statsDir,
+          "l_orderkey", dim.select($"o_orderkey"))
+        fact.join(broadcast(dim), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_extendedprice".cast("decimal(14,2)") *
+              (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+              .cast("double").as("revenue"))
+          .orderBy($"l_returnflag")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q85Sql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** BATCHED point lookup over the bloom-indexed Store
     * ([[graft.sources.BloomIndex.lookupIndexedBatch]]): the same
     * admit/heal protocol as q83, then BOTH the max and the min order key
@@ -243,6 +305,7 @@ object ZoneScan {
     "q82_bloom_lookup" -> (q82BloomLookup _),
     "q83_bloom_indexed_store" -> (q83BloomIndexedStore _),
     "q84_zone_indexed_store" -> (q84ZoneIndexedStore _),
+    "q85_join_file_pruning" -> (q85JoinFilePruning _),
     "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _))
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +313,6 @@ object ZoneScan {
     "q82_bloom_lookup" -> q82Sql,
     "q83_bloom_indexed_store" -> q82Sql,
     "q84_zone_indexed_store" -> q79Sql,
+    "q85_join_file_pruning" -> q85Sql,
     "q86_bloom_lookup_batch" -> q86Sql)
 }

@@ -284,6 +284,74 @@ object BloomIndex {
     (df, perKey, (survivors.length, live.size))
   }
 
+  /** Join-driven file pruning (dynamic file skipping) — the star-join
+    * shape q32's runtime row-group filter and q82's literal-key file
+    * skipping both stop short of: prune the FACT side's FILE SET from a
+    * selective DIM side's key set BEFORE the join ever scans. At 10^6
+    * fact files a 0.1%-selective dim turns "list and open everything"
+    * into "open the files that can possibly hold a matching key" — the
+    * Delta/Iceberg dynamic-file-pruning idea served from the store's own
+    * bloom stats instead of a table-format commit log.
+    *
+    * Protocol: the dim keys are hashed DISTRIBUTED (one tiny job — the
+    * same `xxhash64` the index was built with, so `dimKeys`' column must
+    * have the fact key column's exact type; a mismatch would hash
+    * differently and wrongly prune everything, which is why it is
+    * require()d away), collected under `maxKeys` (the DPP broadcast-side
+    * bound — this is the same order as the hashes a broadcast join would
+    * ship anyway), and probed against every covered file's bloom in ONE
+    * stats pass ([[graft.functions.BloomMightContainAny]]: one filter
+    * deserialization per stats row, short-circuit across the key batch).
+    * Uncovered live files are kept unconditionally; a dim side wider
+    * than `maxKeys` skips pruning entirely (logged) — both degrade to
+    * scanning, never to a wrong join.
+    *
+    * Returns the fact scan restricted to surviving files — UNfiltered by
+    * key, so the caller's join (or IN) applies the exact predicate — plus
+    * (filesRead, filesTotal). Result-invisible by the bloom contract: a
+    * pruned file definitely holds no dim key, so no join row is lost. */
+  def prunedJoinScan(spark: SparkSession, dataDir: String, statsDir: String,
+      factKeyCol: String, dimKeys: DataFrame, maxKeys: Int = 65536)
+      : (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    require(dimKeys.columns.length == 1,
+      s"dimKeys must be the single join-key column, got ${dimKeys.columns.toSeq}")
+    val data = Store.read(spark, dataDir)
+    val factType = data.schema(factKeyCol).dataType
+    val dimType = dimKeys.schema.head.dataType
+    require(dimType == factType,
+      s"dim key type ${dimType.simpleString} must equal fact key column " +
+        s"'$factKeyCol' type ${factType.simpleString}: xxhash64 is " +
+        "type-aware and a mismatch would (wrongly) prune every file")
+    val live = data.inputFiles.map(canonPath).toSet
+    val hashes: Array[Long] = dimKeys
+      .select(xxhash64(col(dimKeys.columns.head)).as("h"))
+      .distinct().limit(maxKeys + 1)
+      .as[Long].collect()
+    val files: Seq[String] =
+      if (!Store.hasData(statsDir) || hashes.isEmpty ||
+          hashes.length > maxKeys) {
+        if (hashes.length > maxKeys)
+          log.info(s"dim side exceeds maxKeys=$maxKeys distinct keys; " +
+            "skipping file pruning (full fact scan, correct join)")
+        if (hashes.isEmpty) Nil else live.toSeq.sorted
+      } else {
+        val liveDf = live.toSeq.toDF("file")
+        liveDf.join(
+            Store.read(spark, statsDir).select(col("file"),
+              BloomSketch.mightContainAny(col("bloom"), lit(hashes))
+                .as("keep")),
+            Seq("file"), "left_outer")
+          .filter(coalesce(col("keep"), lit(true)))
+          .select(col("file")).distinct()
+          .as[String].collect().toSeq.sorted
+      }
+    val df =
+      if (files.isEmpty) data.filter(lit(false))
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    (df, (files.length, live.size))
+  }
+
   /** Streaming face: the SAME admission as [[admitIndexed]], as a
     * foreachBatch sink with idempotent per-micro-batch ids — an
     * at-least-once replay (sink ran, checkpoint didn't commit) re-admits

@@ -205,6 +205,70 @@ class BloomIndexSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("join-driven file pruning: concentrated dim skips files, join result exact, uncovered kept") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      BloomIndex.admitIndexed(
+        li.repartitionByRange(16, $"l_orderkey").sortWithinPartitions($"l_orderkey"),
+        dataDir, statsDir, "l_orderkey", "b0"): Unit
+      // a concentrated dim: the 10 highest order keys live in the top
+      // range slice(s) — the shape where file pruning pays
+      val dimKeys = li.select($"l_orderkey").distinct()
+        .orderBy($"l_orderkey".desc).limit(10)
+      val keySet = dimKeys.as[Long].collect().toSet
+      val (fact, (read, total)) = BloomIndex.prunedJoinScan(spark, dataDir,
+        statsDir, "l_orderkey", dimKeys)
+      assert(total == 16 && read <= 3,
+        s"10 keys from one range slice must prune hard: $read/$total")
+      val got = fact.join(dimKeys, "l_orderkey")
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Int)]
+        .collect().toSeq.sorted
+      val want = li.filter($"l_orderkey".isInCollection(keySet))
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Int)]
+        .collect().toSeq.sorted
+      assert(got == want && got.nonEmpty, "pruned join must equal unpruned join")
+      // crash window: a delta with NO stats must always survive pruning
+      sources.Store.appendIdempotent(
+        li.limit(50).withColumn("l_orderkey", $"l_orderkey" * -1 - 1),
+        dataDir, "raw"): Unit
+      val (fact2, (read2, total2)) = BloomIndex.prunedJoinScan(spark, dataDir,
+        statsDir, "l_orderkey", dimKeys)
+      assert(total2 > total && read2 > read,
+        "uncovered files must be read unconditionally")
+      assert(fact2.join(dimKeys, "l_orderkey")
+        .select($"l_orderkey", $"l_linenumber").as[(Long, Int)]
+        .collect().toSeq.sorted == want)
+    } finally sweep(base)
+  }
+
+  test("join pruning degrades safely: over-threshold dim and empty dim") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      BloomIndex.admitIndexed(
+        li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions($"l_orderkey"),
+        dataDir, statsDir, "l_orderkey", "b0"): Unit
+      val dimKeys = li.select($"l_orderkey").distinct()
+        .orderBy($"l_orderkey".desc).limit(10)
+      // over maxKeys: pruning is skipped, the scan reads everything and
+      // the join is still exact
+      val (factAll, (readAll, totalAll)) = BloomIndex.prunedJoinScan(spark,
+        dataDir, statsDir, "l_orderkey", dimKeys, maxKeys = 5)
+      assert(readAll == totalAll, "over-threshold dim must skip pruning")
+      assert(factAll.join(dimKeys, "l_orderkey").count() ==
+        li.filter($"l_orderkey".isin(dimKeys.as[Long].collect(): _*)).count())
+      // empty dim: no file read at all, empty join
+      val (factNone, (readNone, _)) = BloomIndex.prunedJoinScan(spark,
+        dataDir, statsDir, "l_orderkey", dimKeys.filter(lit(false)))
+      assert(readNone == 0 && factNone.count() == 0)
+      // type mismatch is rejected instead of silently pruning everything
+      assertThrows[IllegalArgumentException](BloomIndex.prunedJoinScan(spark,
+        dataDir, statsDir, "l_orderkey",
+        dimKeys.select($"l_orderkey".cast("int"))))
+    } finally sweep(base)
+  }
+
   test("duplicated stats rows (heal racing an admit) never duplicate result rows") {
     val base = tmp()
     try {
