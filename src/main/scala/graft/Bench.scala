@@ -51,6 +51,29 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-task shuffle read/write + spill accumulator (VERDICT r10 task 5):
+    * the "ids-only shuffle" claims were plan pins; this makes them NUMBERS.
+    * One listener lives for the whole session; per-query attribution is by
+    * snapshot-delta around each timed run, with the async listener bus
+    * drained before every snapshot so a stage's task metrics cannot land
+    * in the next query's bucket. */
+  private final class ShuffleListener extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.remoteBytesRead +
+          m.shuffleReadMetrics.localBytesRead): Unit
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    }
+    def snap(): (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -130,6 +153,13 @@ object Bench {
       val best = ts.sorted.take(runs)
       best.last <= best.head * 1.25 || best.last - best.head <= 0.05
     }
+    val shuffleListener = new ShuffleListener
+    spark.sparkContext.addSparkListener(shuffleListener)
+    // per-query shuffle volume (bytes read/written + spilled) from the last
+    // successful timed run of each task — runs of one query move the same
+    // bytes, so the last is as representative as a mean and needs no division
+    val shuffleByName =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     def timed(tasks: Seq[(String, () => Unit)]): Seq[(String, Seq[Double])] =
       tasks.map { case (name, run) =>
         (1 to warmup).foreach { i =>
@@ -147,10 +177,15 @@ object Bench {
           // is query 3 or query 103 of the session
           spark.catalog.clearCache()
           System.gc()
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+          val s0 = shuffleListener.snap()
           val t0 = System.nanoTime()
           try {
             run()
             times += (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+            val s1 = shuffleListener.snap()
+            shuffleByName(name) = (s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name run $attempts failed: ${e.getMessage}")
           }
@@ -215,7 +250,8 @@ object Bench {
       "events_resample_incremental", "dedup_chunks_incremental",
       "events_bitmap_incremental", "events_bitmap_window",
       "text_bm25_search", "text_search_index", "text_phrase_search",
-      "q83_bloom_indexed_store")
+      "q83_bloom_indexed_store", "q84_zone_indexed_store",
+      "q85_join_file_pruning", "q86_bloom_lookup_batch")
     val phases: Seq[(String, Map[String, Double])] =
       (if (args.nonEmpty) Nil
        else phasedNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))
@@ -239,6 +275,50 @@ object Bench {
               k -> samples.map(_.getOrElse(k, 0.0)).min).toMap)
           }
         }
+    // ---- serve-path lookup latency (VERDICT r10 stretch): q82/q83 price
+    // the whole build/admit/heal protocol; a serving deployment quotes the
+    // per-lookup latency against a WARM store. Build one bloom-indexed
+    // lineitem store, then probe it with N distinct keys one lookup at a
+    // time (each a real stats pass + candidate-file read + materialize),
+    // and report p50/p95 seconds per lookup — plus the same N keys through
+    // ONE batched lookup for the amortization headline.
+    val lookups: Option[(Double, Double, Int, Double)] =
+      if (args.nonEmpty && !sys.env.get("SPARK_GRAFT_BENCH_LOOKUPS").contains("1")) None
+      else {
+        val base = Files.createTempDirectory("graft_bench_lookup_")
+        try {
+          import org.apache.spark.sql.functions.col
+          val dataDir = s"$base/data"; val statsDir = s"$base/stats"
+          val li = sources.Tables.lineitem(spark, sfDir)
+          sources.BloomIndex.admitIndexed(
+            li.repartitionByRange(16, col("l_orderkey"))
+              .sortWithinPartitions(col("l_orderkey")),
+            dataDir, statsDir, "l_orderkey", "b0"): Unit
+          val keys = li.select(col("l_orderkey")).distinct().limit(32)
+            .collect().map(_.getLong(0)).toSeq
+          def one(k: Long): Unit = noopSave(
+            sources.BloomIndex.lookupIndexed(spark, dataDir, statsDir,
+              "l_orderkey", org.apache.spark.sql.functions.lit(k))._1)
+          one(keys.head) // warm the store's file index + codegen
+          val ts = keys.map { k =>
+            val t0 = System.nanoTime()
+            one(k)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          val tBatch0 = System.nanoTime()
+          noopSave(sources.BloomIndex.lookupIndexedBatch(spark, dataDir,
+            statsDir, "l_orderkey",
+            keys.map(org.apache.spark.sql.functions.lit(_)))._1)
+          val batchSec = (System.nanoTime() - tBatch0) / 1e9
+          Some((ts(ts.size / 2), ts(math.min(ts.size - 1,
+            (ts.size * 0.95).toInt)), keys.size, batchSec))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] lookup-latency probe failed: ${e.getMessage}")
+          None
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+        }
+      }
     val cpuAfter = cpuProbe()
     val loadAfter = loadAvg()
     // the headline per-query statistic: median of the best `runs` samples
@@ -275,11 +355,24 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + round3(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    // per-query shuffle volume: file-JSON only (184 entries would blow the
+    // stdout tail window); bytes, so PERF_NOTES can argue bounds directly
+    val shuffleJson = results
+      .flatMap { case (k, _) => shuffleByName.get(k).map(k -> _) }
+      .map { case (k, (r, w, s)) =>
+        "\"" + k + s"""":{"read":$r,"write":$w,"spill":$s}"""
+      }
+      .mkString("{", ",", "}")
+    val lookupsJson = lookups.map { case (p50, p95, n, batch) =>
+      s""""bloom_point_lookup":{"p50":${round3(p50)},"p95":${round3(p95)},""" +
+        s""""n":$n,"batch_all_keys":${round3(batch)}}"""
+    }.mkString("{", ",", "}")
     val full = s"""{$header,"calibration":$calibration,""" +
       s""""queries":${fmt(bestMedian)},"queries_min":${fmt(_.min)},""" +
       s""""queries_norm":${fmt(normed)},""" +
       s""""queries_runs":$perRun,"composed":${fmtSeq(composed, bestMedian)},""" +
-      s""""phases":$fmtPhases,""" +
+      s""""phases":$fmtPhases,"shuffle":$shuffleJson,""" +
+      s""""lookups":$lookupsJson,""" +
       s""""bench_file":"$outPath"}"""
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
@@ -289,7 +382,7 @@ object Bench {
     println(s"""{$header,"calibration":$calibration,""" +
       s""""queries":${fmt(ts => round3(bestMedian(ts)))},""" +
       s""""composed":${fmtSeq(composed, ts => round3(bestMedian(ts)))},""" +
-      s""""phases":$fmtPhases,""" +
+      s""""phases":$fmtPhases,"lookups":$lookupsJson,""" +
       s""""bench_file":"$outPath"}""")
     Console.out.flush()
     spark.stop()

@@ -13,4 +13,10 @@ object GraftBridge {
   def dataFrame(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** Block until queued listener events are delivered (`listenerBus` is
+    * private[spark]) — the bench's shuffle-volume collector must read its
+    * counters only after the async bus drained, or the last stage's task
+    * metrics land in the NEXT query's bucket. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
