@@ -131,6 +131,39 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("one store, two indexes: bloom point lookups AND zone range scans share the admissions") {
+    // the shared-protocol payoff: both faces key off the same data-store
+    // idempotency id, so the SECOND indexer's data append no-ops while its
+    // stats still ride the (still-live) delta — one admitted batch feeds a
+    // point-lookup index and a range index with no extra data writes
+    val base = tmp()
+    try {
+      val (dataDir, bStats, zStats) = (s"$base/data", s"$base/bstats", s"$base/zstats")
+      def admitBoth(df: org.apache.spark.sql.DataFrame, id: String): Unit = {
+        BloomIndex.admitIndexed(df, dataDir, bStats, "l_orderkey", id): Unit
+        ZoneMaps.admitIndexed(df, dataDir, zStats, Seq("l_shipdate"), id): Unit
+      }
+      admitBoth(shaped(0), "h0")
+      admitBoth(shaped(1), "h1")
+      // data admitted exactly once per id (the second indexer re-used it)
+      assert(Store.read(spark, dataDir).count() == li.count())
+      // maintenance: order-preserving for the range face; heal both
+      Store.compact(spark, dataDir, numFiles = 8, clusterBy = Seq("l_shipdate"))
+      BloomIndex.maintainIndex(spark, dataDir, bStats, "l_orderkey")
+      ZoneMaps.maintainIndex(spark, dataDir, zStats, Seq("l_shipdate"))
+      // range face prunes and is exact
+      val (n, (readZ, totalZ)) = served(dataDir, zStats)
+      assert(n == expectedCount && readZ < totalZ)
+      // bloom face correct on the SAME store (l_shipdate clustering gives
+      // the point key no locality — pruning is not asserted, exactness is)
+      val key = li.agg(max($"l_orderkey")).as[Long].head()
+      val (dfB, (readB, totalB)) = BloomIndex.lookupIndexed(spark, dataDir,
+        bStats, "l_orderkey", lit(key))
+      assert(readB <= totalB)
+      assert(dfB.count() == li.filter($"l_orderkey" === key).count())
+    } finally sweep(base)
+  }
+
   test("wrong tracked column surfaces instead of silently disabling pruning") {
     val base = tmp()
     try {
