@@ -237,10 +237,12 @@ object Store {
     if (img.exists() && live.exists()) { sweepUnwitnessed(img); rm(img) }
   }
 
-  /** Rewrite the store into `numFiles` flat files (through `rewrite`,
-    * identity by default — the anomaly store passes its sum-merge), then
-    * promote with the rename-aside swap and sweep any orphaned
-    * `.inprogress-*` staging dirs.
+  /** Rewrite the store into at most `numFiles` flat files (through
+    * `rewrite`, identity by default — the anomaly store passes its
+    * sum-merge; the fold is a shuffle-free coalesce bin-pack unless
+    * `clusterBy` asks for re-clustering), then promote with the
+    * rename-aside swap and sweep any orphaned `.inprogress-*` staging
+    * dirs.
     *
     * Writer discipline: compaction is issued by ONE coordinator, but a
     * delta APPEND racing the rewrite is tolerated — membership in the
@@ -475,11 +477,20 @@ object Store {
     val tmp = dir + ".compact"
     val shaped = rewrite(image)
     val out =
-      if (clusterBy.isEmpty) shaped.repartition(numFiles)
+      // bin-pack, don't shuffle: folding small files into big ones needs a
+      // read + write, never a network redistribution — coalesce concatenates
+      // input partitions into numFiles write tasks with zero shuffle (the
+      // Delta-OPTIMIZE shape), where a repartition would move the ENTIRE
+      // store through an exchange every maintenance pass. Cost: the file
+      // count is "at most numFiles" (coalesce cannot split partitions) and
+      // task balance follows input file sizes — both fine for a file-count
+      // economics knob sized from bytes.
+      if (clusterBy.isEmpty) shaped.coalesce(numFiles)
       else {
         // order-preserving rewrite: range slices + in-file sort, so the
         // compacted files keep narrow key ranges and zone-map/footer
-        // pruning survives the maintenance cycle
+        // pruning survives the maintenance cycle — here the shuffle IS the
+        // product (the re-clustering), priced once per maintenance epoch
         val cols = clusterBy.map(org.apache.spark.sql.functions.col)
         shaped.repartitionByRange(numFiles, cols: _*)
           .sortWithinPartitions(cols: _*)

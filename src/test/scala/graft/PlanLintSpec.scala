@@ -235,7 +235,9 @@ class PlanLintSpec extends AnyFunSuite {
     "sim_ivf_served_sq8", "text_bpe_encode", "dedup_clusters",
     "dedup_ngram_jaccard", "text_bpe_vocab", "q79_zonemap_scan",
     "text_lm_score", "q50_recursive_bom", "prep_corpus", "dedup_fuzzy",
-    "dedup_chunks", "prep_outliers", "q30_stats_moments")
+    "dedup_chunks", "prep_outliers", "q30_stats_moments",
+    "q83_bloom_indexed_store", "q84_zone_indexed_store",
+    "q85_join_file_pruning", "q86_bloom_lookup_batch")
 
   test("AQE-ON: final adaptive plans of the heaviest queries — every internal execution included — satisfy the same contract") {
     // The static pass above judges what the optimizer committed to with

@@ -66,11 +66,18 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
-  test("negative: round-robin compact destroys locality — healed index prunes ~nothing (still exact)") {
+  test("negative: without clusterBy an unshaped store stays unprunable after compact+heal (still exact)") {
+    // the hazard clusterBy exists for: data whose files straddle the key
+    // range prunes nothing, and a plain compact (now a locality-AGNOSTIC
+    // coalesce bin-pack) makes no promise of fixing that — only the
+    // order-preserving rewrite does
     val base = tmp()
     try {
       val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
-      ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir,
+      val unshaped = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0)
+        .repartition(8) // round-robin: every file spans the full date range
+      ZoneMaps.admitIndexed(unshaped, dataDir, statsDir,
         Seq("l_shipdate"), "h0"): Unit
       Store.compact(spark, dataDir, numFiles = 8) // clusterBy = Nil
       ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("l_shipdate"))
@@ -78,7 +85,7 @@ class ZoneMapStoreSpec extends AnyFunSuite {
       assert(n == li.filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
         .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0).count())
       assert(read >= total - 1,
-        s"round-robin files straddle the whole range — expected ~no pruning, got $read/$total")
+        s"unshaped files straddle the whole range — expected ~no pruning, got $read/$total")
     } finally sweep(base)
   }
 
