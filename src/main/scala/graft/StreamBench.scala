@@ -176,6 +176,21 @@ object StreamBench {
           .start()))
     sweep(blBase)
 
+    // 7. zone-mapped store admission (events rows: data + per-file min/max
+    // ranges — the range-scan index's streaming face, round 11)
+    val zmBase = tempStore()
+    results("zone_index_admission") = (events.size, 10000,
+      drive[(Long, java.sql.Timestamp, Long, String)](
+        events, batchSize = 10000,
+        in => graft.sources.ZoneMaps
+          .streamingAdmission(
+            in.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+            s"$zmBase/data", s"$zmBase/stats", Seq("ts"))
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_sb_ck6_").toString)
+          .start()))
+    sweep(zmBase)
+
     def fmt(f: ((Int, Int, Seq[Double])) => String): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // steady-state rate excludes the first (codegen-paying) batch when
