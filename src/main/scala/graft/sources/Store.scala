@@ -263,21 +263,28 @@ object Store {
     *
     * `clusterBy` makes the rewrite ORDER-PRESERVING: non-empty, the image
     * is range-partitioned and sorted on those columns (the
-    * [[Layout.writeClustered]] shape) instead of round-robin
-    * `repartition`d — so a store serving RANGE scans (zone-mapped
-    * postings, time-sliced events) keeps its key-to-file locality across
-    * maintenance cycles instead of losing file skipping at the first
-    * compaction. Empty (the default) keeps the cheap shuffle for stores
-    * whose reads are full scans or bloom-indexed point lookups (the bloom
-    * face is layout-independent by design). */
+    * [[Layout.writeClustered]] shape) instead of bin-packed — so a store
+    * serving RANGE scans (zone-mapped postings, time-sliced events) keeps
+    * its key-to-file locality across maintenance cycles instead of losing
+    * file skipping at the first compaction. Empty (the default) keeps the
+    * shuffle-free fold for stores whose reads are full scans or
+    * bloom-indexed point lookups (the bloom face is layout-independent by
+    * design). `zOrder = true` (needs >= 2 clusterBy columns) clusters on
+    * the interleaved Morton value instead of lexicographically, so EVERY
+    * clustered dimension keeps narrow per-file ranges — a linear sort
+    * serves only its leading column (Delta's OPTIMIZE ZORDER, as a
+    * maintenance rewrite; [[Layout.zValue]]). A column with no non-null
+    * values cannot be bucketed: z-order falls back to the lexicographic
+    * rewrite (logged) rather than failing maintenance. */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
       rewrite: DataFrame => DataFrame = identity,
-      clusterBy: Seq[String] = Nil): Unit =
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit =
     withCompactionLease(dir) {
       // recover BEFORE the image read so deltas stranded by a crashed prior
       // swap are folded into this rewrite rather than re-salvaged
       recoverStale(dir)
-      compactImage(spark, dir, read(spark, dir), numFiles, rewrite, clusterBy)
+      compactImage(spark, dir, read(spark, dir), numFiles, rewrite,
+        clusterBy, zOrder)
     }
 
   /** [[compact]] with the file count derived from a target file SIZE —
@@ -291,7 +298,7 @@ object Store {
     * precision. Returns the derived count. */
   def compactToFileSize(spark: SparkSession, dir: String, targetBytes: Long,
       rewrite: DataFrame => DataFrame = identity,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Int = {
     require(targetBytes > 0)
     def bytes(f: File): Long = {
       val kids = f.listFiles()
@@ -305,7 +312,7 @@ object Store {
     }
     val total = bytes(new File(dir))
     val numFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    compact(spark, dir, numFiles, rewrite, clusterBy)
+    compact(spark, dir, numFiles, rewrite, clusterBy, zOrder)
     numFiles
   }
 
@@ -454,7 +461,9 @@ object Store {
   private[graft] def compactImage(spark: SparkSession, dir: String,
       image: DataFrame, numFiles: Int,
       rewrite: DataFrame => DataFrame,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit = {
+    require(!zOrder || clusterBy.size >= 2,
+      "zOrder clustering needs at least 2 clusterBy columns")
     require(numFiles > 0)
     // no-op unless a prior swap crashed; direct compactImage callers (the
     // race specs) get the same stranded-delta recovery as compact()
@@ -491,9 +500,39 @@ object Store {
         // compacted files keep narrow key ranges and zone-map/footer
         // pruning survives the maintenance cycle — here the shuffle IS the
         // product (the re-clustering), priced once per maintenance epoch
-        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
-        shaped.repartitionByRange(numFiles, cols: _*)
-          .sortWithinPartitions(cols: _*)
+        import org.apache.spark.sql.functions.{col, min, max}
+        val zRanges: Option[Seq[(org.apache.spark.sql.Column, Double, Double)]] =
+          if (!zOrder) None
+          else {
+            // one tiny agg for the bucket ranges (2k doubles to the driver
+            // — the same bound as Layout.writeZOrdered's stats pass)
+            val stats = shaped.select(clusterBy.flatMap(c =>
+              Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
+              .collect().head
+            val rs = clusterBy.zipWithIndex.map { case (c, i) =>
+              if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) None
+              else Some((col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+            }
+            if (rs.forall(_.isDefined)) Some(rs.map(_.get))
+            else {
+              log.warn(s"zOrder compaction of $dir: a clusterBy column has " +
+                "no non-null values to bucket; falling back to the " +
+                "lexicographic clustered rewrite")
+              None
+            }
+          }
+        zRanges match {
+          case Some(ranges) =>
+            val zc = s"__z_${UUID.randomUUID().toString.take(8)}"
+            shaped.withColumn(zc, Layout.zValue(ranges))
+              .repartitionByRange(numFiles, col(zc))
+              .sortWithinPartitions(col(zc))
+              .drop(zc)
+          case None =>
+            val cols = clusterBy.map(col)
+            shaped.repartitionByRange(numFiles, cols: _*)
+              .sortWithinPartitions(cols: _*)
+        }
       }
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     // markers ride INSIDE the compacted image so they become visible in the
@@ -531,7 +570,7 @@ object Store {
     * bytes (the local default suits index-sized stores). */
   def maintain(spark: SparkSession, dir: String, every: Int = 16,
       numFiles: Int = 8, rewrite: DataFrame => DataFrame = identity,
-      clusterBy: Seq[String] = Nil): Unit =
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit =
     if (every > 0 && deltaCount(dir) >= every)
-      compact(spark, dir, numFiles, rewrite, clusterBy)
+      compact(spark, dir, numFiles, rewrite, clusterBy, zOrder)
 }

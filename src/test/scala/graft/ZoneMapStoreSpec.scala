@@ -171,6 +171,57 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("z-order maintenance: BOTH dimensions prune after compact+heal; linear sort serves only its leading column") {
+    // Delta's OPTIMIZE ZORDER as a store maintenance rewrite: after a
+    // zOrder compact on (l_partkey, l_suppkey), a range probe on EITHER
+    // column alone must skip files — the property a lexicographic sort
+    // gives only its leading column (pinned as the negative)
+    val zBase = tmp(); val linBase = tmp()
+    try {
+      val pk = li.agg(max($"l_partkey")).as[Long].head()
+      val sk = li.agg(max($"l_suppkey")).as[Long].head()
+      val skPreds = Seq(("l_suppkey", lit(0L).cast("long"), lit(sk / 8).cast("long")))
+      val pkPreds = Seq(("l_partkey", lit(0L).cast("long"), lit(pk / 8).cast("long")))
+      def build(base: java.nio.file.Path, zOrder: Boolean): (String, String) = {
+        val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+        ZoneMaps.admitIndexed(li.repartition(8), dataDir, statsDir,
+          Seq("l_partkey", "l_suppkey"), "h0"): Unit
+        Store.compact(spark, dataDir, numFiles = 16,
+          clusterBy = Seq("l_partkey", "l_suppkey"), zOrder = zOrder)
+        ZoneMaps.maintainIndex(spark, dataDir, statsDir,
+          Seq("l_partkey", "l_suppkey"))
+        (dataDir, statsDir)
+      }
+      val (zData, zStats) = build(zBase, zOrder = true)
+      val (linData, linStats) = build(linBase, zOrder = false)
+      def probe(data: String, stats: String,
+          preds: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)]) = {
+        val (df, (read, total)) = ZoneMaps.lookupRangeIndexed(spark, data, stats, preds)
+        (df.count(), read, total)
+      }
+      // exactness everywhere first
+      val wantSk = li.filter($"l_suppkey" >= 0 && $"l_suppkey" < sk / 8).count()
+      val wantPk = li.filter($"l_partkey" >= 0 && $"l_partkey" < pk / 8).count()
+      val (nZs, readZs, totalZs) = probe(zData, zStats, skPreds)
+      val (nZp, readZp, totalZp) = probe(zData, zStats, pkPreds)
+      val (nLs, readLs, totalLs) = probe(linData, linStats, skPreds)
+      val (nLp, readLp, _) = probe(linData, linStats, pkPreds)
+      assert(nZs == wantSk && nLs == wantSk && nZp == wantPk && nLp == wantPk)
+      // z-order: BOTH single-dim probes prune
+      assert(readZp < totalZp, s"z leading dim must prune: $readZp/$totalZp")
+      assert(readZs < totalZs, s"z TRAILING dim must prune: $readZs/$totalZs")
+      // linear: leading prunes, trailing reads (almost) everything
+      assert(readLp < totalLs)
+      assert(readLs >= totalLs - 1,
+        s"lexicographic sort cannot prune its trailing column: $readLs/$totalLs")
+      // and the 2-D box on the z store composes multiplicatively-ish
+      val (nBox, readBox, totalBox) = probe(zData, zStats, pkPreds ++ skPreds)
+      assert(nBox == li.filter($"l_partkey" >= 0 && $"l_partkey" < pk / 8 &&
+        $"l_suppkey" >= 0 && $"l_suppkey" < sk / 8).count())
+      assert(readBox <= math.min(readZp, readZs) && readBox < totalBox)
+    } finally { sweep(zBase); sweep(linBase) }
+  }
+
   test("wrong tracked column surfaces instead of silently disabling pruning") {
     val base = tmp()
     try {
