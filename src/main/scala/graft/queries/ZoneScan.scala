@@ -193,6 +193,54 @@ object ZoneScan {
     }
   }
 
+  /** COUNT pushdown to metadata ([[graft.sources.ZoneMaps.countRangeIndexed]])
+    * — the aggregate that never reads the interior: over the same zone-
+    * indexed store as q84 (admit -> order-preserving compact -> heal),
+    * "how many lines shipped in Q1/H1 1997" is answered from per-file
+    * `n_rows - nulls` for every fully-contained file, scanning only the
+    * boundary-straddling files. The oracle recomputes both counts from
+    * the raw table — the metadata/scan split must be result-invisible;
+    * how FEW files are scanned is pinned in ZoneMapStoreSpec. */
+  def q87ZoneCountPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zonecount_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      def shaped(half: Int) = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
+        .repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+      Phases.time("admit") {
+        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, Seq("l_shipdate"), "h0"): Unit
+        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
+      }
+      Phases.time("build") {
+        graft.sources.Store.compact(spark, dataDir, numFiles = 8,
+          clusterBy = Seq("l_shipdate"))
+        ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("l_shipdate"))
+      }
+      Phases.time("serve") {
+        def cnt(hi: String): Long = ZoneMaps.countRangeIndexed(spark, dataDir,
+          statsDir, Seq(("l_shipdate", lit("1997-01-01").cast("timestamp"),
+            lit(hi).cast("timestamp"))))._1
+        Seq((cnt("1997-04-01"), cnt("1997-07-01"))).toDF("n_q1", "n_h1")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q87Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-04-01') AS n_q1,
+      |  (SELECT count(*) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-07-01') AS n_h1""".stripMargin
+
   /** Join-driven file pruning ([[graft.sources.BloomIndex.prunedJoinScan]])
     * — the star-join completion of the skipping family: q32 prunes row
     * groups WITHIN a scan from a runtime bloom, q82 prunes files for a
@@ -306,7 +354,8 @@ object ZoneScan {
     "q83_bloom_indexed_store" -> (q83BloomIndexedStore _),
     "q84_zone_indexed_store" -> (q84ZoneIndexedStore _),
     "q85_join_file_pruning" -> (q85JoinFilePruning _),
-    "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _))
+    "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _),
+    "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
@@ -314,5 +363,6 @@ object ZoneScan {
     "q83_bloom_indexed_store" -> q82Sql,
     "q84_zone_indexed_store" -> q79Sql,
     "q85_join_file_pruning" -> q85Sql,
-    "q86_bloom_lookup_batch" -> q86Sql)
+    "q86_bloom_lookup_batch" -> q86Sql,
+    "q87_zone_count_pushdown" -> q87Sql)
 }

@@ -119,8 +119,14 @@ object ZoneMaps {
 
   private def statsFor(dataFiles: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "track at least one column")
+    // nnull_c rides along for [[countRangeIndexed]]'s metadata fast path:
+    // a fully-contained file contributes n_rows - nnull_c without being
+    // read (min/max ignore nulls, so n_rows alone would overcount). Stats
+    // written before this column existed read as NULL through mergeSchema
+    // — the fast path treats unknown as "scan the file", never guesses.
     val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nnull_$c")))
     dataFiles
       .select(col("_metadata.file_path").as("raw") +: cols.map(col): _*)
       .groupBy(col("raw"))
@@ -129,7 +135,7 @@ object ZoneMaps {
       // canonical form is what set-compares against DataFrame.inputFiles
       .select(BloomIndex.canonPathUdf(col("raw")).as("file") +:
         (col("n_rows") +: cols.flatMap(c =>
-          Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+          Seq(col(s"min_$c"), col(s"max_$c"), col(s"nnull_$c")))): _*)
   }
 
   /** Admit `df` into the data Store AND its per-file ranges into the
@@ -207,6 +213,82 @@ object ZoneMaps {
       else spark.read.option("mergeSchema", "true")
         .parquet(files: _*).filter(pred)
     (df, (files.length, live.size))
+  }
+
+  /** COUNT(*) over a range conjunction, answered from METADATA wherever
+    * possible: a covered file whose tracked ranges lie FULLY inside every
+    * conjunct contributes `n_rows - nulls` without being read (nulls are
+    * outside any range but inside n_rows — single-conjunct probes
+    * subtract the tracked column's null count; multi-conjunct fast-paths
+    * only null-free files, since per-column null counts cannot bound
+    * rows-with-any-null); only BOUNDARY-straddling files (plus uncovered
+    * live files and files whose stats predate the null-count column) are
+    * scanned. The aggregate-pushdown-to-metadata idea: "how many events
+    * in Q1" on a time-clustered store reads ~2 boundary files however
+    * large the interior is. Returns (count, (filesScanned, filesTotal)).
+    * Decision pass is ONE distributed job over the stats x live join;
+    * duplicate stats rows (heal racing an admit) are dropped before the
+    * sum — zone stats for a file are deterministic, so any copy is
+    * correct. */
+  def countRangeIndexed(spark: SparkSession, dataDir: String,
+      statsDir: String, preds: Seq[(String, Column, Column)])
+      : (Long, (Int, Int)) = {
+    import spark.implicits._
+    require(preds.nonEmpty, "at least one range conjunct")
+    val data = Store.read(spark, dataDir)
+    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
+      .reduce(_ && _)
+    def scanCount(files: Seq[String]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .filter(pred).count()
+    if (!Store.hasData(statsDir))
+      return (scanCount(live.toSeq.sorted), (live.size, live.size))
+    val intersects = preds
+      .map { case (c, lo, hi) =>
+        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+      }
+      .reduce(_ && _)
+    val containedBounds = preds
+      .map { case (c, lo, hi) =>
+        col(s"min_$c").isNotNull && col(s"min_$c") >= lo &&
+          col(s"max_$c").isNotNull && col(s"max_$c") < hi
+      }
+      .reduce(_ && _)
+    val (contained, contribution) =
+      if (preds.size == 1) {
+        val c = preds.head._1
+        (containedBounds && col(s"nnull_$c").isNotNull,
+          col("n_rows") - col(s"nnull_$c"))
+      } else {
+        val nullFree = preds
+          .map { case (c, _, _) => col(s"nnull_$c") === 0L }
+          .reduce(_ && _)
+        (containedBounds && nullFree, col("n_rows").cast("long"))
+      }
+    // a file ALL of whose values are null in some tracked conjunct column
+    // (nnull == n_rows) provably matches no row: zero contribution, no
+    // scan — without this, an all-null slice has NULL min/max bounds and
+    // would be scanned forever by the conservative intersects test
+    val provablyEmpty = preds
+      .map { case (c, _, _) =>
+        col(s"nnull_$c").isNotNull && col(s"nnull_$c") === col("n_rows")
+      }
+      .reduce(_ || _)
+    val liveDf = live.toSeq.toDF("file")
+    val row = liveDf
+      .join(Store.read(spark, statsDir), Seq("file"), "left_outer")
+      .dropDuplicates("file")
+      .agg(
+        sum(when(contained && !provablyEmpty, contribution)).as("meta"),
+        collect_list(when(intersects && !contained && !provablyEmpty,
+          col("file"))).as("scan"))
+      .head()
+    val meta = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val scanFiles = row.getSeq[String](1).sorted
+    (meta + scanCount(scanFiles), (scanFiles.length, live.size))
   }
 
   /** Streaming face: the SAME admission as [[admitIndexed]], as a

@@ -66,6 +66,12 @@ class IndexFuzzSpec extends AnyFunSuite {
       assert(got.select($"id", $"k", $"v").as[(Long, Long, Long)]
         .collect().toSeq.sorted == want.toSeq,
         s"seed=$seed range lookup [$lo,$hi) wrong (read $read/$total)")
+      // the metadata count must agree with the materialized rows in every
+      // reachable coverage state (contained/straddling/uncovered/stale)
+      val (cnt, _) = ZoneMaps.countRangeIndexed(spark, dataDir, zStats,
+        Seq(("v", lit(lo), lit(hi))))
+      assert(cnt == want.size,
+        s"seed=$seed count pushdown [$lo,$hi) = $cnt, want ${want.size}")
     }
     def checkBatch(): Unit = {
       val ks = (0 until 1 + rnd.nextInt(4)).map(_ =>

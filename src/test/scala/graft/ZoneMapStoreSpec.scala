@@ -222,6 +222,49 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally { sweep(zBase); sweep(linBase) }
   }
 
+  test("count pushdown: interior files counted from metadata, only boundary files scanned, nulls exact") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      // synthetic rows with NULLs in the tracked column: v in [0,1000) on
+      // 10% of rows replaced by null — n_rows alone would overcount any
+      // fully-contained file
+      val rows = spark.range(0, 20000).select($"id",
+        when(pmod($"id", lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(pmod($"id" * 2654435761L, lit(1000))).as("v"))
+      ZoneMaps.admitIndexed(
+        rows.repartitionByRange(10, $"v").sortWithinPartitions($"v"),
+        dataDir, statsDir, Seq("v"), "h0"): Unit
+      val want = rows.filter($"v" >= 100 && $"v" < 900).count()
+      val (n, (scanned, total)) = ZoneMaps.countRangeIndexed(spark, dataDir,
+        statsDir, Seq(("v", lit(100L), lit(900L))))
+      assert(n == want, s"metadata+scan count must be exact: $n vs $want")
+      assert(scanned <= 3 && total >= 10,
+        s"interior must come from metadata, only boundaries scanned: $scanned/$total")
+      // whole-domain probe: everything fully contained, ZERO files read,
+      // and the null rows must not be counted
+      val (nAll, (scanAll, _)) = ZoneMaps.countRangeIndexed(spark, dataDir,
+        statsDir, Seq(("v", lit(-1L), lit(100000L))))
+      assert(nAll == rows.filter($"v".isNotNull).count() && scanAll == 0,
+        s"full containment needs no scan and excludes nulls: $nAll, $scanAll files")
+      // uncovered crash-window delta: counted by scanning, still exact
+      val raw = rows.filter($"id" < 500)
+      Store.appendIdempotent(raw, dataDir, "raw"): Unit
+      val (n2, (scanned2, _)) = ZoneMaps.countRangeIndexed(spark, dataDir,
+        statsDir, Seq(("v", lit(100L), lit(900L))))
+      assert(n2 == want + raw.filter($"v" >= 100 && $"v" < 900).count())
+      assert(scanned2 > scanned, "uncovered files must be scanned")
+      // multi-conjunct: null-bearing files fall back to scanning (per-col
+      // null counts cannot bound rows-with-any-null), result still exact
+      val wantBox = rows.filter($"v" >= 100 && $"v" < 900 &&
+        $"id" >= 0 && $"id" < 20000).count()
+      ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("v", "id"))
+      val (nBox, _) = ZoneMaps.countRangeIndexed(spark, dataDir, statsDir,
+        Seq(("v", lit(100L), lit(900L)), ("id", lit(0L), lit(20000L))))
+      assert(nBox == wantBox + raw.filter($"v" >= 100 && $"v" < 900).count())
+    } finally sweep(base)
+  }
+
   test("wrong tracked column surfaces instead of silently disabling pruning") {
     val base = tmp()
     try {
