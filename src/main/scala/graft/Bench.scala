@@ -251,7 +251,8 @@ object Bench {
       "events_bitmap_incremental", "events_bitmap_window",
       "text_bm25_search", "text_search_index", "text_phrase_search",
       "q83_bloom_indexed_store", "q84_zone_indexed_store",
-      "q85_join_file_pruning", "q86_bloom_lookup_batch")
+      "q85_join_file_pruning", "q86_bloom_lookup_batch",
+      "q87_zone_count_pushdown")
     val phases: Seq[(String, Map[String, Double])] =
       (if (args.nonEmpty) Nil
        else phasedNames.flatMap(n => SparkEntry.queries.get(n).map(n -> _)))

@@ -237,7 +237,8 @@ class PlanLintSpec extends AnyFunSuite {
     "text_lm_score", "q50_recursive_bom", "prep_corpus", "dedup_fuzzy",
     "dedup_chunks", "prep_outliers", "q30_stats_moments",
     "q83_bloom_indexed_store", "q84_zone_indexed_store",
-    "q85_join_file_pruning", "q86_bloom_lookup_batch")
+    "q85_join_file_pruning", "q86_bloom_lookup_batch",
+    "q87_zone_count_pushdown")
 
   test("AQE-ON: final adaptive plans of the heaviest queries — every internal execution included — satisfy the same contract") {
     // The static pass above judges what the optimizer committed to with
