@@ -368,6 +368,23 @@ object BloomIndex {
           expectedPerFile, fpp): Unit
       }
 
+  /** Admit-count-triggered maintenance for a bloom-indexed Store — the
+    * [[Store.maintain]] one-call-per-admit story, index included: once
+    * `every` deltas have committed, compact the data store (bin-pack by
+    * default; the bloom face is layout-independent, so pass `clusterBy`
+    * only when the SAME store also serves range scans) and immediately
+    * heal the index, so the uncovered window after a compaction lasts one
+    * heal instead of waiting for an operator. Call after each
+    * [[admitIndexed]]. */
+  def maintainIndexed(spark: SparkSession, dataDir: String, statsDir: String,
+      keyCol: String, every: Int = 16, numFiles: Int = 8,
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false,
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit =
+    if (every > 0 && Store.deltaCount(dataDir) >= every) {
+      Store.compact(spark, dataDir, numFiles, identity, clusterBy, zOrder)
+      maintainIndex(spark, dataDir, statsDir, keyCol, expectedPerFile, fpp)
+    }
+
   /** Heal the index: build blooms for live-but-uncovered data files (one
     * pass over just those files) and compact the stats store down to rows
     * whose file still exists. Run after [[Store.compact]] on the data

@@ -303,6 +303,23 @@ object ZoneMaps {
         admitIndexed(batch, dataDir, statsDir, cols, s"zm$batchId"): Unit
       }
 
+  /** Admit-count-triggered maintenance for a zone-mapped Store: once
+    * `every` deltas have committed, compact the data store — ORDER-
+    * PRESERVING on the tracked columns BY DEFAULT (`clusterBy = cols`),
+    * because a range-serving store that bin-packs loses its pruning —
+    * then heal the index immediately. Call after each [[admitIndexed]];
+    * pass `zOrder = true` when 2+ tracked dimensions should all keep
+    * narrow per-file ranges. */
+  def maintainIndexed(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String], every: Int = 16, numFiles: Int = 8,
+      clusterBy: Option[Seq[String]] = None, // None → cols; Some(Nil) → bin-pack
+      zOrder: Boolean = false): Unit =
+    if (every > 0 && Store.deltaCount(dataDir) >= every) {
+      Store.compact(spark, dataDir, numFiles, identity,
+        clusterBy.getOrElse(cols), zOrder)
+      maintainIndex(spark, dataDir, statsDir, cols)
+    }
+
   /** Heal the index: build ranges for live-but-uncovered data files (one
     * pass over just those files) and compact the stats store down to rows
     * whose file still exists. Run after [[Store.compact]] on the data

@@ -265,6 +265,41 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("maintainIndexed: admit-count trigger compacts order-preserving BY DEFAULT and heals in the same call") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val slices = li.randomSplit(Array.fill(4)(1.0), seed = 7)
+      slices.zipWithIndex.foreach { case (s, i) =>
+        ZoneMaps.admitIndexed(
+          s.repartitionByRange(2, $"l_shipdate").sortWithinPartitions($"l_shipdate"),
+          dataDir, statsDir, Seq("l_shipdate"), s"b$i"): Unit
+        ZoneMaps.maintainIndexed(spark, dataDir, statsDir, Seq("l_shipdate"),
+          every = 4, numFiles = 8)
+      }
+      // the 4th admit crossed the threshold: deltas folded, index healed
+      assert(Store.deltaCount(dataDir) == 0, "trigger must have compacted")
+      val covered = Store.read(spark, statsDir)
+        .select($"file").as[String].collect().toSet
+      assert(covered == Store.read(spark, dataDir).inputFiles
+        .map(BloomIndex.canonPath).toSet, "heal must ride the same call")
+      // and because the default clusterBy = tracked cols, pruning SURVIVED
+      val (n, (read, total)) = served(dataDir, statsDir)
+      assert(n == expectedCount && read < total,
+        s"default order-preserving maintenance must keep pruning: $read/$total")
+      // bloom sibling: same trigger, same heal
+      val (bData, bStats) = (s"$base/bdata", s"$base/bstats")
+      (0 until 2).foreach { i =>
+        BloomIndex.admitIndexed(slices(i), bData, bStats, "l_orderkey", s"b$i"): Unit
+        BloomIndex.maintainIndexed(spark, bData, bStats, "l_orderkey",
+          every = 2, numFiles = 4)
+      }
+      assert(Store.deltaCount(bData) == 0)
+      assert(Store.read(spark, bStats).select($"file").as[String].collect().toSet ==
+        Store.read(spark, bData).inputFiles.map(BloomIndex.canonPath).toSet)
+    } finally sweep(base)
+  }
+
   test("wrong tracked column surfaces instead of silently disabling pruning") {
     val base = tmp()
     try {
