@@ -18,14 +18,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * were never actually admitted. The fix is the smallest possible commit
   * protocol, the same rename-aside idea as [[Layout.compact]]'s swap:
   *
-  *  1. STAGE — write the whole batch to a HIDDEN sibling directory inside
-  *     the store (`.inprogress-<uuid>/`). Spark's file listing filters
-  *     dot-prefixed paths, so a reader never sees a staged batch, complete
-  *     or not.
-  *  2. COMMIT — one atomic directory rename to `delta-<uuid>/`. POSIX
-  *     rename within a parent is atomic: the batch becomes visible in its
-  *     entirety or not at all. A crash before the rename leaves only an
-  *     invisible orphan, cleaned up by the next [[compact]].
+  *  1. STAGE — write the whole batch OUTSIDE the store, to
+  *     `<dir>.staging/<id>/`. Outside is load-bearing, not cosmetic: a
+  *     hidden dir INSIDE the store travels with the compaction swap's
+  *     aside-rename, and a Spark write in flight across that rename gets
+  *     TORN — its already-committed task outputs move (and die with the
+  *     old copy) while later tasks path-recreate the staging dir in the
+  *     new live store, so the job commit merges only the survivors,
+  *     stamps _SUCCESS, and the append "succeeds" having silently lost
+  *     rows (found by the cross-JVM contest, reproduced deterministically
+  *     in StoreTornStageRepro). A sibling directory is touched by no
+  *     rename, so an in-flight write can never be split.
+  *  2. COMMIT — one atomic directory rename to `delta-<uuid>/` inside the
+  *     store. POSIX rename on one filesystem is atomic: the batch becomes
+  *     visible in its entirety or not at all. A crash before the rename
+  *     leaves only an orphan in the staging sibling, swept once stale by
+  *     the next [[compact]]; a commit racing the swap's two renames fails
+  *     cleanly (the store dir is briefly absent — rename(2) creates no
+  *     parents) and the caller retries.
   *
   * Reads go through [[read]] (`recursiveFileLookup`), which sees the flat
   * base files plus every COMMITTED delta directory and nothing else.
@@ -91,13 +101,23 @@ object Store {
       .option("mergeSchema", "true")
       .parquet(dir)
 
-  /** Stage a batch into a hidden in-progress directory — invisible to
-    * [[read]] until [[commitStaged]] renames it. Split from [[append]] so
-    * the crash-safety spec can stop between the two steps. */
+  /** The staging sibling: in-flight batch writes for `dir` live here, NOT
+    * inside the store (see the header's torn-write rationale). */
+  private[graft] def stagingDir(dir: String): File = new File(dir + ".staging")
+
+  /** Stage a batch into the staging sibling — invisible to [[read]] (it is
+    * outside the store entirely) until [[commitStaged]] renames it in.
+    * Split from [[append]] so the crash-safety spec can stop between the
+    * two steps. The store dir itself is created here (bootstrap for the
+    * commit rename — which deliberately creates nothing). */
   private[graft] def stage(df: DataFrame, dir: String): (File, File) = {
-    val id = UUID.randomUUID().toString
-    val tmp = new File(dir, s".inprogress-$id")
+    stageAs(df, dir, UUID.randomUUID().toString)
+  }
+
+  private def stageAs(df: DataFrame, dir: String, id: String): (File, File) = {
+    val tmp = new File(stagingDir(dir), id)
     val fin = new File(dir, s"delta-$id")
+    new File(dir).mkdirs(): Unit
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     ProtocolPoints.pause("store.staged")
     (tmp, fin)
@@ -137,8 +157,7 @@ object Store {
     if (fin.exists() || marker.exists()) false
     else {
       ProtocolPoints.pause("store.id-checked")
-      val tmp = new File(dir, s".inprogress-$id")
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val (tmp, _) = stageAs(df, dir, id)
       commitStaged(tmp, fin)
       // marker creation is post-commit: a crash between the two leaves the
       // delta dir itself as the admission witness
@@ -241,8 +260,7 @@ object Store {
     * `rewrite`, identity by default — the anomaly store passes its
     * sum-merge; the fold is a shuffle-free coalesce bin-pack unless
     * `clusterBy` asks for re-clustering), then promote with the
-    * rename-aside swap and sweep any orphaned `.inprogress-*` staging
-    * dirs.
+    * rename-aside swap; stale staging-sibling orphans are swept first.
     *
     * Writer discipline: compaction is issued by ONE coordinator, but a
     * delta APPEND racing the rewrite is tolerated — membership in the
@@ -283,9 +301,29 @@ object Store {
       // recover BEFORE the image read so deltas stranded by a crashed prior
       // swap are folded into this rewrite rather than re-salvaged
       recoverStale(dir)
+      sweepStaleStaging(dir)
       compactImage(spark, dir, read(spark, dir), numFiles, rewrite,
         clusterBy, zOrder)
     }
+
+  /** Drop staging-sibling entries abandoned by crashed appends. Liveness
+    * is judged by the NEWEST mtime anywhere under the entry (an active
+    * Spark write keeps touching its task paths); an entry quiet for
+    * `staleMs` is dead. The window is deliberately lease-scale: sweeping
+    * a pathologically slow LIVE stage is safe — its commit rename finds
+    * no source, fails cleanly, and the writer retries — just wasteful. */
+  private[graft] def sweepStaleStaging(dir: String,
+      staleMs: Long = 10 * 60 * 1000L): Unit = {
+    def newest(f: File): Long = {
+      val kids = f.listFiles()
+      if (kids == null) f.lastModified()
+      else (f.lastModified() +: kids.map(newest)).max
+    }
+    val entries = stagingDir(dir).listFiles()
+    if (entries != null) entries
+      .filter(e => System.currentTimeMillis() - newest(e) > staleMs)
+      .foreach(rm)
+  }
 
   /** [[compact]] with the file count derived from a target file SIZE —
     * the Store-side sibling of [[Layout.compactToFileSize]], summing
@@ -555,11 +593,10 @@ object Store {
           }
       })
     }
-    // no post-promote .inprogress sweep: a crash-orphaned staging dir is
-    // swept WITH the old copy by the swap itself, and the only .inprogress
-    // that could appear in the NEW live dir belongs to a LIVE racing append
-    // — deleting it mid-write could commit a half-admitted delta, exactly
-    // the torn state the stage-then-rename protocol exists to prevent
+    // staging lives in the sibling dir the swap never touches: in-flight
+    // writes are structurally out of the renames' reach (the torn-write
+    // class StoreTornStageRepro pins), and crashed orphans are swept by
+    // sweepStaleStaging once quiet for a lease interval
   }
 
   /** Admit-count-triggered maintenance: compact once `every` deltas have

@@ -52,27 +52,37 @@ class StoreCrashSpec extends AnyFunSuite {
   private val base = (0L until 100L).toSet
   private val batch = (1000L until 2000L).toSet
 
-  test("SIGKILL mid-stage write: store byte-identical; compact sweeps the orphan") {
+  test("SIGKILL mid-stage write: store byte-identical; compact sweeps the stale orphan") {
     val dir = baseStore()
     val before = snapshot(dir)
+    val staging = Store.stagingDir(dir)
     val p = ForkedJvm.start(childMain, Seq(dir, "big-stage"))
     try {
-      // kill the moment the hidden staging dir appears — the write is in
-      // flight (the child's STAGED line would only come seconds later)
+      // kill the moment the staging-sibling entry appears — the write is
+      // in flight (the child's STAGED line would only come seconds later)
       assert(ForkedJvm.awaitCond {
-        val fs = new File(dir).listFiles()
-        fs != null && fs.exists(_.getName.startsWith(".inprogress-"))
-      }, "staging dir never appeared")
+        val fs = staging.listFiles()
+        fs != null && fs.nonEmpty
+      }, "staging entry never appeared")
     } finally ForkedJvm.kill(p)
     assert(snapshot(dir) == before, "visible store changed under a mid-stage kill")
     assert(ids(dir) == base)
-    val orphans = new File(dir).listFiles()
-      .count(_.getName.startsWith(".inprogress-"))
-    assert(orphans == 1, "expected exactly the killed stage as orphan")
+    val orphans = staging.listFiles()
+    assert(orphans != null && orphans.length == 1,
+      "expected exactly the killed stage as orphan")
+    // a FRESH orphan is indistinguishable from a live foreign write, so
+    // compact leaves it; once quiet past the lease interval it is swept
     Store.compact(spark, dir)
-    assert(new File(dir).listFiles()
-      .count(_.getName.startsWith(".inprogress-")) == 0,
-      "compact must sweep dead staging dirs")
+    assert(staging.listFiles().length == 1,
+      "compact must not sweep a recently-active staging entry")
+    def backdate(f: File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000): Unit
+      val kids = f.listFiles(); if (kids != null) kids.foreach(backdate)
+    }
+    backdate(staging)
+    Store.compact(spark, dir)
+    assert(staging.listFiles() == null || staging.listFiles().isEmpty,
+      "compact must sweep staging entries quiet past the stale window")
     assert(ids(dir) == base)
   }
 
