@@ -9,7 +9,7 @@ import graft.sources.Store
   *
   * args: <storeDir> <mode>
   *  - big-stage:    stage a multi-second batch (parent kills MID-WRITE the
-  *                  moment the hidden .inprogress dir appears), never
+  *                  moment the staging-sibling entry appears), never
   *                  commits;
   *  - stage-hang:   stage a small batch fully, print STAGED, hang — the
   *                  crash window between stage and rename;
