@@ -56,13 +56,18 @@ object BloomIndex {
     * (|dataFiles| rows x one serialized bloom each), not a hardcoded 1:
     * at the design point of 10^6 files x ~100 KB blooms a coalesce(1)
     * write is a ~100 GB single task. The bloom's serialized size is a
-    * pure function of (expectedItems, fpp), so one throwaway filter
-    * prices a row exactly. */
+    * pure function of (expectedItems, fpp) — priced ARITHMETICALLY with
+    * the same formula `BloomFilter.optimalNumOfBits` uses (bits =
+    * -n*ln(p)/ln(2)^2, rounded up to the 64-bit words the bit array
+    * allocates): creating a throwaway filter just to read bitSize()
+    * would materialize the whole bit array on the driver (~1.2 GB at
+    * expectedPerFile=1e9, fpp=0.01) on every build/heal. Parity with the
+    * allocated size is spec-pinned across the (n, fpp) grid. */
   private[graft] def statsNumFiles(nDataFiles: Int, expectedPerFile: Long,
       fpp: Double, targetBytes: Long = 64L << 20): Int = {
-    val bytesPerRow =
-      org.apache.spark.util.sketch.BloomFilter
-        .create(expectedPerFile, fpp).bitSize() / 8 + 64
+    val optBits = math.max(1L,
+      (-expectedPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bytesPerRow = ((optBits + 63) / 64) * 64 / 8 + 64
     math.max(1L, (nDataFiles.toLong * bytesPerRow + targetBytes - 1)
       / targetBytes).toInt
   }

@@ -114,10 +114,28 @@ object Store {
     stageAs(df, dir, UUID.randomUUID().toString)
   }
 
+  /** Liveness sentinel for a staged entry: created BEFORE the batch write
+    * starts, atomically CLAIMED (renamed) by exactly one of {the commit,
+    * a stale sweep}. The sentinel is what makes sweeping a pathologically
+    * slow LIVE stage safe against Spark's path-recreating stragglers: a
+    * swept entry that a straggler task later re-creates (and whose job
+    * commit then merges only the surviving tasks and stamps _SUCCESS —
+    * a silently PARTIAL batch) can never be committed, because the
+    * sweeper consumed the sentinel and the commit's claim rename fails. */
+  private def liveSentinel(tmp: File): File =
+    new File(tmp.getParentFile, s".live-${tmp.getName}")
+  private def commitClaim(tmp: File): File =
+    new File(tmp.getParentFile, s".commit-${tmp.getName}")
+
   private def stageAs(df: DataFrame, dir: String, id: String): (File, File) = {
     val tmp = new File(stagingDir(dir), id)
     val fin = new File(dir, s"delta-$id")
     new File(dir).mkdirs(): Unit
+    stagingDir(dir).mkdirs(): Unit
+    // sentinel precedes the write: any entry a sweeper can observe has one
+    // (an entry WITHOUT a sentinel is garbage by construction — a swept
+    // batch re-created by straggler tasks — and is reaped directly)
+    liveSentinel(tmp).createNewFile(): Unit
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     ProtocolPoints.pause("store.staged")
     (tmp, fin)
@@ -125,11 +143,28 @@ object Store {
 
   /** The commit point: one atomic rename making the staged batch fully
     * visible. Everything before this is invisible; everything after is
-    * complete. */
+    * complete. The commit first CLAIMS the entry's liveness sentinel
+    * (atomic rename — exactly one of commit/sweep wins): if a stale sweep
+    * already consumed it, the batch may have been deleted and partially
+    * re-created by straggler tasks, so the commit REFUSES (clean failure,
+    * caller re-stages) instead of renaming a possibly-partial batch in. */
   private[graft] def commitStaged(tmp: File, fin: File): Unit = {
     ProtocolPoints.pause("store.pre-commit")
-    if (!tmp.renameTo(fin))
+    val claim = commitClaim(tmp)
+    if (!liveSentinel(tmp).renameTo(claim))
+      throw new IOException(s"staged batch $tmp lost its liveness sentinel " +
+        "(swept as stale mid-write); NOT committed — the batch on disk may " +
+        "be a straggler-recreated partial. Re-stage and retry the append")
+    val ok =
+      try tmp.renameTo(fin)
+      catch { case e: Throwable => claim.renameTo(liveSentinel(tmp)): Unit; throw e }
+    if (!ok) {
+      // rename defeated (e.g. the store dir is briefly absent mid-swap):
+      // restore the sentinel so a retried commit can re-claim
+      claim.renameTo(liveSentinel(tmp)): Unit
       throw new IOException(s"could not commit staged batch $tmp to $fin")
+    }
+    claim.delete(): Unit
     ProtocolPoints.pause("store.committed")
   }
 
@@ -309,9 +344,20 @@ object Store {
   /** Drop staging-sibling entries abandoned by crashed appends. Liveness
     * is judged by the NEWEST mtime anywhere under the entry (an active
     * Spark write keeps touching its task paths); an entry quiet for
-    * `staleMs` is dead. The window is deliberately lease-scale: sweeping
-    * a pathologically slow LIVE stage is safe — its commit rename finds
-    * no source, fails cleanly, and the writer retries — just wasteful. */
+    * `staleMs` is dead. Sweeping a pathologically slow LIVE stage (a
+    * stuck straggler after other tasks committed can be mtime-quiet past
+    * staleMs) is made safe by the sentinel CLAIM: the sweeper consumes
+    * `.live-<entry>` with an atomic rename before deleting, so if the
+    * swept write later completes — straggler tasks path-recreate the
+    * entry, the job commit merges only the survivors and stamps _SUCCESS
+    * — its [[commitStaged]] claim fails and the append errors cleanly
+    * instead of renaming the silently-partial batch into the store (the
+    * same torn-batch loss class StoreTornStageSpec pins for the
+    * staging-inside-the-store layout). An entry whose sentinel a COMMIT
+    * already claimed (`.commit-` marker) is skipped unless the marker
+    * itself is stale — a crashed committer; the commit's two steps are
+    * microseconds apart, so a stale marker means a dead JVM (the standard
+    * mtime-lease residual, same as [[withCompactionLease]]'s caveat). */
   private[graft] def sweepStaleStaging(dir: String,
       staleMs: Long = 10 * 60 * 1000L): Unit = {
     def newest(f: File): Long = {
@@ -319,10 +365,38 @@ object Store {
       if (kids == null) f.lastModified()
       else (f.lastModified() +: kids.map(newest)).max
     }
-    val entries = stagingDir(dir).listFiles()
-    if (entries != null) entries
-      .filter(e => System.currentTimeMillis() - newest(e) > staleMs)
-      .foreach(rm)
+    val sd = stagingDir(dir)
+    val entries = sd.listFiles()
+    if (entries == null) return
+    def stale(f: File): Boolean =
+      System.currentTimeMillis() - newest(f) > staleMs
+    entries.filter(e => !e.getName.startsWith(".") && stale(e)).foreach { e =>
+      val live = new File(sd, s".live-${e.getName}")
+      val claim = new File(sd, s".commit-${e.getName}")
+      val aside = new File(sd, s".sweep-${e.getName}-${UUID.randomUUID()}")
+      if (claim.exists()) {
+        // a committer holds the claim: only reap a CRASHED one (stale
+        // marker), and take the marker by atomic rename first so a live
+        // committer and this sweep cannot both proceed
+        if (stale(claim) && claim.renameTo(aside)) { rm(e); aside.delete(): Unit }
+      } else if (live.renameTo(aside)) {
+        // sole claimant of the sentinel: the entry can no longer commit
+        rm(e); aside.delete(): Unit
+      } else if (!claim.exists()) {
+        // no sentinel and no claim: garbage by construction (a straggler-
+        // recreated dir after an earlier sweep, or pre-sentinel leftovers)
+        rm(e)
+      }
+    }
+    // markers orphaned by a crash (commit died between its dir rename and
+    // marker delete; sweep died between its claim and delete): reap once
+    // stale and their entry is gone
+    entries.filter(m => m.getName.startsWith(".") && stale(m)).foreach { m =>
+      val entry = m.getName.replaceFirst("^\\.(live|commit)-", "")
+        .replaceFirst("^\\.sweep-", "")
+      if (m.getName.startsWith(".sweep-") || !new File(sd, entry).exists())
+        m.delete(): Unit
+    }
   }
 
   /** [[compact]] with the file count derived from a target file SIZE —
@@ -422,13 +496,33 @@ object Store {
     val parent = new File(dir).getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs(): Unit
     val lease = new File(dir + ".lease")
+    // ownership token: the release (and each heartbeat) verifies the lease
+    // is still OURS before touching it — a reclaimed-and-replaced lease
+    // belongs to the successor. The lease file is BORN holding the token
+    // (Files.write with CREATE_NEW — atomic, one winner), never written
+    // after acquisition: a two-step createNewFile-then-write would let a
+    // holder that stalled between the steps be reclaimed, and its late
+    // truncating write would then CLOBBER the successor's token —
+    // disabling the successor's heartbeat/ownership checks and admitting
+    // a third coordinator. Token verification reads are not atomic with
+    // the subsequent touch; the residual race only ever REFRESHES a
+    // successor's fresh lease (extending it — safe direction) or skips a
+    // delete (leaving a lease the next contender reclaims once stale).
+    val token = UUID.randomUUID().toString
+    def createWithToken(f: File): Boolean =
+      try {
+        java.nio.file.Files.write(f.toPath,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def stale(f: File): Boolean = {
       val lm = f.lastModified() // 0 if the file vanished: NOT stale
       // a future lm (skewed writer clock) gives a negative age: not stale
       lm > 0 && System.currentTimeMillis() - lm > staleMs + skewMarginMs
     }
     def tryAcquire(): Boolean =
-      lease.createNewFile() || {
+      createWithToken(lease) || {
         stale(lease) && {
           val tomb = new File(dir + ".lease-reclaim")
           if (stale(tomb)) {
@@ -443,10 +537,11 @@ object Store {
           tomb.createNewFile() && {
             try {
               // sole reclaimer: re-verify, then delete-and-recreate. A
-              // plain-createNewFile contender can still win the sliver
-              // between our delete and create — then OUR create fails and
-              // we reject: single holder either way.
-              stale(lease) && { lease.delete(): Unit; lease.createNewFile() }
+              // plain-create contender can still win the sliver between
+              // our delete and create — then OUR create fails and we
+              // reject: single holder either way. The recreate carries
+              // the token atomically, same as first acquisition.
+              stale(lease) && { lease.delete(): Unit; createWithToken(lease) }
             } finally tomb.delete(): Unit
           }
         }
@@ -456,17 +551,6 @@ object Store {
         s"another compaction coordinator holds $lease; compaction is " +
           s"single-coordinator (stale leases reclaimed after " +
           s"${staleMs + skewMarginMs}ms)")
-    // ownership token: the release (and each heartbeat) verifies the lease
-    // is still OURS before touching it — a reclaimed-and-replaced lease
-    // belongs to the successor. The token write also stamps the first
-    // mtime refresh. Token verification reads are not atomic with the
-    // subsequent touch; the residual race only ever REFRESHES a
-    // successor's fresh lease (extending it — safe direction) or skips a
-    // delete (leaving a lease the next contender reclaims once stale).
-    val token = UUID.randomUUID().toString
-    try java.nio.file.Files.write(lease.toPath,
-      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: IOException => lease.delete(): Unit; throw e }
     def owned(): Boolean =
       try new String(java.nio.file.Files.readAllBytes(lease.toPath),
         java.nio.charset.StandardCharsets.UTF_8) == token

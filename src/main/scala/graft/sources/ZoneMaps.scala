@@ -263,8 +263,14 @@ object ZoneMaps {
         (containedBounds && col(s"nnull_$c").isNotNull,
           col("n_rows") - col(s"nnull_$c"))
       } else {
+        // null-SAFE: a stats row whose nnull_c is NULL (pre-nnull rows read
+        // through mergeSchema, or stats from the static build) must make
+        // `contained` FALSE, never NULL — a NULL contained fails BOTH the
+        // metadata branch and the `!contained` scan branch below, silently
+        // dropping the file from the count (the statsFor contract is
+        // "unknown null counts mean scan the file, never guess")
         val nullFree = preds
-          .map { case (c, _, _) => col(s"nnull_$c") === 0L }
+          .map { case (c, _, _) => coalesce(col(s"nnull_$c") === 0L, lit(false)) }
           .reduce(_ && _)
         (containedBounds && nullFree, col("n_rows").cast("long"))
       }
