@@ -115,6 +115,11 @@ object ZoneScan {
         BloomIndex.admitIndexed(h1, dataDir, statsDir, "l_orderkey", "h1"): Unit
       }
       Phases.time("build") {
+        // SELECTIVE maintenance (round-12): fold only the h1 delta — the
+        // compacted generation keeps its names/bytes (hard-linked), its
+        // stats rows stay valid, and the heal covers just the fold
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 64L << 20): Unit
         BloomIndex.maintainIndex(spark, dataDir, statsDir, "l_orderkey")
       }
       // key derivation scans the RAW table — bench scaffolding, not a cost
@@ -173,6 +178,13 @@ object ZoneScan {
           dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
       }
       Phases.time("build") {
+        // SELECTIVE clustered maintenance (round-12): only h1's delta is
+        // re-clustered; the compacted generation keeps its files (and its
+        // zone stats) — the two generations' ranges overlap only at
+        // boundaries, so pruning still holds on both
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 64L << 20,
+          clusterBy = Seq("l_shipdate")): Unit
         ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("l_shipdate"))
       }
       Phases.time("serve") {
@@ -216,8 +228,12 @@ object ZoneScan {
         ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
       }
       Phases.time("build") {
-        graft.sources.Store.compact(spark, dataDir, numFiles = 8,
-          clusterBy = Seq("l_shipdate"))
+        // selective clustered fold (round-12): here every entry is a delta
+        // so everything folds, but the maintenance path — and its
+        // byte-derived output sizing — is the one a production store runs
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 256L << 10,
+          clusterBy = Seq("l_shipdate")): Unit
         ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("l_shipdate"))
       }
       Phases.time("serve") {

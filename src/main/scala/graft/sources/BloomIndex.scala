@@ -384,9 +384,17 @@ object BloomIndex {
   def maintainIndexed(spark: SparkSession, dataDir: String, statsDir: String,
       keyCol: String, every: Int = 16, numFiles: Int = 8,
       clusterBy: Seq[String] = Nil, zOrder: Boolean = false,
-      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit =
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01,
+      minFileBytes: Long = 0L): Unit =
     if (every > 0 && Store.deltaCount(dataDir) >= every) {
-      Store.compact(spark, dataDir, numFiles, identity, clusterBy, zOrder)
+      // minFileBytes > 0: selective fold — full-sized files keep their
+      // NAMES, so their bloom stats stay valid and the heal below only
+      // builds filters for the folded output (index maintenance cost
+      // tracks folded bytes too)
+      if (minFileBytes > 0)
+        Store.compactSelective(spark, dataDir, minFileBytes,
+          clusterBy = clusterBy, zOrder = zOrder): Unit
+      else Store.compact(spark, dataDir, numFiles, identity, clusterBy, zOrder)
       maintainIndex(spark, dataDir, statsDir, keyCol, expectedPerFile, fpp)
     }
 

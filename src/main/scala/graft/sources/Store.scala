@@ -399,6 +399,81 @@ object Store {
     }
   }
 
+  /** What a [[compactSelective]] pass did — observability for specs,
+    * bench, and operators sizing their maintenance cadence. */
+  final case class SelectiveCompaction(foldedDeltas: Int, foldedFiles: Int,
+    keptFiles: Int, foldedBytes: Long)
+
+  /** SELECTIVE compaction — maintenance I/O proportional to the FOLDED
+    * bytes, not the store's bytes. [[compact]] rewrites the entire live
+    * image every cycle: correct, but at 100 TB a full-image rewrite per
+    * `every`=16 admits is operationally prohibitive (the round-11
+    * verdict's #1 gap). This is Delta's OPTIMIZE shape instead: fold
+    * ONLY the committed delta directories plus base files smaller than
+    * `minFileBytes`; every full-sized base file keeps its NAME and BYTES
+    * — it is HARD-LINKED into the compacted image (an O(1) metadata op,
+    * zero data I/O; both the image and the superseded copy stay complete,
+    * so the rename-aside swap's crash/rollback contract is unchanged —
+    * on a filesystem without link support the file is copied, logged).
+    *
+    * Because kept files keep their names, their sibling-index stats rows
+    * (bloom/zone) stay VALID across the cycle — only the folded output
+    * needs a heal, so index maintenance cost also tracks folded bytes.
+    *
+    * The whole admission protocol is reused verbatim: same lease, same
+    * frozen-image includedIds, same replay markers riding the image, same
+    * two-rename promote with raced-delta salvage. `rewrite` applies to
+    * the FOLDED subset only — a store whose rewrite must see every row
+    * (sum-merge pre-aggregation, tombstone drops) uses [[compact]] for
+    * those cycles and this for the frequent cheap ones.
+    *
+    * Output files are sized at `targetBytes` (default 2x minFileBytes, so
+    * a fold lands above the next cycle's selection threshold and the
+    * store converges to large files instead of re-folding forever). */
+  def compactSelective(spark: SparkSession, dir: String, minFileBytes: Long,
+      targetBytes: Long = 0L, rewrite: DataFrame => DataFrame = identity,
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): SelectiveCompaction =
+    withCompactionLease(dir) {
+      recoverStale(dir)
+      sweepStaleStaging(dir)
+      require(minFileBytes > 0, "minFileBytes must be positive")
+      val top = new File(dir).listFiles()
+      val entries = if (top == null) Array.empty[File] else top
+      val deltas = entries.filter(f => f.isDirectory && f.getName.startsWith("delta-"))
+      val bases = entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val (keep, foldBase) = bases.partition(_.length() >= minFileBytes)
+      def parquetBytes(f: File): Long =
+        if (f.isFile) f.length()
+        else {
+          val kids = f.listFiles()
+          if (kids == null) 0L
+          else kids.iterator.filter(k => k.isFile && k.getName.endsWith(".parquet"))
+            .map(_.length()).sum
+        }
+      val foldedBytes = (deltas ++ foldBase).map(parquetBytes).sum
+      val foldedFiles = deltas.map(d => {
+        val kids = d.listFiles()
+        if (kids == null) 0 else kids.count(k => k.getName.endsWith(".parquet"))
+      }).sum + foldBase.length
+      if (deltas.isEmpty && foldBase.isEmpty)
+        SelectiveCompaction(0, 0, keep.length, 0L)
+      else {
+        val image = spark.read
+          .option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+          .parquet((deltas ++ foldBase).map(_.getAbsolutePath).toSeq: _*)
+        val tgt = if (targetBytes > 0) targetBytes else 2 * minFileBytes
+        // capped at the folded INPUT file count: the fold only ever merges
+        // (a byte-derived count above it would make the clustered path
+        // re-split what the bin-pack path simply keeps)
+        val numFiles = math.min(math.max(1L, foldedFiles.toLong),
+          math.max(1L, (foldedBytes + tgt - 1) / tgt)).toInt
+        compactImage(spark, dir, image, numFiles, rewrite, clusterBy, zOrder,
+          linkIn = keep.toSeq)
+        SelectiveCompaction(deltas.length, foldedFiles, keep.length, foldedBytes)
+      }
+    }
+
   /** [[compact]] with the file count derived from a target file SIZE —
     * the Store-side sibling of [[Layout.compactToFileSize]], summing
     * bytes RECURSIVELY because that is exactly the file set [[read]]
@@ -583,7 +658,8 @@ object Store {
   private[graft] def compactImage(spark: SparkSession, dir: String,
       image: DataFrame, numFiles: Int,
       rewrite: DataFrame => DataFrame,
-      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit = {
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false,
+      linkIn: Seq[File] = Nil): Unit = {
     require(!zOrder || clusterBy.size >= 2,
       "zOrder clustering needs at least 2 clusterBy columns")
     require(numFiles > 0)
@@ -657,6 +733,19 @@ object Store {
         }
       }
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // selective compaction's kept files enter the image by HARD LINK —
+    // after the Overwrite (which clears tmp), before the swap: zero data
+    // I/O, and both the image and the superseded `.old` copy stay complete
+    // so every crash/rollback shape of the promote is unchanged
+    linkIn.foreach { f =>
+      val dst = new File(tmp, f.getName)
+      try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+      catch {
+        case _: UnsupportedOperationException | _: IOException =>
+          log.warn(s"hard link unsupported for $f; copying into the image")
+          java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+      }
+    }
     // markers ride INSIDE the compacted image so they become visible in the
     // same atomic rename that hides the folded delta dirs — creating them
     // after the swap would open a window where a replayed id sees neither
@@ -687,11 +776,23 @@ object Store {
     * committed. Called after each append by the incremental operators, so
     * a store under continuous admission stays within one compaction cycle
     * of flat — file count is bounded by `every` + numFiles instead of
-    * growing with admit count. At 100 TB, size `numFiles` to the store's
-    * bytes (the local default suits index-sized stores). */
+    * growing with admit count.
+    *
+    * `minFileBytes > 0` routes the cycle through [[compactSelective]] —
+    * maintenance I/O proportional to the new deltas' bytes instead of the
+    * whole store's, which is the only sustainable cadence at 100 TB
+    * (`numFiles` is then ignored; output files are sized 2x
+    * minFileBytes). The default 0 keeps the full rewrite — right for
+    * index-sized stores and for stores whose `rewrite` must see every
+    * row (sum-merge pre-aggregation). */
   def maintain(spark: SparkSession, dir: String, every: Int = 16,
       numFiles: Int = 8, rewrite: DataFrame => DataFrame = identity,
-      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit =
-    if (every > 0 && deltaCount(dir) >= every)
-      compact(spark, dir, numFiles, rewrite, clusterBy, zOrder)
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false,
+      minFileBytes: Long = 0L): Unit =
+    if (every > 0 && deltaCount(dir) >= every) {
+      if (minFileBytes > 0)
+        compactSelective(spark, dir, minFileBytes, rewrite = rewrite,
+          clusterBy = clusterBy, zOrder = zOrder): Unit
+      else compact(spark, dir, numFiles, rewrite, clusterBy, zOrder)
+    }
 }

@@ -319,9 +319,18 @@ object ZoneMaps {
   def maintainIndexed(spark: SparkSession, dataDir: String, statsDir: String,
       cols: Seq[String], every: Int = 16, numFiles: Int = 8,
       clusterBy: Option[Seq[String]] = None, // None → cols; Some(Nil) → bin-pack
-      zOrder: Boolean = false): Unit =
+      zOrder: Boolean = false,
+      minFileBytes: Long = 0L): Unit =
     if (every > 0 && Store.deltaCount(dataDir) >= every) {
-      Store.compact(spark, dataDir, numFiles, identity,
+      // minFileBytes > 0: selective fold — kept files keep their names so
+      // their zone stats stay valid; the folded output is range-clustered
+      // on its own slice (kept files keep their narrow ranges, new files
+      // get theirs — overlap across the two generations only widens the
+      // boundary set, it never breaks the conservative pruning contract)
+      if (minFileBytes > 0)
+        Store.compactSelective(spark, dataDir, minFileBytes,
+          clusterBy = clusterBy.getOrElse(cols), zOrder = zOrder): Unit
+      else Store.compact(spark, dataDir, numFiles, identity,
         clusterBy.getOrElse(cols), zOrder)
       maintainIndex(spark, dataDir, statsDir, cols)
     }

@@ -167,9 +167,16 @@ class StoreFuzzSpec extends AnyFunSuite {
       while (c < Compactions && failures.isEmpty) {
         Thread.sleep(rnd.nextInt(40).toLong)
         // a swap defeated by a racing writer rolls back wholesale and
-        // reports failure — the documented, tolerated outcome
-        try Store.compact(spark, store, numFiles = 1 + rnd.nextInt(2))
-        catch { case _: java.io.IOException => () }
+        // reports failure — the documented, tolerated outcome. Half the
+        // cycles run SELECTIVE (fold deltas + undersized files, hard-link
+        // the rest) with a randomized size threshold so both keep-and-fold
+        // splits are walked under racing admissions.
+        try {
+          if (rnd.nextBoolean())
+            Store.compactSelective(spark, store,
+              minFileBytes = 1L + rnd.nextInt(4000)): Unit
+          else Store.compact(spark, store, numFiles = 1 + rnd.nextInt(2))
+        } catch { case _: java.io.IOException => () }
         c += 1
       }
     }
