@@ -364,6 +364,59 @@ object ZoneScan {
       |   OR l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** The Store DELETE face ([[graft.sources.Store.deleteByKeys]] /
+    * [[graft.sources.Store.compactWithDeletes]]) — takedown semantics for
+    * a corpus lake: lineitem admitted in two idempotent halves, every
+    * tenth order key tombstoned (a crash-safe admission like any other),
+    * the deleting compaction physically dropping the banned rows AND
+    * consuming the tombstones, and the rollup served from the live read.
+    * The oracle recomputes the survivor aggregate from the raw table —
+    * admission, tombstone suppression, physical drop, and tombstone
+    * retirement must compose to exactly "corpus minus the banned keys".
+    * Replay idempotency, pre-compaction suppression, re-admission
+    * semantics, and index composition are pinned in StoreDeleteSpec. */
+  def q88StoreDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_delstore_")
+    val dataDir = s"$base/data"
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val h0 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0)
+      val h1 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 1)
+      Phases.time("admit") {
+        graft.sources.Store.appendIdempotent(h0, dataDir, "h0"): Unit
+        graft.sources.Store.appendIdempotent(h1, dataDir, "h1"): Unit
+      }
+      Phases.time("admit") { // the takedown batch, admitted like any other
+        graft.sources.Store.deleteByKeys(
+          li.filter(pmod($"l_orderkey", lit(10)) === 3)
+            .select($"l_orderkey").distinct(),
+          dataDir, Some("takedown1")): Unit
+      }
+      Phases.time("build") { // deleting compaction: drop + retire
+        graft.sources.Store.compactWithDeletes(spark, dataDir, numFiles = 4)
+      }
+      Phases.time("serve") {
+        graft.sources.Store.readLive(spark, dataDir)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q88Sql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey % 10 <> 3
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zonemap_scan" -> (q79ZonemapScan _),
     "q82_bloom_lookup" -> (q82BloomLookup _),
@@ -371,7 +424,8 @@ object ZoneScan {
     "q84_zone_indexed_store" -> (q84ZoneIndexedStore _),
     "q85_join_file_pruning" -> (q85JoinFilePruning _),
     "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _),
-    "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _))
+    "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _),
+    "q88_store_delete" -> (q88StoreDelete _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
@@ -380,5 +434,6 @@ object ZoneScan {
     "q84_zone_indexed_store" -> q79Sql,
     "q85_join_file_pruning" -> q85Sql,
     "q86_bloom_lookup_batch" -> q86Sql,
-    "q87_zone_count_pushdown" -> q87Sql)
+    "q87_zone_count_pushdown" -> q87Sql,
+    "q88_store_delete" -> q88Sql)
 }

@@ -399,6 +399,116 @@ object Store {
     }
   }
 
+  // ── Delete face: tombstone admission + physical drop at compaction ────
+  //
+  // An LLM corpus lake needs takedown / right-to-be-forgotten deletes. The
+  // store is append-only, so a delete is ADMITTED like everything else: a
+  // tombstone batch (the keys to remove, single column named after the
+  // data's key column) goes through the same crash-safe, idempotent
+  // protocol into a SIBLING tombstone store. Reads through [[readLive]]
+  // anti-join live tombstones; [[compactWithDeletes]] physically drops
+  // tombstoned rows in the rewrite and RETIRES the consumed tombstone
+  // deltas (their `.admitted-` markers stay, so a replayed delete remains
+  // a no-op forever). Semantics are takedown semantics: a key is
+  // suppressed from the instant its delete commits until the compaction
+  // consumes the tombstone; a batch RE-ADMITTING the key before that
+  // compaction is suppressed too (the ban is by key, not by row), while
+  // re-admission after it is visible. Bloom/zone indexes stay
+  // conservative — a tombstoned key may still probe "maybe" and read its
+  // (dropped or suppressed) files: pruning degrades, correctness never;
+  // route index lookups over a store with deletes through
+  // [[suppressDeleted]].
+
+  /** The sibling tombstone store for `dir`. Delta-only by construction:
+    * it is never self-compacted — retirement at [[compactWithDeletes]]
+    * removes consumed delta dirs, which bounds it by the delete traffic
+    * of one data-compaction cycle. */
+  def tombstoneDir(dir: String): String = dir + ".tombstones"
+
+  /** Admit a delete: `keys` is a single-column frame named after the data
+    * column it bans. Same idempotency contract as [[appendMaybeIdempotent]]
+    * (an id'd replay no-ops, including after the tombstone was consumed).
+    * Returns whether THIS call admitted the tombstone batch. */
+  def deleteByKeys(keys: DataFrame, dir: String, id: Option[String] = None): Boolean = {
+    require(keys.columns.length == 1,
+      s"tombstone batch must be the single key column, got ${keys.columns.toSeq}")
+    val tsd = tombstoneDir(dir)
+    if (hasData(tsd)) {
+      val existing = read(keys.sparkSession, tsd).columns.head
+      require(existing == keys.columns.head,
+        s"store $dir deletes are keyed by '$existing'; got '${keys.columns.head}'")
+    }
+    appendMaybeIdempotent(keys.distinct(), tsd, id)
+  }
+
+  private def antiTombstones(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val tsd = tombstoneDir(dir)
+    if (!hasData(tsd)) df
+    else {
+      val ts = read(spark, tsd)
+      val kc = ts.columns.head
+      require(df.columns.contains(kc),
+        s"frame lacks the tombstone key column '$kc' of store $dir")
+      // tombstone key sets are takedown-list-sized; the planner sees the
+      // parquet byte size and auto-broadcasts under the threshold, and a
+      // pathologically large delete backlog degrades to a shuffled anti
+      // join rather than a forced-broadcast OOM
+      df.join(ts.select(ts.col(kc)).distinct(), Seq(kc), "left_anti")
+    }
+  }
+
+  /** [[read]] minus live tombstones — what a consumer of a store with
+    * deletes must read. Equal to [[read]] once [[compactWithDeletes]]
+    * consumed every tombstone. */
+  def readLive(spark: SparkSession, dir: String): DataFrame =
+    antiTombstones(spark, dir, read(spark, dir))
+
+  /** Apply a store's live tombstones to an arbitrary frame — composition
+    * point for the index lookups ([[BloomIndex.lookupIndexed]],
+    * [[ZoneMaps.lookupRangeIndexed]]), whose file pruning is conservative
+    * w.r.t. deletes but whose ROWS must still be suppressed until the
+    * deleting compaction runs. */
+  def suppressDeleted(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    antiTombstones(spark, dir, df)
+
+  /** [[compact]] that also applies and consumes tombstones: the rewrite
+    * anti-joins the FROZEN tombstone image (drop precedes the caller's
+    * `rewrite`, so a sum-merge never re-aggregates banned rows), and after
+    * the swap promotes, the consumed tombstone deltas are retired —
+    * physically dropped rows need no further suppression, and a key
+    * re-admitted later is visible again. Tombstones admitted WHILE the
+    * rewrite runs are not in the frozen image: they stay live (reads keep
+    * suppressing) and the next cycle consumes them. A crash between the
+    * swap and the retire only re-applies consumed tombstones to already-
+    * dropped rows — a no-op; the retire is retried next cycle. */
+  def compactWithDeletes(spark: SparkSession, dir: String, numFiles: Int = 8,
+      rewrite: DataFrame => DataFrame = identity,
+      clusterBy: Seq[String] = Nil, zOrder: Boolean = false): Unit =
+    withCompactionLease(dir) {
+      recoverStale(dir)
+      sweepStaleStaging(dir)
+      val tsd = tombstoneDir(dir)
+      if (!hasData(tsd))
+        compactImage(spark, dir, read(spark, dir), numFiles, rewrite,
+          clusterBy, zOrder)
+      else {
+        val ts = read(spark, tsd)
+        val kc = ts.columns.head
+        // frozen at the image's own file index — the same no-loss
+        // reasoning as compactImage's includedIds
+        val consumed: Seq[String] = ts.inputFiles.flatMap(p =>
+          p.split('/').find(_.startsWith("delta-"))).distinct.toSeq
+        val keys = ts.select(ts.col(kc)).distinct()
+        compactImage(spark, dir, read(spark, dir), numFiles,
+          img => rewrite(img.join(keys, Seq(kc), "left_anti")),
+          clusterBy, zOrder)
+        // retire consumed tombstone deltas; their .admitted- markers stay,
+        // so a replayed deleteByKeys(id) is a no-op forever
+        consumed.foreach(d => rm(new File(tsd, d)))
+      }
+    }
+
   /** What a [[compactSelective]] pass did — observability for specs,
     * bench, and operators sizing their maintenance cadence. */
   final case class SelectiveCompaction(foldedDeltas: Int, foldedFiles: Int,
