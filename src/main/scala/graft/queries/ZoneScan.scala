@@ -364,6 +364,72 @@ object ZoneScan {
       |   OR l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** MIN/MAX pushdown to zone metadata
+    * ([[graft.sources.ZoneMaps.minMaxRangeIndexed]]) — q87's sibling: over
+    * the same admit → selective clustered compact → heal protocol, the
+    * min/max sale price inside Q1-1997 and the exact first/last ship date
+    * inside H1-1997 are answered from covered files' stored stats,
+    * scanning only boundary files. Tracking (l_shipdate, l_extendedprice)
+    * together is the production shape: cluster on the predicate column,
+    * carry the answer columns' ranges as passengers. The oracle recomputes
+    * all four scalars from the raw table — the metadata/scan split must be
+    * result-invisible; how few files scan is pinned in ZoneMapStoreSpec. */
+  def q89ZoneMinMaxPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zoneminmax_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val cols = Seq("l_shipdate", "l_extendedprice")
+      def shaped(half: Int) = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
+        .repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+      Phases.time("admit") {
+        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, cols, "h0"): Unit
+        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, cols, "h1"): Unit
+      }
+      Phases.time("build") {
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 256L << 10,
+          clusterBy = Seq("l_shipdate")): Unit
+        ZoneMaps.maintainIndex(spark, dataDir, statsDir, cols)
+      }
+      Phases.time("serve") {
+        val q1 = Seq(("l_shipdate", lit("1997-01-01").cast("timestamp"),
+          lit("1997-04-01").cast("timestamp")))
+        val h1 = Seq(("l_shipdate", lit("1997-01-01").cast("timestamp"),
+          lit("1997-07-01").cast("timestamp")))
+        val (price, _) = ZoneMaps.minMaxRangeIndexed(spark, dataDir, statsDir,
+          q1, "l_extendedprice")
+        val (dates, _) = ZoneMaps.minMaxRangeIndexed(spark, dataDir, statsDir,
+          h1, "l_shipdate")
+        price.select($"min_l_extendedprice".as("min_price"),
+            $"max_l_extendedprice".as("max_price"))
+          .crossJoin(dates.select($"min_l_shipdate".as("min_sd"),
+            $"max_l_shipdate".as("max_sd")))
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q89Sql: String =
+    """SELECT
+      |  (SELECT min(l_extendedprice) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-04-01') AS min_price,
+      |  (SELECT max(l_extendedprice) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-04-01') AS max_price,
+      |  (SELECT min(l_shipdate) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-07-01') AS min_sd,
+      |  (SELECT max(l_shipdate) FROM lineitem
+      |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |       AND l_shipdate <  TIMESTAMP '1997-07-01') AS max_sd""".stripMargin
+
   /** The Store DELETE face ([[graft.sources.Store.deleteByKeys]] /
     * [[graft.sources.Store.compactWithDeletes]]) — takedown semantics for
     * a corpus lake: lineitem admitted in two idempotent halves, every
@@ -425,7 +491,8 @@ object ZoneScan {
     "q85_join_file_pruning" -> (q85JoinFilePruning _),
     "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _),
     "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _),
-    "q88_store_delete" -> (q88StoreDelete _))
+    "q88_store_delete" -> (q88StoreDelete _),
+    "q89_zone_minmax_pushdown" -> (q89ZoneMinMaxPushdown _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
@@ -435,5 +502,6 @@ object ZoneScan {
     "q85_join_file_pruning" -> q85Sql,
     "q86_bloom_lookup_batch" -> q86Sql,
     "q87_zone_count_pushdown" -> q87Sql,
-    "q88_store_delete" -> q88Sql)
+    "q88_store_delete" -> q88Sql,
+    "q89_zone_minmax_pushdown" -> q89Sql)
 }

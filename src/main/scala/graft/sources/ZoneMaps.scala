@@ -297,6 +297,90 @@ object ZoneMaps {
     (meta + scanCount(scanFiles), (scanFiles.length, live.size))
   }
 
+  /** MIN/MAX over a range conjunction, answered from METADATA wherever
+    * possible — the sibling of [[countRangeIndexed]] (round-11 verdict
+    * missing-item #4): a covered file whose tracked ranges lie FULLY
+    * inside every conjunct AND whose predicate columns are null-free
+    * contributes its stored `min_t`/`max_t` without being read; only
+    * boundary-straddling files, uncovered live files, and files whose
+    * stats predate the null-count column are scanned.
+    *
+    * Null discipline, stated exactly: a row with a NULL in a PREDICATE
+    * column matches no conjunct, but the file-level `min_t`/`max_t`
+    * still include that row's target value — so (unlike COUNT's
+    * single-conjunct subtraction) the metadata fast path requires
+    * null-free predicate columns in every case, and unknown null counts
+    * (mergeSchema NULLs) mean "scan the file, never guess"
+    * (null-safe via coalesce, the countRangeIndexed fix). NULL
+    * `min_t`/`max_t` (an all-null target slice) contribute nothing —
+    * exactly MIN/MAX's null semantics.
+    *
+    * Returns a 1-row frame `(min_<target>, max_<target>)` (NULLs when no
+    * row matches) plus (filesScanned, filesTotal). The decision runs over
+    * the stats x live join (|files|-scale, touched twice: once to pick
+    * the scan set, once lazily inside the final combine); duplicate stats
+    * rows are dropped first (deterministic stats — any copy is correct). */
+  def minMaxRangeIndexed(spark: SparkSession, dataDir: String,
+      statsDir: String, preds: Seq[(String, Column, Column)],
+      targetCol: String): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    require(preds.nonEmpty, "at least one range conjunct")
+    val data = Store.read(spark, dataDir)
+    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
+      .reduce(_ && _)
+    val (minName, maxName) = (s"min_$targetCol", s"max_$targetCol")
+    def scanned(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        data.filter(lit(false))
+          .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .filter(pred)
+        .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
+    if (!Store.hasData(statsDir))
+      return (scanned(live.toSeq.sorted).localCheckpoint(true),
+        (live.size, live.size))
+    val stats = Store.read(spark, statsDir)
+    require(stats.columns.contains(minName) && stats.columns.contains(maxName),
+      s"zone stats at $statsDir do not track '$targetCol' — " +
+        s"admit/heal with it in `cols` to serve MIN/MAX from metadata")
+    val intersects = preds
+      .map { case (c, lo, hi) =>
+        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+      }
+      .reduce(_ && _)
+    val contained = preds
+      .map { case (c, lo, hi) =>
+        col(s"min_$c").isNotNull && col(s"min_$c") >= lo &&
+          col(s"max_$c").isNotNull && col(s"max_$c") < hi &&
+          coalesce(col(s"nnull_$c") === 0L, lit(false))
+      }
+      .reduce(_ && _)
+    val provablyEmpty = preds
+      .map { case (c, _, _) =>
+        col(s"nnull_$c").isNotNull && col(s"nnull_$c") === col("n_rows")
+      }
+      .reduce(_ || _)
+    val liveDf = live.toSeq.toDF("file")
+    val joined = liveDf
+      .join(stats, Seq("file"), "left_outer")
+      .dropDuplicates("file")
+    val scanFiles = joined
+      .agg(collect_list(when(intersects && !contained && !provablyEmpty,
+        col("file"))))
+      .as[Seq[String]].head().sorted
+    // metadata candidates stay a LAZY 1-row frame so the final combine is
+    // type-generic (timestamps, decimals, strings all compose through the
+    // same min/max) — the stats table is |files|-scale, touched twice
+    val metaDf = joined
+      .agg(min(when(contained && !provablyEmpty, col(minName))).as(minName),
+        max(when(contained && !provablyEmpty, col(maxName))).as(maxName))
+    val out = metaDf.unionByName(scanned(scanFiles))
+      .agg(min(col(minName)).as(minName), max(col(maxName)).as(maxName))
+    (out.localCheckpoint(true), (scanFiles.length, live.size))
+  }
+
   /** Streaming face: the SAME admission as [[admitIndexed]], as a
     * foreachBatch sink with idempotent per-micro-batch ids — the
     * [[BloomIndex.streamingAdmission]] shape. */

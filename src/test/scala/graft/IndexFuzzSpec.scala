@@ -72,6 +72,16 @@ class IndexFuzzSpec extends AnyFunSuite {
         Seq(("v", lit(lo), lit(hi))))
       assert(cnt == want.size,
         s"seed=$seed count pushdown [$lo,$hi) = $cnt, want ${want.size}")
+      // ...and so must the metadata min/max (round-12), including the
+      // no-match case (NULL/NULL)
+      val mm = ZoneMaps.minMaxRangeIndexed(spark, dataDir, zStats,
+        Seq(("v", lit(lo), lit(hi))), "v")._1.head()
+      val gotMin = if (mm.isNullAt(0)) None else Some(mm.getLong(0))
+      val gotMax = if (mm.isNullAt(1)) None else Some(mm.getLong(1))
+      val vs = want.map(_._3)
+      assert(gotMin == vs.minOption && gotMax == vs.maxOption,
+        s"seed=$seed minmax pushdown [$lo,$hi) = ($gotMin,$gotMax), " +
+          s"want (${vs.minOption},${vs.maxOption})")
     }
     def checkBatch(): Unit = {
       val ks = (0 until 1 + rnd.nextInt(4)).map(_ =>

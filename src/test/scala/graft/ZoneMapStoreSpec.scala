@@ -265,6 +265,53 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("min/max pushdown: interior from metadata, boundaries scanned, predicate-column nulls force scans") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      // v in [0,1000) with 10% nulls; range-shaping clusters the nulls
+      // into the lowest slice, so most files are null-free and eligible
+      // for the metadata fast path — but never the null-bearing one
+      val rows = spark.range(0, 20000).select($"id",
+        when(pmod($"id", lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(pmod($"id" * 2654435761L, lit(1000))).as("v"))
+      ZoneMaps.admitIndexed(
+        rows.repartitionByRange(10, $"v").sortWithinPartitions($"v"),
+        dataDir, statsDir, Seq("v", "id"), "h0"): Unit
+      val in = rows.filter($"v" >= 100 && $"v" < 900)
+      val (wantMin, wantMax) = (in.agg(min($"id")).as[Long].head(),
+        in.agg(max($"id")).as[Long].head())
+      val (mm, (scanned, total)) = ZoneMaps.minMaxRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(100L), lit(900L))), "id")
+      val r = mm.head()
+      assert(r.getLong(0) == wantMin && r.getLong(1) == wantMax,
+        s"metadata+scan min/max must be exact: (${r.get(0)},${r.get(1)})")
+      assert(scanned <= 3 && total >= 10,
+        s"interior must come from metadata: $scanned/$total")
+      // whole-domain probe: only the null-bearing slice scans (a file
+      // with predicate-column nulls can contribute target values from
+      // non-matching rows, so its stats are never trusted)
+      val (mmAll, (scanAll, _)) = ZoneMaps.minMaxRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(-1L), lit(100000L))), "id")
+      val rAll = mmAll.head()
+      val inAll = rows.filter($"v".isNotNull)
+      assert(rAll.getLong(0) == inAll.agg(min($"id")).as[Long].head() &&
+        rAll.getLong(1) == inAll.agg(max($"id")).as[Long].head())
+      assert(scanAll < total / 2,
+        s"whole-domain: only null-bearing slices scan: $scanAll/$total")
+      // empty range: NULL/NULL, zero files read
+      val (mmNone, (scanNone, _)) = ZoneMaps.minMaxRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(5000L), lit(6000L))), "id")
+      val rNone = mmNone.head()
+      assert(rNone.isNullAt(0) && rNone.isNullAt(1) && scanNone == 0)
+      // untracked target surfaces instead of guessing
+      intercept[IllegalArgumentException] {
+        ZoneMaps.minMaxRangeIndexed(spark, dataDir, statsDir,
+          Seq(("v", lit(0L), lit(10L))), "nope")
+      }
+    } finally sweep(base)
+  }
+
   test("maintainIndexed: admit-count trigger compacts order-preserving BY DEFAULT and heals in the same call") {
     val base = tmp()
     try {
