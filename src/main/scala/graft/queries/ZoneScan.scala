@@ -483,6 +483,53 @@ object ZoneScan {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** COMPOSITE-key point lookup over the bloom-indexed Store
+    * ([[graft.sources.BloomIndex.admitIndexedMulti]] /
+    * [[graft.sources.BloomIndex.lookupIndexedMulti]]): production point
+    * lookups are often multi-column — here (l_orderkey, l_linenumber),
+    * the lineitem primary key. The per-file bloom holds the variadic
+    * `xxhash64` of both columns; the key-column contract rides a sidecar
+    * so a mismatched-arity probe is rejected instead of silently pruning
+    * everything (spec-pinned in CompositeKeyBloomSpec). Protocol: admit
+    * two halves, selective compact, heal, serve ONE exact line. Oracle:
+    * the same two-column equality on the raw table. */
+  def q90BloomCompositeLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomcomp_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val keyCols = Seq("l_orderkey", "l_linenumber")
+      val h0 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 0)
+      val h1 = li.filter(pmod(xxhash64($"l_orderkey"), lit(2)) === 1)
+      Phases.time("admit") {
+        BloomIndex.admitIndexedMulti(h0, dataDir, statsDir, keyCols, "h0"): Unit
+        BloomIndex.admitIndexedMulti(h1, dataDir, statsDir, keyCols, "h1"): Unit
+      }
+      Phases.time("build") {
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 64L << 20): Unit
+        BloomIndex.maintainIndexMulti(spark, dataDir, statsDir, keyCols)
+      }
+      val key = li.agg(max($"l_orderkey")).as[Long].head() // bounded: 1 row
+      Phases.time("serve") {
+        val (rows, _) = BloomIndex.lookupIndexedMulti(spark, dataDir,
+          statsDir, keyCols, Seq(lit(key), lit(1).cast("int")))
+        rows
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q90Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+      |  AND l_linenumber = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zonemap_scan" -> (q79ZonemapScan _),
     "q82_bloom_lookup" -> (q82BloomLookup _),
@@ -492,7 +539,8 @@ object ZoneScan {
     "q86_bloom_lookup_batch" -> (q86BloomLookupBatch _),
     "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _),
     "q88_store_delete" -> (q88StoreDelete _),
-    "q89_zone_minmax_pushdown" -> (q89ZoneMinMaxPushdown _))
+    "q89_zone_minmax_pushdown" -> (q89ZoneMinMaxPushdown _),
+    "q90_bloom_composite_lookup" -> (q90BloomCompositeLookup _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
@@ -503,5 +551,6 @@ object ZoneScan {
     "q86_bloom_lookup_batch" -> q86Sql,
     "q87_zone_count_pushdown" -> q87Sql,
     "q88_store_delete" -> q88Sql,
-    "q89_zone_minmax_pushdown" -> q89Sql)
+    "q89_zone_minmax_pushdown" -> q89Sql,
+    "q90_bloom_composite_lookup" -> q90Sql)
 }

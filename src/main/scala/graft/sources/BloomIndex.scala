@@ -47,7 +47,7 @@ object BloomIndex {
       statsDir: String, expectedPerFile: Long = 100000L,
       fpp: Double = 0.01): Unit = {
     val data = spark.read.parquet(dataPath)
-    statsFor(spark, data, keyCol, expectedPerFile, fpp)
+    statsFor(spark, data, Seq(keyCol), expectedPerFile, fpp)
       .coalesce(statsNumFiles(data.inputFiles.length, expectedPerFile, fpp))
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
@@ -141,15 +141,64 @@ object BloomIndex {
   private[graft] val canonPathUdf = udf(canonPath _)
 
   private def statsFor(spark: SparkSession, dataFiles: DataFrame,
-      keyCol: String, expectedPerFile: Long, fpp: Double): DataFrame =
+      keyCols: Seq[String], expectedPerFile: Long, fpp: Double): DataFrame =
     dataFiles
+      // xxhash64 is variadic: a composite key hashes all components in one
+      // codegen'd pass — no struct allocation, no string concat
       .select(col("_metadata.file_path").as("raw"),
-        xxhash64(col(keyCol)).as("h"))
+        xxhash64(keyCols.map(col): _*).as("h"))
       .groupBy(col("raw"))
       .agg(count(lit(1)).as("n_rows"),
         BloomSketch.bloomAgg(col("h"), expectedPerFile, fpp).as("bloom"))
       // canonicalize AFTER the agg: the udf runs once per FILE, not per row
       .select(canonPathUdf(col("raw")).as("file"), col("n_rows"), col("bloom"))
+
+  // ── Composite-key contract ─────────────────────────────────────────────
+  //
+  // The index's key columns are recorded in a SIBLING sidecar
+  // (`<statsDir>.keycols` — outside the stats store, so its compaction
+  // swap never moves it). Probes verify against it: an arity or name
+  // mismatch would hash differently and WRONGLY prune every file, so it
+  // must be rejected loudly, never guessed. A store that predates the
+  // sidecar is single-column by construction (composite keys arrived with
+  // the sidecar): single-column probes are accepted, composite rejected.
+  // The sidecar is created BEFORE the first stats row exists — a crash
+  // before it leaves the stats store empty, which lookups treat as
+  // "no index" (full scan, correct).
+
+  private def keyColsFile(statsDir: String) =
+    new java.io.File(statsDir + ".keycols")
+
+  private def ensureKeyCols(statsDir: String, keyCols: Seq[String]): Unit = {
+    val f = keyColsFile(statsDir)
+    val parent = f.getAbsoluteFile.getParentFile
+    if (parent != null) parent.mkdirs(): Unit
+    val want = keyCols.mkString(",")
+    try java.nio.file.Files.write(f.toPath,
+      want.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(got == want,
+          s"index at $statsDir is keyed by ($got), not ($want)")
+    }
+  }
+
+  private def verifyKeyCols(statsDir: String, keyCols: Seq[String]): Unit = {
+    val f = keyColsFile(statsDir)
+    if (f.exists()) {
+      val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(got == keyCols.mkString(","),
+        s"index at $statsDir is keyed by ($got), not " +
+          s"(${keyCols.mkString(",")}) — a mismatched probe hashes " +
+          "differently and would wrongly prune every file")
+    } else require(keyCols.size == 1,
+      s"index at $statsDir predates composite keys (no sidecar): only " +
+        "single-column probes are accepted")
+  }
 
   /** Admit `df` into the data Store AND its per-file blooms into the
     * sibling stats Store, both under the same idempotency id (replays
@@ -158,7 +207,19 @@ object BloomIndex {
     * this call admitted the data batch. */
   def admitIndexed(df: DataFrame, dataDir: String, statsDir: String,
       keyCol: String, id: String, expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): Boolean =
+    admitIndexedMulti(df, dataDir, statsDir, Seq(keyCol), id,
+      expectedPerFile, fpp)
+
+  /** [[admitIndexed]] with a COMPOSITE key: the per-file bloom holds
+    * `xxhash64(c1, c2, ...)` — production point lookups are often
+    * multi-column (e.g. (orderkey, linenumber)). The key columns are
+    * recorded in the sidecar and every probe must match them exactly. */
+  def admitIndexedMulti(df: DataFrame, dataDir: String, statsDir: String,
+      keyCols: Seq[String], id: String, expectedPerFile: Long = 100000L,
       fpp: Double = 0.01): Boolean = {
+    require(keyCols.nonEmpty, "at least one key column")
+    ensureKeyCols(statsDir, keyCols)
     val spark = df.sparkSession
     val admitted = Store.appendIdempotent(df, dataDir, id)
     val delta = new java.io.File(dataDir, s"delta-$id")
@@ -172,7 +233,7 @@ object BloomIndex {
     if (delta.exists()) {
       try {
         val stats = statsFor(spark, spark.read.parquet(delta.toString),
-          keyCol, expectedPerFile, fpp)
+          keyCols, expectedPerFile, fpp)
         Store.appendIdempotent(stats, statsDir, s"bloom-$id"): Unit
       } catch {
         // a path-shaped failure IS the tolerated race (the delta vanished
@@ -202,8 +263,20 @@ object BloomIndex {
     * pointing at dead files are ignored. Returns the filtered frame plus
     * (filesRead, filesTotal). */
   def lookupIndexed(spark: SparkSession, dataDir: String, statsDir: String,
-      keyCol: String, key: Column): (DataFrame, (Int, Int)) = {
+      keyCol: String, key: Column): (DataFrame, (Int, Int)) =
+    lookupIndexedMulti(spark, dataDir, statsDir, Seq(keyCol), Seq(key))
+
+  /** [[lookupIndexed]] with a COMPOSITE key: `keys` are the probe values
+    * ordered exactly as the index's key columns (sidecar-verified — a
+    * mismatched arity or order is rejected, never guessed). Values must
+    * have the indexed columns' exact types: xxhash64 is type-aware. */
+  def lookupIndexedMulti(spark: SparkSession, dataDir: String,
+      statsDir: String, keyCols: Seq[String], keys: Seq[Column])
+      : (DataFrame, (Int, Int)) = {
     import spark.implicits._
+    require(keys.size == keyCols.size,
+      s"probe arity ${keys.size} != key columns ${keyCols.size}")
+    verifyKeyCols(statsDir, keyCols)
     val data = Store.read(spark, dataDir)
     // |files|-bounded, the same order as Spark's own file index (which the
     // Store.read above already drove through the driver); everything FROM
@@ -223,14 +296,16 @@ object BloomIndex {
         val liveDf = live.toSeq.toDF("file")
         liveDf.join(
             Store.read(spark, statsDir).select(col("file"),
-              BloomSketch.mightContain(col("bloom"), xxhash64(key)).as("keep")),
+              BloomSketch.mightContain(col("bloom"), xxhash64(keys: _*))
+                .as("keep")),
             Seq("file"), "left_outer")
           .filter(coalesce(col("keep"), lit(true)))
           .select(col("file")).distinct()
           .as[String].collect().toSeq.sorted
       }
-    val df = readCandidates(spark, files, col(keyCol) === key,
-      fallbackSchemaFrom = data)
+    val pred = keyCols.lazyZip(keys).map((c, k) => col(c) === k)
+      .reduce(_ && _)
+    val df = readCandidates(spark, files, pred, fallbackSchemaFrom = data)
     (df, (files.length, live.size))
   }
 
@@ -255,6 +330,7 @@ object BloomIndex {
       : (DataFrame, Seq[Seq[String]], (Int, Int)) = {
     import spark.implicits._
     require(keys.nonEmpty, "at least one lookup key")
+    verifyKeyCols(statsDir, Seq(keyCol))
     val data = Store.read(spark, dataDir)
     val live = data.inputFiles.map(canonPath).toSet
     val k = keys.length
@@ -321,6 +397,7 @@ object BloomIndex {
     import spark.implicits._
     require(dimKeys.columns.length == 1,
       s"dimKeys must be the single join-key column, got ${dimKeys.columns.toSeq}")
+    verifyKeyCols(statsDir, Seq(factKeyCol))
     val data = Store.read(spark, dataDir)
     val factType = data.schema(factKeyCol).dataType
     val dimType = dimKeys.schema.head.dataType
@@ -405,20 +482,31 @@ object BloomIndex {
     * fall back to full scans (correct, unpruned). */
   def maintainIndex(spark: SparkSession, dataDir: String, statsDir: String,
       keyCol: String, expectedPerFile: Long = 100000L,
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01): Unit =
+    maintainIndexMulti(spark, dataDir, statsDir, Seq(keyCol),
+      expectedPerFile, fpp)
+
+  /** [[maintainIndex]] for a composite-keyed index (sidecar-verified so a
+    * heal can never rebuild stats under the wrong hash). */
+  def maintainIndexMulti(spark: SparkSession, dataDir: String,
+      statsDir: String, keyCols: Seq[String],
+      expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
     import spark.implicits._
+    if (Store.hasData(statsDir)) verifyKeyCols(statsDir, keyCols)
     val live = Store.read(spark, dataDir).inputFiles.map(canonPath).toSet
     val covered: Set[String] =
       if (Store.hasData(statsDir))
         Store.read(spark, statsDir).select($"file").as[String].collect().toSet
       else Set.empty
     val missing = (live -- covered).toSeq.sorted
-    if (missing.nonEmpty)
+    if (missing.nonEmpty) {
+      ensureKeyCols(statsDir, keyCols)
       Store.append(
-        statsFor(spark, spark.read.parquet(missing: _*), keyCol,
+        statsFor(spark, spark.read.parquet(missing: _*), keyCols,
           expectedPerFile, fpp)
           .coalesce(statsNumFiles(missing.length, expectedPerFile, fpp)),
         statsDir)
+    }
     if (Store.hasData(statsDir)) {
       // the live listing is recomputed INSIDE the rewrite, at image time:
       // a semi-join against the listing taken above would drop the stats
