@@ -155,6 +155,13 @@ object Store {
       throw new IOException(s"staged batch $tmp lost its liveness sentinel " +
         "(swept as stale mid-write); NOT committed — the batch on disk may " +
         "be a straggler-recreated partial. Re-stage and retry the append")
+    // renameTo PRESERVES the sentinel's mtime (= stage start), so for
+    // exactly the slow-stage entries the sweep targets, the claim would be
+    // born already stale and the sweeper's "skip a live committer's claim"
+    // guard would never protect the in-flight tmp→fin rename. Stamp the
+    // claim at claim time so stale(claim) measures time since the commit
+    // began — the claim→rename gap really is microseconds.
+    claim.setLastModified(System.currentTimeMillis()): Unit
     val ok =
       try tmp.renameTo(fin)
       catch { case e: Throwable => claim.renameTo(liveSentinel(tmp)): Unit; throw e }
@@ -425,6 +432,50 @@ object Store {
     * of one data-compaction cycle. */
   def tombstoneDir(dir: String): String = dir + ".tombstones"
 
+  /** The `delta-<id>` segment of a store FILE path, parsed relative to
+    * the store layout instead of scanning the whole path: a
+    * `find(_.startsWith("delta-"))` over every segment would bind to an
+    * ANCESTOR directory that happens to be named `delta-*` (plausible in
+    * a lake path, e.g. `/lake/delta-bronze/store/...`), mapping every
+    * file to that segment — tombstone retirement would then never match
+    * a real delta dir and re-admitted keys would stay suppressed forever.
+    * A store file is `<store>/<file>` or `<store>/delta-<id>/<file>`, so
+    * the delta segment, when present, is exactly the file's PARENT
+    * component with the store dir as grandparent. */
+  private[graft] def deltaSegment(storeDir: String, p: String): Option[String] = {
+    val segs = p.split('/').filter(_.nonEmpty)
+    val storeName = new File(storeDir).getName
+    if (segs.length >= 3 && segs(segs.length - 2).startsWith("delta-") &&
+        segs(segs.length - 3) == storeName)
+      Some(segs(segs.length - 2))
+    else None
+  }
+
+  // The tombstone key column is recorded DURABLY in a sidecar (CREATE_NEW
+  // — exactly one creator wins), not inferred from whichever deltas are
+  // currently live: two concurrent FIRST deletes with different column
+  // names would otherwise both pass the hasData() check and admit a
+  // mixed-schema tombstone store, where antiTombstones' columns.head picks
+  // one column and the other's bans read as NULL keys — silently never
+  // applied by the left_anti join. Same pattern as BloomIndex's .keycols.
+  private def tombstoneKeyFile(tsd: String) = new File(tsd + ".keycol")
+
+  private def ensureTombstoneKey(tsd: String, keyCol: String): Unit = {
+    val f = tombstoneKeyFile(tsd)
+    val parent = f.getAbsoluteFile.getParentFile
+    if (parent != null) parent.mkdirs(): Unit
+    try java.nio.file.Files.write(f.toPath,
+      keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(got == keyCol,
+          s"store deletes are keyed by '$got'; got '$keyCol'")
+    }
+  }
+
   /** Admit a delete: `keys` is a single-column frame named after the data
     * column it bans. Same idempotency contract as [[appendMaybeIdempotent]]
     * (an id'd replay no-ops, including after the tombstone was consumed).
@@ -433,11 +484,7 @@ object Store {
     require(keys.columns.length == 1,
       s"tombstone batch must be the single key column, got ${keys.columns.toSeq}")
     val tsd = tombstoneDir(dir)
-    if (hasData(tsd)) {
-      val existing = read(keys.sparkSession, tsd).columns.head
-      require(existing == keys.columns.head,
-        s"store $dir deletes are keyed by '$existing'; got '${keys.columns.head}'")
-    }
+    ensureTombstoneKey(tsd, keys.columns.head)
     appendMaybeIdempotent(keys.distinct(), tsd, id)
   }
 
@@ -447,6 +494,10 @@ object Store {
     if (!hasData(tsd)) df
     else {
       val ts = read(spark, tsd)
+      require(ts.columns.length == 1,
+        s"tombstone store $tsd has a mixed schema ${ts.columns.toSeq} — " +
+          "bans in a non-head column would read as NULL keys and be " +
+          "silently skipped by the anti join; refusing to serve")
       val kc = ts.columns.head
       require(df.columns.contains(kc),
         s"frame lacks the tombstone key column '$kc' of store $dir")
@@ -498,7 +549,7 @@ object Store {
         // frozen at the image's own file index — the same no-loss
         // reasoning as compactImage's includedIds
         val consumed: Seq[String] = ts.inputFiles.flatMap(p =>
-          p.split('/').find(_.startsWith("delta-"))).distinct.toSeq
+          deltaSegment(tsd, p)).distinct.toSeq
         val keys = ts.select(ts.col(kc)).distinct()
         compactImage(spark, dir, read(spark, dir), numFiles,
           img => rewrite(img.join(keys, Seq(kc), "left_anti")),
@@ -779,7 +830,7 @@ object Store {
     // exactly which deltas the image folded: from its FROZEN file index —
     // a pre-listing could disagree with what the write actually reads
     val includedIds: Set[String] = image.inputFiles.flatMap { p =>
-      p.split('/').find(_.startsWith("delta-")).map(_.stripPrefix("delta-"))
+      deltaSegment(dir, p).map(_.stripPrefix("delta-"))
     }.toSet
     // admission markers must survive the swap for every FOLDED delta (and
     // every already-marked id) so an idempotent replay still skips after
@@ -830,16 +881,30 @@ object Store {
             }
           }
         zRanges match {
-          case Some(ranges) =>
+          case Some(ranges) if numFiles > 1 =>
             val zc = s"__z_${UUID.randomUUID().toString.take(8)}"
             shaped.withColumn(zc, Layout.zValue(ranges))
               .repartitionByRange(numFiles, col(zc))
               .sortWithinPartitions(col(zc))
               .drop(zc)
+          case Some(ranges) =>
+            // single-file fold: a range "partitioning" into 1 slice is a
+            // SinglePartition EXCHANGE — the whole folded image funneled
+            // through one network task. coalesce(1) + in-file sort writes
+            // the identical single sorted file with zero shuffle.
+            val zc = s"__z_${UUID.randomUUID().toString.take(8)}"
+            shaped.withColumn(zc, Layout.zValue(ranges))
+              .coalesce(1)
+              .sortWithinPartitions(col(zc))
+              .drop(zc)
           case None =>
             val cols = clusterBy.map(col)
-            shaped.repartitionByRange(numFiles, cols: _*)
-              .sortWithinPartitions(cols: _*)
+            if (numFiles > 1)
+              shaped.repartitionByRange(numFiles, cols: _*)
+                .sortWithinPartitions(cols: _*)
+            else
+              // same reasoning as the zOrder single-file case above
+              shaped.coalesce(1).sortWithinPartitions(cols: _*)
         }
       }
     out.write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -356,7 +356,16 @@ object ZoneMaps {
           col(s"max_$c").isNotNull && col(s"max_$c") < hi &&
           coalesce(col(s"nnull_$c") === 0L, lit(false))
       }
-      .reduce(_ && _)
+      .reduce(_ && _) &&
+      // target-tracking proof: a stats row admitted before `targetCol`
+      // was in `cols` reads min_/max_/nnull_<target> as NULL through
+      // mergeSchema — min/max would silently IGNORE its NULLs and drop
+      // the file's rows from the answer. Require the row to prove it
+      // tracked the target (nnull is written for every tracked column,
+      // even an all-null slice, which then correctly contributes
+      // nothing); an untracked row falls through to the scan branch via
+      // `intersects && !contained`.
+      col(s"nnull_$targetCol").isNotNull
     val provablyEmpty = preds
       .map { case (c, _, _) =>
         col(s"nnull_$c").isNotNull && col(s"nnull_$c") === col("n_rows")

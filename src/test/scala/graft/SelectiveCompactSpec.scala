@@ -155,6 +155,70 @@ class SelectiveCompactSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("single-file clustered fold is shuffle-free: coalesce + in-file sort, zero exchanges") {
+    // Round-12 regression (PlanLintSpec AQE-ON): a clustered fold whose
+    // byte-derived count collapsed to 1 file planned
+    // repartitionByRange(1, …) = a data-bearing SinglePartition EXCHANGE —
+    // the whole folded image funneled through one network task. The fix
+    // takes the zero-exchange path (coalesce(1).sortWithinPartitions);
+    // this pins it: NO shuffle exchange anywhere in any execution the
+    // fold triggers, and the output is still one sorted file.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: QueryStageExec => shuffles(s.plan)
+      case e: ShuffleExchangeExec =>
+        s"Exchange ${e.outputPartitioning} over ${e.child.nodeName}" +:
+          e.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val base = tmp()
+    try {
+      val dir = s"$base/store"
+      assert(Store.appendIdempotent(batch("a", 500), dir, "a"))
+      assert(Store.appendIdempotent(batch("b", 500), dir, "b"))
+      val captured =
+        new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { captured.add(qe.executedPlan): Unit }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val rep = Store.compactSelective(spark, dir, minFileBytes = 1L << 20,
+          targetBytes = 1L << 30, clusterBy = Seq("i"))
+        assert(rep.foldedDeltas == 2 && rep.foldedFiles == 2)
+        // the listener fires on a bus thread: drain until stable
+        var last = -1; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val n = captured.size
+          if (n == last) same += 1 else { same = 0; last = n }
+        }
+        import scala.jdk.CollectionConverters._
+        val plans = captured.asScala.toSeq
+        assert(plans.nonEmpty, "no executions captured")
+        val found = plans.flatMap(shuffles)
+        assert(found.isEmpty,
+          s"single-file fold must not shuffle: ${found.mkString("; ")}")
+      } finally spark.listenerManager.unregister(listener)
+      val fs = baseFiles(dir)
+      assert(fs.size == 1, s"expected one compacted file, got ${fs.keySet}")
+      val back = Store.read(spark, dir)
+      assert(back.count() == 1000)
+      // in-file clustering survived: the single file is sorted by i
+      val vals = spark.read.parquet(new File(dir, fs.keySet.head).toString)
+        .select("i").as[Long].collect()
+      assert(vals.sameElements(vals.sorted), "file must be sorted by clusterBy")
+    } finally sweep(base)
+  }
+
   test("zone-mapped store: selective clustered maintenance keeps range pruning exact") {
     val base = tmp()
     try {
