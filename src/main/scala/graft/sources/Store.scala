@@ -162,6 +162,7 @@ object Store {
     // claim at claim time so stale(claim) measures time since the commit
     // began — the claim→rename gap really is microseconds.
     claim.setLastModified(System.currentTimeMillis()): Unit
+    ProtocolPoints.pause("store.claimed")
     val ok =
       try tmp.renameTo(fin)
       catch { case e: Throwable => claim.renameTo(liveSentinel(tmp)): Unit; throw e }
