@@ -39,7 +39,13 @@ import scala.util.Random
   *  2. never torn, never doubled — every visible batch has exactly R rows;
   *  3. no phantoms — only admitted batch keys are ever visible;
   *  4. replay no-op — re-admitting any used id returns false and changes
-  *     nothing, including after compactions folded the id's delta away.
+  *     nothing, including after compactions folded the id's delta away;
+  *  5. deletes (round-12 face): a batch whose deleteByKeys RETURNED before
+  *     a read began is never visible to that readLive (no resurrection);
+  *     a batch is only ever absent if its delete was at least INTENDED
+  *     (no loss through the delete path); after the final deleting
+  *     compaction every tombstone is retired and a re-admitted key is
+  *     visible again (no suppression-forever).
   *
   * A read overlapping the swap's two-rename window may FAIL (the
   * documented residual exclusion window); a failed read is retried, but a
@@ -53,6 +59,7 @@ class StoreFuzzSpec extends AnyFunSuite {
   private val OpsPerWriter = 4
   private val Writers = 2
   private val Compactions = 3
+  private val Deletes = 2
 
   private def batchDf(key: String): DataFrame = {
     import spark.implicits._
@@ -89,6 +96,11 @@ class StoreFuzzSpec extends AnyFunSuite {
     val admitted = new ConcurrentHashMap[String, java.lang.Long]()
     // ids admitted via the idempotent path — replay candidates
     val idempotentIds = new ConcurrentLinkedQueue[String]()
+    // delete bookkeeping: INTENT recorded before deleteByKeys is called
+    // (an absence is only excusable if intent exists — no silent loss),
+    // DONE recorded after it returns (happens-before for no-resurrection)
+    val deleteIntent = new ConcurrentHashMap[String, java.lang.Long]()
+    val deleteDone = new ConcurrentHashMap[String, java.lang.Long]()
     val failures = new ConcurrentLinkedQueue[Throwable]()
 
     def dwellHook(rnd: Random): String => Unit =
@@ -97,15 +109,21 @@ class StoreFuzzSpec extends AnyFunSuite {
     def checkRead(): Unit = {
       val t0 = System.nanoTime()
       val counts: Map[String, Long] =
-        try Store.read(spark, store).groupBy("batch").count()
+        try Store.readLive(spark, store).groupBy("batch").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         catch { case _: Exception => return } // swap window: retried later
       counts.foreach { case (b, n) =>
         assert(n == R, s"seed=$seed torn or doubled batch $b: $n rows (want $R)")
         assert(admitted.containsKey(b), s"seed=$seed phantom batch $b")
+        // no resurrection: a delete that RETURNED before this read began
+        // must suppress the batch in every subsequent readLive (deleted
+        // keys are never re-admitted during the walk)
+        val d = deleteDone.get(b)
+        assert(d == null || d >= t0,
+          s"seed=$seed RESURRECTED batch $b: deleted before this read began")
       }
       admitted.asScala.foreach { case (b, t) =>
-        assert(t >= t0 || counts.contains(b),
+        assert(t >= t0 || counts.contains(b) || deleteIntent.containsKey(b),
           s"seed=$seed LOST batch $b: admitted before this read began, not visible")
       }
     }
@@ -171,13 +189,42 @@ class StoreFuzzSpec extends AnyFunSuite {
         // cycles run SELECTIVE (fold deltas + undersized files, hard-link
         // the rest) with a randomized size threshold so both keep-and-fold
         // splits are walked under racing admissions.
-        try {
-          if (rnd.nextBoolean())
+        try rnd.nextInt(3) match {
+          case 0 =>
             Store.compactSelective(spark, store,
               minFileBytes = 1L + rnd.nextInt(4000)): Unit
-          else Store.compact(spark, store, numFiles = 1 + rnd.nextInt(2))
+          case 1 =>
+            Store.compact(spark, store, numFiles = 1 + rnd.nextInt(2))
+          case _ =>
+            // the deleting compaction: physically drops tombstoned rows
+            // and retires consumed tombstone deltas, racing live admits,
+            // deletes, and reads
+            Store.compactWithDeletes(spark, store, numFiles = 1 + rnd.nextInt(2))
         } catch { case _: java.io.IOException => () }
         c += 1
+      }
+    }
+
+    spawn(s"fuzz-$seed-deleter") {
+      val rnd = new Random(seed * 31337 + 7)
+      ProtocolPoints.install(dwellHook(rnd))
+      var d = 0
+      while (d < Deletes && failures.isEmpty) {
+        Thread.sleep(rnd.nextInt(50).toLong)
+        // pick an admitted key not yet targeted; deleted keys are never
+        // re-admitted during the walk, so suppression must be permanent
+        val candidates = admitted.keySet().asScala.toIndexedSeq
+          .filterNot(deleteIntent.containsKey).sorted
+        if (candidates.nonEmpty) {
+          val victim = candidates(rnd.nextInt(candidates.size))
+          deleteIntent.put(victim, System.nanoTime())
+          import spark.implicits._
+          retrying(seed, s"delete $victim")(
+            Store.deleteByKeys(Seq(victim).toDF("batch"), store,
+              Some(s"del-${victim.replace('.', '-')}")))
+          deleteDone.put(victim, System.nanoTime()): Unit
+          d += 1
+        }
       }
     }
 
@@ -197,21 +244,43 @@ class StoreFuzzSpec extends AnyFunSuite {
       assert(threads.forall(!_.isAlive), s"seed=$seed threads hung")
       failures.asScala.headOption.foreach(e => throw e)
 
-      // quiesced end-state: one final recovery + compaction, then exact checks
+      // quiesced end-state: one final recovery + DELETING compaction
+      // (consumes and retires every tombstone), then exact checks
       Store.recoverStale(store)
-      Store.compact(spark, store, numFiles = 1)
+      Store.compactWithDeletes(spark, store, numFiles = 1)
+      assert(!Store.hasData(Store.tombstoneDir(store)),
+        s"seed=$seed tombstones not retired by the final deleting compaction")
+      val deleted = deleteIntent.keySet().asScala.toSet
+      val expect = admitted.keySet().asScala.toSet -- deleted
       val end = Store.read(spark, store).groupBy("batch").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(end.keySet == admitted.keySet().asScala.toSet,
+      assert(end.keySet == expect,
         s"seed=$seed end-state batch set mismatch: " +
-          s"missing=${admitted.keySet().asScala.toSet -- end.keySet} " +
-          s"phantom=${end.keySet -- admitted.keySet().asScala}")
+          s"missing=${expect -- end.keySet} " +
+          s"phantom=${end.keySet -- expect}")
       assert(end.values.forall(_ == R),
         s"seed=$seed end-state torn/doubled: ${end.filter(_._2 != R)}")
-      // every idempotent id must still replay as a no-op post-compaction
+      // every idempotent id must still replay as a no-op post-compaction —
+      // including DELETED ids, whose rows must stay dropped (the replay's
+      // marker survived both the fold and the tombstone retirement)
       idempotentIds.asScala.foreach { id =>
         assert(!Store.appendIdempotent(batchDf(id), store, id),
           s"seed=$seed id $id re-admitted after final compaction")
+      }
+      val endAfterReplay = Store.readLive(spark, store)
+        .groupBy("batch").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(endAfterReplay.keySet == expect,
+        s"seed=$seed replays changed the visible set: " +
+          s"${endAfterReplay.keySet.diff(expect) ++ expect.diff(endAfterReplay.keySet)}")
+      // no suppression-forever: a key RE-ADMITTED after the deleting
+      // compaction consumed its tombstone is visible again
+      deleted.headOption.foreach { k =>
+        Store.append(batchDf(k), store)
+        val n = Store.readLive(spark, store)
+          .where(s"batch = '$k'").count()
+        assert(n == R,
+          s"seed=$seed re-admission of retired key $k invisible: $n rows")
       }
     } finally {
       FileUtils.deleteQuietly(new java.io.File(root)): Unit
