@@ -404,11 +404,19 @@ object ZoneScan {
           q1, "l_extendedprice")
         val (dates, _) = ZoneMaps.minMaxRangeIndexed(spark, dataDir, statsDir,
           h1, "l_shipdate")
-        price.select($"min_l_extendedprice".as("min_price"),
-            $"max_l_extendedprice".as("max_price"))
-          .crossJoin(dates.select($"min_l_shipdate".as("min_sd"),
-            $"max_l_shipdate".as("max_sd")))
-          .localCheckpoint(true)
+        // both are 1-row aggregates BY CONSTRUCTION: assemble the result
+        // row driver-side instead of cross-joining two checkpoint scans
+        // (a BNLJ whose build side the plan linter cannot prove bounded)
+        val (p, d) = (price.head(), dates.head()) // bounded: 1-row aggs
+        import org.apache.spark.sql.types.{StructField, StructType}
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(p.get(0), p.get(1), d.get(0), d.get(1))),
+          StructType(Seq(
+            StructField("min_price", price.schema(0).dataType),
+            StructField("max_price", price.schema(1).dataType),
+            StructField("min_sd", dates.schema(0).dataType),
+            StructField("max_sd", dates.schema(1).dataType))))
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
@@ -530,6 +538,60 @@ object ZoneScan {
       |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
       |  AND l_linenumber = 1""".stripMargin
 
+  /** SUM/AVG pushdown to zone metadata
+    * ([[graft.sources.ZoneMaps.sumRangeIndexed]]) — completes the
+    * aggregate-pushdown family (q87 COUNT, q89 MIN/MAX): the Q1-1997
+    * quantity SUM, non-null COUNT, and their AVG are answered from
+    * covered files' stored per-file sums, scanning only boundary files.
+    * l_quantity is integer-valued, so the metadata sum (sum of per-file
+    * sums) is exact in any addition order and hash-matches the oracle's
+    * full-table sum. The metadata/scan split must be result-invisible;
+    * eligibility proofs (pre-sum rows, all-null slices, untracked
+    * targets) are pinned in ZoneMapStoreSpec. */
+  def q91ZoneSumPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zonesum_")
+    val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val cols = Seq("l_shipdate", "l_quantity")
+      def shaped(half: Int) = li
+        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
+        .repartitionByRange(8, $"l_shipdate")
+        .sortWithinPartitions($"l_shipdate")
+      Phases.time("admit") {
+        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, cols, "h0"): Unit
+        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, cols, "h1"): Unit
+      }
+      Phases.time("build") {
+        graft.sources.Store.compactSelective(spark, dataDir,
+          minFileBytes = 1L, targetBytes = 256L << 10,
+          clusterBy = Seq("l_shipdate")): Unit
+        ZoneMaps.maintainIndex(spark, dataDir, statsDir, cols)
+      }
+      Phases.time("serve") {
+        val q1 = Seq(("l_shipdate", lit("1997-01-01").cast("timestamp"),
+          lit("1997-04-01").cast("timestamp")))
+        val (agg, _) = ZoneMaps.sumRangeIndexed(spark, dataDir, statsDir,
+          q1, "l_quantity")
+        agg.select($"sum_l_quantity".as("sum_qty"),
+            $"cnt_l_quantity".as("cnt_qty"),
+            ($"sum_l_quantity" / $"cnt_l_quantity").as("avg_qty"))
+          .localCheckpoint(true)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+    }
+  }
+
+  val q91Sql: String =
+    """SELECT sum(l_quantity) AS sum_qty,
+      |       count(l_quantity) AS cnt_qty,
+      |       sum(l_quantity) / count(l_quantity) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_zonemap_scan" -> (q79ZonemapScan _),
     "q82_bloom_lookup" -> (q82BloomLookup _),
@@ -540,7 +602,8 @@ object ZoneScan {
     "q87_zone_count_pushdown" -> (q87ZoneCountPushdown _),
     "q88_store_delete" -> (q88StoreDelete _),
     "q89_zone_minmax_pushdown" -> (q89ZoneMinMaxPushdown _),
-    "q90_bloom_composite_lookup" -> (q90BloomCompositeLookup _))
+    "q90_bloom_composite_lookup" -> (q90BloomCompositeLookup _),
+    "q91_zone_sum_pushdown" -> (q91ZoneSumPushdown _))
 
   val oracles: Map[String, String] = Map(
     "q79_zonemap_scan" -> q79Sql,
@@ -552,5 +615,6 @@ object ZoneScan {
     "q87_zone_count_pushdown" -> q87Sql,
     "q88_store_delete" -> q88Sql,
     "q89_zone_minmax_pushdown" -> q89Sql,
-    "q90_bloom_composite_lookup" -> q90Sql)
+    "q90_bloom_composite_lookup" -> q90Sql,
+    "q91_zone_sum_pushdown" -> q91Sql)
 }

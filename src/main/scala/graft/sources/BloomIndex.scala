@@ -23,11 +23,15 @@ import graft.functions.BloomSketch
   * Scale discipline (the part that matters at 100 TB):
   *  - BUILD is one distributed pass grouped by `_metadata.file_path`; the
   *    shuffle carries partially-merged filters, |files|-scale, never rows.
-  *  - PROBE never collects filters: blooms can be ~100 KB each (a million
-  *    files -> ~100 GB — driver-fatal, unlike zone maps' ~100 B rows), so
-  *    the membership test runs as a DISTRIBUTED filter over the stats
-  *    table and only the surviving file NAMES come back to the driver —
-  *    bounded by true hits + fpp stragglers, not by |files|.
+  *  - PROBE never collects filters by default: blooms can be ~100 KB each
+  *    (a million files -> ~100 GB — driver-fatal, unlike zone maps'
+  *    ~100 B rows), so the membership test runs as a DISTRIBUTED filter
+  *    over the stats table and only the surviving file NAMES come back to
+  *    the driver — bounded by true hits + fpp stragglers, not by |files|.
+  *    The one exception is the SERVE CACHE (see its section below): stats
+  *    stores under a declared byte budget may pin their deserialized
+  *    filters driver-side for point-lookup latency — the same
+  *    bounded-driver-object discipline as the IVF codebook.
   *  - Keys are pre-hashed with codegen'd `xxhash64` on both sides, so the
   *    aggregate and probe are monomorphic longs and the filter never
   *    stores raw key bytes. */
@@ -253,8 +257,112 @@ object BloomIndex {
           log.warn(s"bloom stats for delta-$id skipped (data admitted; " +
             s"file stays uncovered until maintainIndex heals)", e)
       }
+      invalidateServeCache(statsDir)
     }
     admitted
+  }
+
+  // ── Serve cache: driver-resident stats for point-lookup latency ───────
+  //
+  // The distributed probe is the 100 TB-safe default, but a SERVING
+  // deployment answering point lookups pays a full Spark job per probe
+  // just to decide "which files?" — a scheduler round-trip in front of
+  // every lookup (bench p50 was ~0.5 s). This cache keeps the
+  // DESERIALIZED filters on the driver for stats stores under a declared
+  // byte budget, keyed by the store's CONTENT VERSION (its top-level
+  // listing — every admission, heal, compaction, and retirement commits
+  // by renaming into the top level, so any change is visible there):
+  //
+  //  - version match -> probe the cached filters in-process (no job);
+  //  - version drift -> one refresh pass, then in-process probes again;
+  //  - over budget, or non-literal probe keys -> the distributed pass.
+  //
+  // Staleness degrades to SCANNING, by construction rather than by
+  // invalidation: the live file listing is taken fresh on every lookup, a
+  // live file the cached stats do not cover is read unconditionally, and
+  // a cached row for a dead file falls out of the live set. File names
+  // are never reused (admission ids are unique, rewrites mint fresh UUID
+  // part names), so a cached name can never resolve to different bytes.
+  // Writers in THIS JVM also invalidate proactively; other writers are
+  // caught by the version key. Spec: ServeCacheSpec.
+
+  private final case class ServeEntry(version: String,
+      blooms: Map[String, org.apache.spark.util.sketch.BloomFilter])
+  private val serveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ServeEntry]()
+
+  /** Driver-side budget for cached filters, per stats store (mutable so a
+    * serving deployment — and the spec — can size it to its driver). */
+  @volatile private[graft] var serveCacheMaxBytes: Long =
+    sys.env.get("GRAFT_SERVE_CACHE_MAX_BYTES").map(_.toLong)
+      .getOrElse(256L << 20)
+
+  private def cacheKey(statsDir: String): String =
+    new java.io.File(statsDir).getAbsolutePath
+
+  private[graft] def invalidateServeCache(statsDir: String): Unit =
+    serveCache.remove(cacheKey(statsDir)): Unit
+
+  /** Content-version fingerprint: the top-level listing with kinds,
+    * sizes, and mtimes. Commit protocol guarantees every visible change
+    * renames something into (or out of) the top level. */
+  private[graft] def contentVersion(statsDir: String): String = {
+    val fs = new java.io.File(statsDir).listFiles()
+    if (fs == null) "absent"
+    else fs.iterator.map(f =>
+      s"${f.getName}/${f.isDirectory}/${f.length()}/${f.lastModified()}")
+      .toSeq.sorted.mkString("|")
+  }
+
+  private def diskBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.iterator.map(diskBytes).sum
+    }
+
+  /** The cached (or freshly refreshed) filter map; None when the store
+    * exceeds the driver budget — callers run the distributed pass. The
+    * version is taken BEFORE the refresh read, so a stats append racing
+    * the refresh leaves a cache newer than its recorded version (the next
+    * lookup refreshes again) — never the reverse. */
+  private def cachedBlooms(spark: SparkSession, statsDir: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = {
+    val key = cacheKey(statsDir)
+    val ver = contentVersion(statsDir)
+    val hit = serveCache.get(key)
+    if (hit != null && hit.version == ver) return Some(hit.blooms)
+    if (diskBytes(new java.io.File(statsDir)) > serveCacheMaxBytes) {
+      serveCache.remove(key)
+      return None
+    }
+    val rows = Store.read(spark, statsDir)
+      .select(col("file"), col("bloom")).collect()
+    // duplicate rows for one file (heal racing admit): either is correct
+    val m = rows.iterator.map { r =>
+      r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+    serveCache.put(key, ServeEntry(ver, m)): Unit
+    Some(m)
+  }
+
+  /** xxhash64 of the probe tuple computed in-process — only when every
+    * key is a foldable deterministic literal (the serving case);
+    * expression-valued probes fall back to the distributed pass. Hashes
+    * EXACTLY like the admission side's `xxhash64(cols)`: the same
+    * catalyst XxHash64, seed 42. */
+  private def literalHash(spark: SparkSession, keys: Seq[Column]): Option[Long] = {
+    val exprs =
+      try keys.map(k =>
+        org.apache.spark.sql.GraftBridge.resolvedExpression(spark, k))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (exprs.forall(e => e.resolved && e.foldable && e.deterministic))
+      try Some(new org.apache.spark.sql.catalyst.expressions.XxHash64(exprs)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long])
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
   }
 
   /** Point lookup over a bloom-indexed Store. Decision per LIVE data file:
@@ -277,35 +385,44 @@ object BloomIndex {
     require(keys.size == keyCols.size,
       s"probe arity ${keys.size} != key columns ${keyCols.size}")
     verifyKeyCols(statsDir, keyCols)
-    val data = Store.read(spark, dataDir)
-    // |files|-bounded, the same order as Spark's own file index (which the
-    // Store.read above already drove through the driver); everything FROM
-    // here is survivor-bounded
-    val live = data.inputFiles.map(canonPath).toSet
+    // |files|-bounded driver-side listing (no DataFrame: Store.read's
+    // mergeSchema pays a footer-merge JOB per call — fatal for serve
+    // latency); everything FROM here is survivor-bounded
+    val live = Store.liveFiles(dataDir).toSet
+    // decide per live file DISTRIBUTED-side: covered -> its bloom
+    // decides; uncovered (left-join miss: crash window or a compaction
+    // rename) -> read unconditionally. Stale stats rows for dead files
+    // fall out of the left join. Only the files-to-READ come back —
+    // true hits + fpp stragglers + uncovered, never an |files| flag
+    // list. distinct() guards against a heal racing an admit leaving
+    // two stats rows for one file (either row alone is correct; a
+    // duplicated name must not make the reader scan the file twice).
+    def distributedDecision(): Seq[String] = {
+      val liveDf = live.toSeq.toDF("file")
+      liveDf.join(
+          Store.read(spark, statsDir).select(col("file"),
+            BloomSketch.mightContain(col("bloom"), xxhash64(keys: _*))
+              .as("keep")),
+          Seq("file"), "left_outer")
+        .filter(coalesce(col("keep"), lit(true)))
+        .select(col("file")).distinct()
+        .as[String].collect().toSeq.sorted
+    }
     val files: Seq[String] =
       if (!Store.hasData(statsDir)) live.toSeq.sorted
-      else {
-        // decide per live file DISTRIBUTED-side: covered -> its bloom
-        // decides; uncovered (left-join miss: crash window or a compaction
-        // rename) -> read unconditionally. Stale stats rows for dead files
-        // fall out of the left join. Only the files-to-READ come back —
-        // true hits + fpp stragglers + uncovered, never an |files| flag
-        // list. distinct() guards against a heal racing an admit leaving
-        // two stats rows for one file (either row alone is correct; a
-        // duplicated name must not make the reader scan the file twice).
-        val liveDf = live.toSeq.toDF("file")
-        liveDf.join(
-            Store.read(spark, statsDir).select(col("file"),
-              BloomSketch.mightContain(col("bloom"), xxhash64(keys: _*))
-                .as("keep")),
-            Seq("file"), "left_outer")
-          .filter(coalesce(col("keep"), lit(true)))
-          .select(col("file")).distinct()
-          .as[String].collect().toSeq.sorted
-      }
+      else literalHash(spark, keys).flatMap(h =>
+        // serve path: same per-live-file decision, filters probed
+        // in-process (uncovered -> forall on None = read unconditionally)
+        cachedBlooms(spark, statsDir).map(blooms =>
+          live.toSeq.sorted.filter(f =>
+            blooms.get(f).forall(_.mightContainLong(h)))))
+        .getOrElse(distributedDecision())
     val pred = keyCols.lazyZip(keys).map((c, k) => col(c) === k)
       .reduce(_ && _)
-    val df = readCandidates(spark, files, pred, fallbackSchemaFrom = data)
+    // fallback schema frame is BY-NAME: only built (and only then paying
+    // the schema-merge job) when the candidate set is empty
+    val df = readCandidates(spark, files, pred,
+      fallbackSchemaFrom = Store.read(spark, dataDir))
     (df, (files.length, live.size))
   }
 
@@ -331,24 +448,42 @@ object BloomIndex {
     import spark.implicits._
     require(keys.nonEmpty, "at least one lookup key")
     verifyKeyCols(statsDir, Seq(keyCol))
-    val data = Store.read(spark, dataDir)
-    val live = data.inputFiles.map(canonPath).toSet
+    // driver-side listing, same rationale as lookupIndexedMulti's
+    val live = Store.liveFiles(dataDir).toSet
     val k = keys.length
     val collected: Seq[(String, Seq[Boolean])] =
       if (!Store.hasData(statsDir))
         live.toSeq.sorted.map(f => f -> Seq.fill(k)(true))
       else {
-        val hashes = array(keys.map(key => xxhash64(key)): _*)
-        val liveDf = live.toSeq.toDF("file")
-        liveDf.join(
-            Store.read(spark, statsDir).select(col("file"),
-              BloomSketch.containsFlags(col("bloom"), hashes).as("flags")),
-            Seq("file"), "left_outer")
-          .select(col("file"),
-            coalesce(col("flags"),
-              array_repeat(lit(true), lit(k))).as("flags"))
-          .filter(exists(col("flags"), identity))
-          .as[(String, Seq[Boolean])].collect().toSeq
+        // serve path: every probe key hashed in-process, each cached
+        // filter deserialized ONCE for its lifetime (vs once per batch in
+        // the distributed pass)
+        val hashOpts = keys.map(key => literalHash(spark, Seq(key)))
+        val served: Option[Seq[(String, Seq[Boolean])]] =
+          if (hashOpts.forall(_.isDefined))
+            cachedBlooms(spark, statsDir).map { blooms =>
+              val hs = hashOpts.map(_.get)
+              live.toSeq.sorted
+                .map(f => f -> (blooms.get(f) match {
+                  case Some(b) => hs.map(b.mightContainLong)
+                  case None => Seq.fill(k)(true)
+                }))
+                .filter(_._2.exists(identity))
+            }
+          else None
+        served.getOrElse {
+          val hashes = array(keys.map(key => xxhash64(key)): _*)
+          val liveDf = live.toSeq.toDF("file")
+          liveDf.join(
+              Store.read(spark, statsDir).select(col("file"),
+                BloomSketch.containsFlags(col("bloom"), hashes).as("flags")),
+              Seq("file"), "left_outer")
+            .select(col("file"),
+              coalesce(col("flags"),
+                array_repeat(lit(true), lit(k))).as("flags"))
+            .filter(exists(col("flags"), identity))
+            .as[(String, Seq[Boolean])].collect().toSeq
+        }
       }
     // a heal racing an admit can leave two stats rows for one file; merge
     // per-key flags with OR (either row alone is correct — disagreement is
@@ -361,7 +496,7 @@ object BloomIndex {
       survivors.collect { case (f, flags) if flags(i) => f })
     val pred = keys.map(key => col(keyCol) === key).reduce(_ || _)
     val df = readCandidates(spark, survivors.map(_._1), pred,
-      fallbackSchemaFrom = data)
+      fallbackSchemaFrom = Store.read(spark, dataDir))
     (df, perKey, (survivors.length, live.size))
   }
 
@@ -524,5 +659,6 @@ object BloomIndex {
           stats.join(broadcast(liveNow), Seq("file"), "left_semi")
         }): Unit
     }
+    invalidateServeCache(statsDir)
   }
 }

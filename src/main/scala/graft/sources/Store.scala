@@ -229,6 +229,26 @@ object Store {
       !f.getName.startsWith(".") && !f.getName.startsWith("_"))
   }
 
+  /** The exact file set [[read]] scans, listed driver-side WITHOUT
+    * building a DataFrame: `read`'s mergeSchema option launches a
+    * distributed footer-merge job on every call, which a serving point
+    * lookup cannot afford just to learn the live file NAMES. Mirrors
+    * Spark's listing rule (every non-hidden FILE under `dir`,
+    * recursively; `.`/`_`-prefixed names skipped at every level) and
+    * renders paths exactly like `DataFrame.inputFiles` does, so set
+    * comparisons against index stats hold. */
+  private[graft] def liveFiles(dir: String): Seq[String] = {
+    def walk(f: File): Iterator[File] = {
+      val kids = f.listFiles()
+      if (kids == null) Iterator.empty
+      else kids.iterator
+        .filter(k => !k.getName.startsWith(".") && !k.getName.startsWith("_"))
+        .flatMap(k => if (k.isFile) Iterator.single(k) else walk(k))
+    }
+    walk(new File(dir))
+      .map(k => new org.apache.hadoop.fs.Path(k.toURI).toString).toSeq
+  }
+
   /** Number of committed delta directories awaiting compaction. */
   def deltaCount(dir: String): Int = {
     val fs = new File(dir).listFiles()

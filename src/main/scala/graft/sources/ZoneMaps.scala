@@ -124,9 +124,20 @@ object ZoneMaps {
     // read (min/max ignore nulls, so n_rows alone would overcount). Stats
     // written before this column existed read as NULL through mergeSchema
     // — the fast path treats unknown as "scan the file", never guesses.
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        count(when(col(c).isNull, lit(1))).as(s"nnull_$c")))
+    // sum_c (NUMERIC tracked columns only) rides along the same way for
+    // [[sumRangeIndexed]]: a contained file contributes its stored sum
+    // without being read; pre-sum rows read NULL and fall back to scan.
+    val numeric: Set[String] = dataFiles.schema.fields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSet
+    def perCol(c: String) =
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nnull_$c")) ++
+        (if (numeric(c)) Seq(sum(col(c)).as(s"sum_$c")) else Nil)
+    def perColNames(c: String) =
+      Seq(col(s"min_$c"), col(s"max_$c"), col(s"nnull_$c")) ++
+        (if (numeric(c)) Seq(col(s"sum_$c")) else Nil)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(perCol)
     dataFiles
       .select(col("_metadata.file_path").as("raw") +: cols.map(col): _*)
       .groupBy(col("raw"))
@@ -134,8 +145,67 @@ object ZoneMaps {
       // canonicalize AFTER the agg: the udf runs once per FILE, and the
       // canonical form is what set-compares against DataFrame.inputFiles
       .select(BloomIndex.canonPathUdf(col("raw")).as("file") +:
-        (col("n_rows") +: cols.flatMap(c =>
-          Seq(col(s"min_$c"), col(s"max_$c"), col(s"nnull_$c")))): _*)
+        (col("n_rows") +: cols.flatMap(perColNames)): _*)
+  }
+
+  // ── Serve cache: driver-resident zone stats ────────────────────────────
+  //
+  // The bloom serve cache's sibling, same protocol (content-version keyed,
+  // byte-budgeted, staleness degrades to scanning because live files are
+  // listed fresh per query and uncovered files are read unconditionally),
+  // different representation: zone stats rows are ~100 B of PLAIN VALUES
+  // per file — no filters to deserialize — so the cache holds the
+  // COLLECTED ROWS and serves them back as a LOCAL DataFrame. Every
+  // decision predicate (intersects/contained/provablyEmpty, with their
+  // type-aware comparisons over timestamps/decimals/strings) then runs
+  // through the SAME Column expressions as the distributed path —
+  // Catalyst folds Project/Filter over a LocalRelation at optimization
+  // time — instead of a re-implemented driver-side comparison that could
+  // silently diverge. What the cache removes is the per-query parquet
+  // read of the stats store, not the semantics.
+
+  private final case class StatsEntry(version: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: java.util.List[org.apache.spark.sql.Row])
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StatsEntry]()
+
+  /** Driver-side budget for cached zone stats, per stats store. */
+  @volatile private[graft] var statsCacheMaxBytes: Long =
+    sys.env.get("GRAFT_ZONE_CACHE_MAX_BYTES").map(_.toLong)
+      .getOrElse(256L << 20)
+
+  private def cacheKey(statsDir: String): String =
+    new java.io.File(statsDir).getAbsolutePath
+
+  private[graft] def invalidateStatsCache(statsDir: String): Unit =
+    statsCache.remove(cacheKey(statsDir)): Unit
+
+  private def diskBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.iterator.map(diskBytes).sum
+    }
+
+  /** The stats table as a DataFrame — served from the driver cache when
+    * the store's content version matches (refreshing once when it
+    * drifts), falling back to the parquet read when over budget. Both
+    * branches feed the identical decision expressions downstream. */
+  private def statsTable(spark: SparkSession, statsDir: String): DataFrame = {
+    val key = cacheKey(statsDir)
+    val ver = BloomIndex.contentVersion(statsDir)
+    val hit = statsCache.get(key)
+    if (hit != null && hit.version == ver)
+      return spark.createDataFrame(hit.rows, hit.schema)
+    if (diskBytes(new java.io.File(statsDir)) > statsCacheMaxBytes) {
+      statsCache.remove(key)
+      return Store.read(spark, statsDir)
+    }
+    val df = Store.read(spark, statsDir)
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    statsCache.put(key, StatsEntry(ver, df.schema, rows)): Unit
+    spark.createDataFrame(rows, df.schema)
   }
 
   /** Admit `df` into the data Store AND its per-file ranges into the
@@ -172,6 +242,7 @@ object ZoneMaps {
           log.warn(s"zone stats for delta-$id skipped (data admitted; " +
             s"file stays uncovered until maintainIndex heals)", e)
       }
+      invalidateStatsCache(statsDir)
     }
     admitted
   }
@@ -189,8 +260,9 @@ object ZoneMaps {
       : (DataFrame, (Int, Int)) = {
     import spark.implicits._
     require(preds.nonEmpty, "at least one range conjunct")
-    val data = Store.read(spark, dataDir)
-    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    // driver-side listing (no schema-merge job per probe — the
+    // BloomIndex.lookupIndexedMulti rationale)
+    val live = Store.liveFiles(dataDir).toSet
     val files: Seq[String] =
       if (!Store.hasData(statsDir)) live.toSeq.sorted
       else {
@@ -200,7 +272,7 @@ object ZoneMaps {
           }
           .reduce(_ && _)
         val liveDf = live.toSeq.toDF("file")
-        liveDf.join(Store.read(spark, statsDir), Seq("file"), "left_outer")
+        liveDf.join(statsTable(spark, statsDir), Seq("file"), "left_outer")
           .filter(keep)
           .select(col("file")).distinct()
           .as[String].collect().toSeq.sorted
@@ -209,7 +281,7 @@ object ZoneMaps {
       .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
       .reduce(_ && _)
     val df =
-      if (files.isEmpty) data.filter(lit(false))
+      if (files.isEmpty) Store.read(spark, dataDir).filter(lit(false))
       else spark.read.option("mergeSchema", "true")
         .parquet(files: _*).filter(pred)
     (df, (files.length, live.size))
@@ -235,8 +307,7 @@ object ZoneMaps {
       : (Long, (Int, Int)) = {
     import spark.implicits._
     require(preds.nonEmpty, "at least one range conjunct")
-    val data = Store.read(spark, dataDir)
-    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    val live = Store.liveFiles(dataDir).toSet
     val pred = preds
       .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
       .reduce(_ && _)
@@ -285,7 +356,7 @@ object ZoneMaps {
       .reduce(_ || _)
     val liveDf = live.toSeq.toDF("file")
     val row = liveDf
-      .join(Store.read(spark, statsDir), Seq("file"), "left_outer")
+      .join(statsTable(spark, statsDir), Seq("file"), "left_outer")
       .dropDuplicates("file")
       .agg(
         sum(when(contained && !provablyEmpty, contribution)).as("meta"),
@@ -325,15 +396,14 @@ object ZoneMaps {
       targetCol: String): (DataFrame, (Int, Int)) = {
     import spark.implicits._
     require(preds.nonEmpty, "at least one range conjunct")
-    val data = Store.read(spark, dataDir)
-    val live = data.inputFiles.map(BloomIndex.canonPath).toSet
+    val live = Store.liveFiles(dataDir).toSet
     val pred = preds
       .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
       .reduce(_ && _)
     val (minName, maxName) = (s"min_$targetCol", s"max_$targetCol")
     def scanned(files: Seq[String]): DataFrame =
       if (files.isEmpty)
-        data.filter(lit(false))
+        Store.read(spark, dataDir).filter(lit(false))
           .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
       else spark.read.option("mergeSchema", "true").parquet(files: _*)
         .filter(pred)
@@ -341,7 +411,7 @@ object ZoneMaps {
     if (!Store.hasData(statsDir))
       return (scanned(live.toSeq.sorted).localCheckpoint(true),
         (live.size, live.size))
-    val stats = Store.read(spark, statsDir)
+    val stats = statsTable(spark, statsDir)
     require(stats.columns.contains(minName) && stats.columns.contains(maxName),
       s"zone stats at $statsDir do not track '$targetCol' — " +
         s"admit/heal with it in `cols` to serve MIN/MAX from metadata")
@@ -387,6 +457,99 @@ object ZoneMaps {
         max(when(contained && !provablyEmpty, col(maxName))).as(maxName))
     val out = metaDf.unionByName(scanned(scanFiles))
       .agg(min(col(minName)).as(minName), max(col(maxName)).as(maxName))
+    (out.localCheckpoint(true), (scanFiles.length, live.size))
+  }
+
+  /** SUM + COUNT pushdown to zone metadata — the additive sibling of
+    * [[countRangeIndexed]]/[[minMaxRangeIndexed]], completing the
+    * aggregate-pushdown family: a covered file fully contained in every
+    * range conjunct (null-free on the predicate columns) contributes its
+    * stored per-file `sum_<target>` and non-null count (`n_rows -
+    * nnull_<target>`) WITHOUT being read; only boundary-straddling,
+    * uncovered, and pre-sum-upgrade files are scanned. Returns a lazy
+    * 1-row frame `(sum_<target>, cnt_<target>)` — AVG composes as
+    * sum/cnt — plus (filesScanned, filesTotal).
+    *
+    * Metadata eligibility must be PROVEN per row, never guessed: the row
+    * carries a non-NULL `sum_<target>`, or it is tracked-and-all-null
+    * (`nnull_<target> == n_rows` — a correct zero contribution). A
+    * pre-sum-upgrade row (NULL sum through mergeSchema) with live values
+    * fails both and falls through to the scan branch; a store whose
+    * merged stats schema lacks the target columns entirely serves
+    * nothing from metadata but still prunes non-intersecting files.
+    *
+    * Exactness: integer-typed (and integer-valued double) columns sum
+    * exactly in any addition order; true floating-point columns carry
+    * the same order-dependence as any distributed sum. */
+  def sumRangeIndexed(spark: SparkSession, dataDir: String,
+      statsDir: String, preds: Seq[(String, Column, Column)],
+      targetCol: String): (DataFrame, (Int, Int)) = {
+    import spark.implicits._
+    require(preds.nonEmpty, "at least one range conjunct")
+    val live = Store.liveFiles(dataDir).toSet
+    val pred = preds
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
+      .reduce(_ && _)
+    val (sumName, cntName) = (s"sum_$targetCol", s"cnt_$targetCol")
+    def scanned(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        Store.read(spark, dataDir).filter(lit(false))
+          .agg(sum(col(targetCol)).as(sumName),
+            count(col(targetCol)).as(cntName))
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        .filter(pred)
+        .agg(sum(col(targetCol)).as(sumName),
+          count(col(targetCol)).as(cntName))
+    if (!Store.hasData(statsDir))
+      return (scanned(live.toSeq.sorted).localCheckpoint(true),
+        (live.size, live.size))
+    val stats = statsTable(spark, statsDir)
+    // a stats column absent from the MERGED schema reads as literal NULL:
+    // every eligibility test below is NULL-false, so an untracked target
+    // degrades to scanning (still range-pruned), never to a wrong sum
+    def sc(n: String): Column =
+      if (stats.columns.contains(n)) col(n) else lit(null)
+    val intersects = preds
+      .map { case (c, lo, hi) =>
+        col(s"max_$c").isNull || (col(s"max_$c") >= lo && col(s"min_$c") < hi)
+      }
+      .reduce(_ && _)
+    val sumProof =
+      sc(sumName).isNotNull ||
+        coalesce(sc(s"nnull_$targetCol") === col("n_rows"), lit(false))
+    val contained = preds
+      .map { case (c, lo, hi) =>
+        col(s"min_$c").isNotNull && col(s"min_$c") >= lo &&
+          col(s"max_$c").isNotNull && col(s"max_$c") < hi &&
+          coalesce(col(s"nnull_$c") === 0L, lit(false))
+      }
+      .reduce(_ && _) && sumProof
+    val provablyEmpty = preds
+      .map { case (c, _, _) =>
+        col(s"nnull_$c").isNotNull && col(s"nnull_$c") === col("n_rows")
+      }
+      .reduce(_ || _)
+    val liveDf = live.toSeq.toDF("file")
+    val joined = liveDf
+      .join(stats, Seq("file"), "left_outer")
+      .dropDuplicates("file")
+    val scanFiles = joined
+      .agg(collect_list(when(intersects && !contained && !provablyEmpty,
+        col("file"))))
+      .as[Seq[String]].head().sorted
+    // the scan leg's sum type anchors the result type: an untracked
+    // target's metadata leg sums a literal NULL (NullType -> double) and
+    // would otherwise coerce the whole union away from the data's type
+    val scanDf = scanned(scanFiles)
+    val sumType = scanDf.schema(sumName).dataType
+    val metaDf = joined
+      .agg(sum(when(contained && !provablyEmpty, sc(sumName)))
+          .cast(sumType).as(sumName),
+        sum(when(contained && !provablyEmpty,
+          col("n_rows") - sc(s"nnull_$targetCol"))).cast("long").as(cntName))
+    val out = metaDf.unionByName(scanDf)
+      .agg(sum(col(sumName)).cast(sumType).as(sumName),
+        coalesce(sum(col(cntName)), lit(0L)).as(cntName))
     (out.localCheckpoint(true), (scanFiles.length, live.size))
   }
 
@@ -458,5 +621,6 @@ object ZoneMaps {
           stats.join(broadcast(liveNow), Seq("file"), "left_semi")
         }): Unit
     }
+    invalidateStatsCache(statsDir)
   }
 }

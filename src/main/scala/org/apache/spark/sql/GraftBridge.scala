@@ -9,6 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** FULLY-CONVERTED catalyst expression for a Column: [[expression]]
+    * returns a lazy `ColumnNodeExpression` wrapper (never foldable, not
+    * evaluable), which is fine for embedding in a plan but useless for
+    * driver-side `eval()` — this runs the session's column-node
+    * converter so a literal Column comes back as a real
+    * `Literal`/foldable tree. */
+  def resolvedExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
   /** DataFrame from a logical plan (classic.Dataset.ofRows is private[sql]). */
   def dataFrame(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

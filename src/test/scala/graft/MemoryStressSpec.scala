@@ -25,9 +25,9 @@ class MemoryStressSpec extends AnyFunSuite {
     "text_bpe_encode", "text_bpe_vocab", "prep_outliers",
     "dedup_ngram_jaccard", "dedup_canonical", "sim_ivf_served")
 
-  test("heaviest sf0.1 queries complete in a 1 GiB JVM", SlowTest) {
+  private def runStress(sfDir: String, queries: Seq[String]): Unit = {
     val p = ForkedJvm.start("graft.MemoryStressChild",
-      Seq("/root/testdata/sf0.1") ++ heaviest,
+      Seq(sfDir) ++ queries,
       extraJvm = Seq("-Xmx1g"))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val r = new BufferedReader(new InputStreamReader(p.getInputStream))
@@ -41,7 +41,21 @@ class MemoryStressSpec extends AnyFunSuite {
     } finally ForkedJvm.kill(p)
     val fails = out.filter(_.startsWith("STRESS-FAIL"))
     assert(fails.isEmpty, fails.mkString("\n"))
-    assert(out.count(_.startsWith("STRESS-OK")) == heaviest.size,
-      s"expected ${heaviest.size} OK lines:\n${out.mkString("\n")}")
+    assert(out.count(_.startsWith("STRESS-OK")) == queries.size,
+      s"expected ${queries.size} OK lines:\n${out.mkString("\n")}")
+  }
+
+  test("heaviest sf0.1 queries complete in a 1 GiB JVM", SlowTest) {
+    runStress("/root/testdata/sf0.1", heaviest)
+  }
+
+  test("heaviest queries complete in a 1 GiB JVM at sf1 (builder decade, 10x the data, same heap)", SlowTest) {
+    // the fourth decade is builder-generated (tools/gen_sf1.py, seed 43,
+    // distribution-matched to the driver data) — skip, don't fail, when
+    // it has not been generated on this checkout
+    val sf1 = "/root/repo/target/testdata/sf1"
+    assume(new java.io.File(sf1, "lineitem.parquet").exists(),
+      s"sf1 decade not generated (python3 tools/gen_sf1.py)")
+    runStress(sf1, heaviest)
   }
 }

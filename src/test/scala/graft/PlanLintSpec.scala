@@ -238,7 +238,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_chunks", "prep_outliers", "q30_stats_moments",
     "q83_bloom_indexed_store", "q84_zone_indexed_store",
     "q85_join_file_pruning", "q86_bloom_lookup_batch",
-    "q87_zone_count_pushdown")
+    "q87_zone_count_pushdown", "q89_zone_minmax_pushdown",
+    "q91_zone_sum_pushdown")
 
   test("AQE-ON: final adaptive plans of the heaviest queries — every internal execution included — satisfy the same contract") {
     // The static pass above judges what the optimizer committed to with

@@ -312,6 +312,67 @@ class ZoneMapStoreSpec extends AnyFunSuite {
     } finally sweep(base)
   }
 
+  test("sum pushdown: interior sums from metadata, boundaries/pre-sum/untracked scan, null targets excluded from cnt") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      // v: predicate col, 10% nulls clustered into the lowest slice;
+      // w: target col with its OWN nulls (id%7) — cnt must exclude them
+      val rows = spark.range(0, 20000).select(
+        $"id",
+        when(pmod($"id", lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(pmod($"id" * 2654435761L, lit(1000))).as("v"),
+        when(pmod($"id", lit(7)) === 0, lit(null).cast("long"))
+          .otherwise($"id" * 3L).as("w"))
+      ZoneMaps.admitIndexed(
+        rows.repartitionByRange(10, $"v").sortWithinPartitions($"v"),
+        dataDir, statsDir, Seq("v", "w"), "h0"): Unit
+      val in = rows.filter($"v" >= 100 && $"v" < 900)
+      val (wantSum, wantCnt) = (in.agg(sum($"w")).as[Long].head(),
+        in.agg(count($"w")).as[Long].head())
+      val (agg1, (scanned, total)) = ZoneMaps.sumRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(100L), lit(900L))), "w")
+      val r = agg1.head()
+      assert(r.getLong(0) == wantSum && r.getLong(1) == wantCnt,
+        s"metadata+scan sum/cnt must be exact: (${r.get(0)},${r.get(1)}) " +
+          s"want ($wantSum,$wantCnt)")
+      assert(scanned <= 3 && total >= 10,
+        s"interior must come from metadata: $scanned/$total")
+      // empty range: SQL semantics — sum NULL, cnt 0, zero files read
+      val (aggN, (scanN, _)) = ZoneMaps.sumRangeIndexed(spark, dataDir,
+        statsDir, Seq(("v", lit(5000L), lit(6000L))), "w")
+      val rN = aggN.head()
+      assert(rN.isNullAt(0) && rN.getLong(1) == 0L && scanN == 0)
+      // UNTRACKED target (id is in the data, not in the stats): nothing
+      // served from metadata, every intersecting file scanned — exact
+      val (aggU, (scanU, totalU)) = ZoneMaps.sumRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(100L), lit(900L))), "id")
+      assert(aggU.head().getLong(0) == in.agg(sum($"id")).as[Long].head())
+      assert(scanU > scanned && scanU < totalU,
+        s"untracked target scans all intersecting files: $scanU/$totalU")
+      // PRE-SUM stats row (tracked bounds + nnull, NULL sum through
+      // mergeSchema): the file must be scanned, never dropped or guessed
+      val extra = spark.range(20000, 21000).select($"id",
+        pmod($"id", lit(1000)).as("v"), ($"id" * 3L).as("w"))
+      assert(Store.appendIdempotent(extra.coalesce(1), dataDir, "pre"))
+      val f = BloomIndex.canonPath(
+        new java.io.File(dataDir, "delta-pre").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath)
+      Store.append(Seq((f, 1000L, 0L, 999L, 0L, 60000L, 62997L, 0L))
+        .toDF("file", "n_rows", "min_v", "max_v", "nnull_v",
+          "min_w", "max_w", "nnull_w").coalesce(1), statsDir)
+      val all = rows.unionByName(extra).filter($"v" >= -1 && $"v" < 100000)
+      val (aggA, (scanA, totalA)) = ZoneMaps.sumRangeIndexed(spark,
+        dataDir, statsDir, Seq(("v", lit(-1L), lit(100000L))), "w")
+      val rA = aggA.head()
+      assert(rA.getLong(0) == all.agg(sum($"w")).as[Long].head() &&
+        rA.getLong(1) == all.agg(count($"w")).as[Long].head(),
+        s"pre-sum row must scan, not drop: (${rA.get(0)},${rA.get(1)})")
+      assert(scanA < totalA,
+        s"null-free tracked interior still serves from metadata: $scanA/$totalA")
+    } finally sweep(base)
+  }
+
   test("maintainIndexed: admit-count trigger compacts order-preserving BY DEFAULT and heals in the same call") {
     val base = tmp()
     try {
@@ -344,6 +405,49 @@ class ZoneMapStoreSpec extends AnyFunSuite {
       assert(Store.deltaCount(bData) == 0)
       assert(Store.read(spark, bStats).select($"file").as[String].collect().toSet ==
         Store.read(spark, bData).inputFiles.map(BloomIndex.canonPath).toSet)
+    } finally sweep(base)
+  }
+
+  test("zone stats serve cache: racing data admit stays exact under a stale cache; heal restores metadata serving") {
+    val base = tmp()
+    try {
+      val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
+      val rows = spark.range(0, 10000)
+        .select($"id", pmod($"id", lit(1000)).as("v"))
+      ZoneMaps.admitIndexed(
+        rows.repartitionByRange(8, $"v").sortWithinPartitions($"v"),
+        dataDir, statsDir, Seq("v"), "h0"): Unit
+      val myPreds = Seq(("v", lit(100L), lit(900L)))
+      val expect = rows.filter($"v" >= 100 && $"v" < 900).count()
+      val (n0, _) = ZoneMaps.countRangeIndexed(spark, dataDir, statsDir,
+        myPreds) // warms the driver-side stats cache
+      assert(n0 == expect)
+      // racing DATA admit with NO stats: the cached stats are still
+      // version-valid, the new file is uncovered -> scanned
+      // unconditionally — exact, never lost
+      val extra = spark.range(10000, 10500)
+        .select($"id", pmod($"id", lit(1000)).as("v"))
+      assert(Store.appendIdempotent(extra.coalesce(1), dataDir, "race"))
+      val expect2 = expect +
+        extra.filter($"v" >= 100 && $"v" < 900).count()
+      val (n1, (scan1, _)) = ZoneMaps.countRangeIndexed(spark, dataDir,
+        statsDir, myPreds)
+      assert(n1 == expect2,
+        s"stale stats cache must degrade to scanning, got $n1 want $expect2")
+      assert(scan1 >= 1, "the uncovered file must be in the scan set")
+      // outside stats writer (mtime bump = content-version drift): the
+      // next query must refresh, not serve the stale snapshot forever
+      val entry = new java.io.File(statsDir).listFiles()
+        .filter(!_.getName.startsWith(".")).head
+      assert(entry.setLastModified(entry.lastModified() + 54321L))
+      val (n1b, _) = ZoneMaps.countRangeIndexed(spark, dataDir, statsDir,
+        myPreds)
+      assert(n1b == expect2)
+      // heal covers the straggler; metadata serving resumes (fewer scans)
+      ZoneMaps.maintainIndex(spark, dataDir, statsDir, Seq("v"))
+      val (n2, (scan2, _)) = ZoneMaps.countRangeIndexed(spark, dataDir,
+        statsDir, myPreds)
+      assert(n2 == expect2 && scan2 <= scan1)
     } finally sweep(base)
   }
 

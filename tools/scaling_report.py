@@ -105,13 +105,17 @@ def growth(tabs, rows_small, rows_big):
 
 
 def main(paths, oracle_path=None):
-    (q1, p1, s1), (q2, p2, s2), (q3, p3, s3) = [load(p) for p in paths]
+    loaded = [load(p) for p in paths]        # [(queries, probe, sf_dir)]
+    qs = [l[0] for l in loaded]
+    probes = [l[1] for l in loaded]
+    sfs = [l[2] for l in loaded]
+    n = len(loaded)
     oracle_sql = {}
     if oracle_path and os.path.exists(oracle_path):
         with open(oracle_path) as f:
             oracle_sql = json.load(f)
-    r1, r2, r3 = table_rows(s1), table_rows(s2), table_rows(s3)
-    if not (r1 and r2 and r3):
+    rcounts = [table_rows(s) for s in sfs]
+    if not all(rcounts):
         # refuse to gate on fabricated normalization: assuming a nominal
         # 10x step for a FLAT table scores true super-linear growth as
         # e=+0.30 and silently inverts the report's conservative bias
@@ -120,29 +124,35 @@ def main(paths, oracle_path=None):
                  "normalization would be fabricated; aborting instead of "
                  "producing an untrustworthy gate.")
 
-    shared = sorted(set(q1) & set(q2) & set(q3))
+    shared = sorted(set.intersection(*[set(q) for q in qs]))
     rows = []
     for name in shared:
-        t1, t2, t3 = q1[name], q2[name], q3[name]
-        if min(t1, t2, t3) <= 0:
+        ts = [q[name] for q in qs]
+        if min(ts) <= 0:
             continue
         tabs = query_tables(name, oracle_sql)
-        g12, g23 = growth(tabs, r1, r2), growth(tabs, r2, r3)
-        e12 = math.log(t2 / t1) / math.log(g12) if g12 >= MIN_GROWTH else None
-        e23 = math.log(t3 / t2) / math.log(g23) if g23 >= MIN_GROWTH else None
-        flagged = (e23 is not None and e23 > FLAG_EXPONENT
-                   and t3 > MIN_BIG_SEC)
-        rows.append((name, t1, t2, t3, g23, e12, e23, flagged))
-    rows.sort(key=lambda r: -(r[6] if r[6] is not None else -9))
+        gs, es = [], []
+        for i in range(n - 1):
+            g = growth(tabs, rcounts[i], rcounts[i + 1])
+            gs.append(g)
+            es.append(math.log(ts[i + 1] / ts[i]) / math.log(g)
+                      if g >= MIN_GROWTH else None)
+        flagged = (es[-1] is not None and es[-1] > FLAG_EXPONENT
+                   and ts[-1] > MIN_BIG_SEC)
+        rows.append((name, ts, gs[-1], es, flagged))
+    rows.sort(key=lambda r: -(r[3][-1] if r[3][-1] is not None else -9))
 
-    print(f"<!-- probes: {s1}={p1} {s2}={p2} {s3}={p3} (spark_probe_sec; "
-          f"ratios within ~15% mean the three runs are comparable) -->")
-    print("| query | t(sf1) s | t(sf2) s | t(sf3) s | data x (last) | "
-          "exp sf1->sf2 | exp sf2->sf3 | verdict |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("<!-- probes: " +
+          " ".join(f"{s}={p}" for s, p in zip(sfs, probes)) +
+          " (spark_probe_sec; ratios within ~15% mean the runs are "
+          "comparable) -->")
+    tcols = " | ".join(f"t(sf{i + 1}) s" for i in range(n))
+    ecols = " | ".join(f"exp sf{i + 1}->sf{i + 2}" for i in range(n - 1))
+    print(f"| query | {tcols} | data x (last) | {ecols} | verdict |")
+    print("|---" * (2 * n + 2) + "|")
     bad = []
     fmt = lambda e: "n/a" if e is None else f"{e:+.2f}"
-    for name, t1, t2, t3, g23, e12, e23, flagged in rows:
+    for name, ts, glast, es, flagged in rows:
         verdict = "ok"
         if flagged:
             if name in ALLOWED_SUPERLINEAR:
@@ -150,9 +160,10 @@ def main(paths, oracle_path=None):
             else:
                 verdict = "**SUPER-LINEAR**"
                 bad.append(name)
-        print(f"| {name} | {t1:.3f} | {t2:.3f} | {t3:.3f} | x{g23:.0f} | "
-              f"{fmt(e12)} | {fmt(e23)} | {verdict} |")
-    n_flagged = sum(1 for r in rows if r[7])
+        tstr = " | ".join(f"{t:.3f}" for t in ts)
+        estr = " | ".join(fmt(e) for e in es)
+        print(f"| {name} | {tstr} | x{glast:.0f} | {estr} | {verdict} |")
+    n_flagged = sum(1 for r in rows if r[4])
     print(f"\n{len(rows)} queries on the curve; {n_flagged} above the "
           f"n*log n envelope in the last decade; {len(bad)} unexplained.")
     if bad:
@@ -162,6 +173,15 @@ def main(paths, oracle_path=None):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) not in (4, 5):
+    # 2+ bench files at ascending SF; a trailing .json that is an
+    # oracle_sql dump (no "queries" key) is treated as the oracle arg
+    args = sys.argv[1:]
+    oracle = None
+    if len(args) >= 3:
+        with open(args[-1]) as f:
+            if "queries" not in json.load(f):
+                oracle = args[-1]
+                args = args[:-1]
+    if len(args) < 2:
         sys.exit(__doc__)
-    sys.exit(main(sys.argv[1:4], sys.argv[4] if len(sys.argv) == 5 else None))
+    sys.exit(main(args, oracle))
