@@ -511,7 +511,47 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Oracle-checkable sibling of [[textCompressRatio]] (round-12 verdict
+    * #8): the DEFLATE-based ratio has no DuckDB twin — that query stays
+    * rows-only, pinned by its deviation spec — so the GATE-FLAG formula
+    * (thresholds, branch order, edge handling) is cross-checked here on a
+    * proxy both engines compute exactly: the distinct-token ratio. A
+    * drift in the gate logic (threshold typo, inverted branch) now fails
+    * a hash oracle instead of hiding behind the uncheckable deflate
+    * size. Single-space tokenization matches the corpus generator. */
+  def textCompressGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = split($"text", " ")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (size(array_distinct(words)).cast("double") /
+          greatest(size(words), lit(1)).cast("double")).as("uniq_ratio"))
+      .withColumn("flag",
+        when($"uniq_ratio" < 0.35, "too_compressible")
+          .when($"uniq_ratio" > 0.85, "incompressible")
+          .otherwise("ok"))
+      .orderBy($"doc_id")
+  }
+
+  val textCompressGateSql: String =
+    """SELECT doc_id,
+      |  CAST(list_unique(string_split(text, ' ')) AS DOUBLE) /
+      |    CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)
+      |    AS uniq_ratio,
+      |  CASE
+      |    WHEN CAST(list_unique(string_split(text, ' ')) AS DOUBLE) /
+      |      CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) < 0.35
+      |      THEN 'too_compressible'
+      |    WHEN CAST(list_unique(string_split(text, ' ')) AS DOUBLE) /
+      |      CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) > 0.85
+      |      THEN 'incompressible'
+      |    ELSE 'ok'
+      |  END AS flag
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compress_gate" -> (textCompressGate _),
     "text_compress_ratio" -> (textCompressRatio _),
     "text_novelty" -> (textNovelty _),
     "text_lm_score" -> (textLmScore _),
@@ -525,6 +565,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_compress_gate" -> textCompressGateSql,
     "text_novelty" -> textNoveltySql,
     "text_lm_score" -> textLmScoreSql,
     "text_entropy" -> textEntropySql,
