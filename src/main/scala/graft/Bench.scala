@@ -320,6 +320,47 @@ object Bench {
           org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
         }
       }
+    // ---- zone-aggregate serve latency (round 13): warm per-probe cost of
+    // the metadata-pushdown family (COUNT / MIN-MAX / SUM) against a
+    // zone-indexed store — the stats decision runs over the driver-side
+    // stats cache, so the quoted time is boundary-scan + combine.
+    val zoneServe: Option[(Double, Double, Double)] =
+      if (args.nonEmpty && !sys.env.get("SPARK_GRAFT_BENCH_LOOKUPS").contains("1")) None
+      else {
+        val base = Files.createTempDirectory("graft_bench_zoneserve_")
+        try {
+          import org.apache.spark.sql.functions.{col, lit}
+          val dataDir = s"$base/data"; val statsDir = s"$base/stats"
+          val li = sources.Tables.lineitem(spark, sfDir)
+          sources.ZoneMaps.admitIndexed(
+            li.repartitionByRange(16, col("l_shipdate"))
+              .sortWithinPartitions(col("l_shipdate")),
+            dataDir, statsDir, Seq("l_shipdate", "l_quantity"), "b0"): Unit
+          def monthPred(m: Int) = Seq(("l_shipdate",
+            lit(f"1997-$m%02d-01").cast("timestamp"),
+            lit(f"1997-${m + 1}%02d-01").cast("timestamp")))
+          def p50(f: Int => Unit): Double = {
+            f(1) // warm: file index, codegen, the stats cache itself
+            val ts = (2 to 9).map { m =>
+              val t0 = System.nanoTime(); f(m)
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            ts(ts.size / 2)
+          }
+          val c = p50(m => sources.ZoneMaps.countRangeIndexed(
+            spark, dataDir, statsDir, monthPred(m)): Unit)
+          val mm = p50(m => sources.ZoneMaps.minMaxRangeIndexed(
+            spark, dataDir, statsDir, monthPred(m), "l_quantity"): Unit)
+          val s = p50(m => sources.ZoneMaps.sumRangeIndexed(
+            spark, dataDir, statsDir, monthPred(m), "l_quantity"): Unit)
+          Some((c, mm, s))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] zone-serve probe failed: ${e.getMessage}")
+          None
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+        }
+      }
     val cpuAfter = cpuProbe()
     val loadAfter = loadAvg()
     // the headline per-query statistic: median of the best `runs` samples
@@ -364,10 +405,13 @@ object Bench {
         "\"" + k + s"""":{"read":$r,"write":$w,"spill":$s}"""
       }
       .mkString("{", ",", "}")
-    val lookupsJson = lookups.map { case (p50, p95, n, batch) =>
+    val lookupsJson = (lookups.map { case (p50, p95, n, batch) =>
       s""""bloom_point_lookup":{"p50":${round3(p50)},"p95":${round3(p95)},""" +
         s""""n":$n,"batch_all_keys":${round3(batch)}}"""
-    }.mkString("{", ",", "}")
+    } ++ zoneServe.map { case (c, mm, s) =>
+      s""""zone_agg_serve":{"count_p50":${round3(c)},""" +
+        s""""minmax_p50":${round3(mm)},"sum_p50":${round3(s)}}"""
+    }).mkString("{", ",", "}")
     val full = s"""{$header,"calibration":$calibration,""" +
       s""""queries":${fmt(bestMedian)},"queries_min":${fmt(_.min)},""" +
       s""""queries_norm":${fmt(normed)},""" +
