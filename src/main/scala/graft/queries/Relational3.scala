@@ -77,7 +77,13 @@ object Relational3 {
     * so the scale cost is identical. */
   def q30StatsMoments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = Tables.lineitem(spark, dir)
+    // FanOut: the six decimal-product moment sums are the heavy stage and
+    // were bound to the scan's single row group (r13, measured 1.55 s in
+    // one 3-task job); decimal sums are exact so the extra exchange is
+    // result-invisible
+    val m = FanOut(Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+        $"l_quantity", $"l_extendedprice")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"),
         sum(decQty).cast("double").as("sx"),
@@ -113,7 +119,10 @@ object Relational3 {
     * the lowering against native regr_slope/regr_intercept to 1e-9. */
   def q38Regression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = Tables.lineitem(spark, dir)
+    // FanOut: same single-row-group-bound moment stage as q30 (r13)
+    val m = FanOut(Tables.lineitem(spark, dir)
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice"),
+        $"l_quantity", $"l_extendedprice")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"),
         sum(decQty).cast("double").as("sx"),
