@@ -108,15 +108,16 @@ object BloomIndex {
     (df, (files.length, total))
   }
 
-  /** Shared probe tail: read only `files` (with mergeSchema, honoring the
-    * Store's schema-evolution contract — a file subset must not let one
-    * sampled footer decide the result schema) and apply the residual
-    * predicate; an empty candidate set returns an empty frame shaped by
-    * `fallbackSchemaFrom` with no data scan at all. */
+  /** Shared probe tail: read only `files` presenting their union schema
+    * (honoring the Store's schema-evolution contract — a file subset must
+    * not let one sampled footer decide the result schema; the union is
+    * merged driver-side for bounded candidate lists, [[Store.readFiles]])
+    * and apply the residual predicate; an empty candidate set returns an
+    * empty frame shaped by `fallbackSchemaFrom` with no data scan at all. */
   private def readCandidates(spark: SparkSession, files: Seq[String],
       pred: Column, fallbackSchemaFrom: => DataFrame): DataFrame =
     if (files.isEmpty) fallbackSchemaFrom.filter(lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(files: _*).filter(pred)
+    else Store.readFiles(spark, files).filter(pred)
 
   // ── Incremental face: a bloom-indexed Store ────────────────────────────
   //
@@ -336,7 +337,9 @@ object BloomIndex {
       serveCache.remove(key)
       return None
     }
-    val rows = Store.read(spark, statsDir)
+    // liveFiles + readFiles: the refresh pays ONE collect job — Store.read's
+    // mergeSchema option would add a distributed footer-merge job first
+    val rows = Store.readFiles(spark, Store.liveFiles(statsDir))
       .select(col("file"), col("bloom")).collect()
     // duplicate rows for one file (heal racing admit): either is correct
     val m = rows.iterator.map { r =>
@@ -400,7 +403,7 @@ object BloomIndex {
     def distributedDecision(): Seq[String] = {
       val liveDf = live.toSeq.toDF("file")
       liveDf.join(
-          Store.read(spark, statsDir).select(col("file"),
+          Store.readFiles(spark, Store.liveFiles(statsDir)).select(col("file"),
             BloomSketch.mightContain(col("bloom"), xxhash64(keys: _*))
               .as("keep")),
           Seq("file"), "left_outer")
@@ -475,7 +478,7 @@ object BloomIndex {
           val hashes = array(keys.map(key => xxhash64(key)): _*)
           val liveDf = live.toSeq.toDF("file")
           liveDf.join(
-              Store.read(spark, statsDir).select(col("file"),
+              Store.readFiles(spark, Store.liveFiles(statsDir)).select(col("file"),
                 BloomSketch.containsFlags(col("bloom"), hashes).as("flags")),
               Seq("file"), "left_outer")
             .select(col("file"),
@@ -533,14 +536,21 @@ object BloomIndex {
     require(dimKeys.columns.length == 1,
       s"dimKeys must be the single join-key column, got ${dimKeys.columns.toSeq}")
     verifyKeyCols(statsDir, Seq(factKeyCol))
-    val data = Store.read(spark, dataDir)
-    val factType = data.schema(factKeyCol).dataType
+    // driver-side listing + driver-merged schema: Store.read's mergeSchema
+    // paid a distributed footer-merge job per call just to learn the fact
+    // key's type and the live file names (r13)
+    val live = Store.liveFiles(dataDir).toSet
+    val dataSchema =
+      if (live.nonEmpty && live.size <= 256)
+        org.apache.spark.sql.GraftBridge
+          .mergedParquetSchema(spark, live.toSeq.sorted)
+      else Store.read(spark, dataDir).schema // 10^6-file stores: distributed
+    val factType = dataSchema(factKeyCol).dataType
     val dimType = dimKeys.schema.head.dataType
     require(dimType == factType,
       s"dim key type ${dimType.simpleString} must equal fact key column " +
         s"'$factKeyCol' type ${factType.simpleString}: xxhash64 is " +
         "type-aware and a mismatch would (wrongly) prune every file")
-    val live = data.inputFiles.map(canonPath).toSet
     val hashes: Array[Long] = dimKeys
       .select(xxhash64(col(dimKeys.columns.head)).as("h"))
       .distinct().limit(maxKeys + 1)
@@ -555,7 +565,7 @@ object BloomIndex {
       } else {
         val liveDf = live.toSeq.toDF("file")
         liveDf.join(
-            Store.read(spark, statsDir).select(col("file"),
+            Store.readFiles(spark, Store.liveFiles(statsDir)).select(col("file"),
               BloomSketch.mightContainAny(col("bloom"), lit(hashes))
                 .as("keep")),
             Seq("file"), "left_outer")
@@ -564,8 +574,10 @@ object BloomIndex {
           .as[String].collect().toSeq.sorted
       }
     val df =
-      if (files.isEmpty) data.filter(lit(false))
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          dataSchema)
+      else Store.readFiles(spark, files)
     (df, (files.length, live.size))
   }
 
@@ -628,10 +640,13 @@ object BloomIndex {
       expectedPerFile: Long = 100000L, fpp: Double = 0.01): Unit = {
     import spark.implicits._
     if (Store.hasData(statsDir)) verifyKeyCols(statsDir, keyCols)
-    val live = Store.read(spark, dataDir).inputFiles.map(canonPath).toSet
+    // driver-side listing (r13): Store.read(...).inputFiles paid a
+    // distributed footer-merge job just to learn the live file NAMES
+    val live = Store.liveFiles(dataDir).toSet
     val covered: Set[String] =
       if (Store.hasData(statsDir))
-        Store.read(spark, statsDir).select($"file").as[String].collect().toSet
+        Store.readFiles(spark, Store.liveFiles(statsDir))
+          .select($"file").as[String].collect().toSet
       else Set.empty
     val missing = (live -- covered).toSeq.sorted
     if (missing.nonEmpty) {
@@ -642,7 +657,17 @@ object BloomIndex {
           .coalesce(statsNumFiles(missing.length, expectedPerFile, fpp)),
         statsDir)
     }
-    if (Store.hasData(statsDir)) {
+    // rewrite the stats store only when there is something to clean:
+    // stale rows for dead files (post-compaction heal), or enough heal
+    // deltas accreted to matter (each heal appends one). A clean heal —
+    // all stats rows live, few deltas — skips the whole compact cycle
+    // (r13: the rewrite cost 4-6 jobs per heal and bought nothing when
+    // admits had already covered every file); stale rows are dropped by
+    // the per-lookup live join either way, so skipping is
+    // result-invisible and the next dirty heal cleans up.
+    val dead = covered -- live
+    if (Store.hasData(statsDir) &&
+        (dead.nonEmpty || Store.deltaCount(statsDir) >= statsCompactEvery)) {
       // the live listing is recomputed INSIDE the rewrite, at image time:
       // a semi-join against the listing taken above would drop the stats
       // of any delta admitted while the heal ran. The residual window
@@ -654,11 +679,14 @@ object BloomIndex {
       // hardcoded numFiles=1 would funnel it through one task).
       Store.compactToFileSize(spark, statsDir, targetBytes = 64L << 20,
         rewrite = { stats =>
-          val liveNow = Store.read(spark, dataDir)
-            .inputFiles.map(canonPath).toSeq.toDF("file")
+          val liveNow = Store.liveFiles(dataDir).toDF("file")
           stats.join(broadcast(liveNow), Seq("file"), "left_semi")
         }): Unit
     }
     invalidateServeCache(statsDir)
   }
+
+  /** Stats-store delta budget between hygiene rewrites (heal appends one
+    * delta each; rows for dead files force a rewrite regardless). */
+  private val statsCompactEvery = 8
 }

@@ -101,6 +101,25 @@ object Store {
       .option("mergeSchema", "true")
       .parquet(dir)
 
+  /** Read exactly `files` presenting the union of THEIR schemas — the
+    * bounded-candidate serve read (r13 optimization). Result-equivalent
+    * to a `mergeSchema` read of the same list, but the union schema is
+    * merged DRIVER-side from the parquet footers
+    * ([[org.apache.spark.sql.GraftBridge.mergedParquetSchema]], tails
+    * only) instead of by the distributed footer-merge job Spark launches
+    * per mergeSchema DataFrame construction — a scheduler round trip
+    * that dominated bounded point lookups (the job to merge 2 footers
+    * cost more than the candidate scan). Above `maxDriverFooters` the
+    * distributed merge is kept: a huge candidate list must not serialize
+    * its footer reads through the driver (object-store GETs especially —
+    * size the threshold down when footer reads are remote). */
+  private[graft] def readFiles(spark: SparkSession, files: Seq[String],
+      maxDriverFooters: Int = 256): DataFrame =
+    if (files.nonEmpty && files.size <= maxDriverFooters)
+      spark.read.schema(org.apache.spark.sql.GraftBridge
+        .mergedParquetSchema(spark, files)).parquet(files: _*)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+
   /** The staging sibling: in-flight batch writes for `dir` live here, NOT
     * inside the store (see the header's torn-write rationale). */
   private[graft] def stagingDir(dir: String): File = new File(dir + ".staging")

@@ -200,9 +200,11 @@ object ZoneMaps {
       return spark.createDataFrame(hit.rows, hit.schema)
     if (diskBytes(new java.io.File(statsDir)) > statsCacheMaxBytes) {
       statsCache.remove(key)
-      return Store.read(spark, statsDir)
+      return Store.readFiles(spark, Store.liveFiles(statsDir))
     }
-    val df = Store.read(spark, statsDir)
+    // liveFiles + readFiles: the refresh pays ONE collect job (Store.read's
+    // mergeSchema option would add a distributed footer-merge job first)
+    val df = Store.readFiles(spark, Store.liveFiles(statsDir))
     val rows = java.util.Arrays.asList(df.collect(): _*)
     statsCache.put(key, StatsEntry(ver, df.schema, rows)): Unit
     spark.createDataFrame(rows, df.schema)
@@ -282,8 +284,7 @@ object ZoneMaps {
       .reduce(_ && _)
     val df =
       if (files.isEmpty) Store.read(spark, dataDir).filter(lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files: _*).filter(pred)
+      else Store.readFiles(spark, files).filter(pred)
     (df, (files.length, live.size))
   }
 
@@ -313,8 +314,7 @@ object ZoneMaps {
       .reduce(_ && _)
     def scanCount(files: Seq[String]): Long =
       if (files.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
-        .filter(pred).count()
+      else Store.readFiles(spark, files).filter(pred).count()
     if (!Store.hasData(statsDir))
       return (scanCount(live.toSeq.sorted), (live.size, live.size))
     val intersects = preds
@@ -405,8 +405,7 @@ object ZoneMaps {
       if (files.isEmpty)
         Store.read(spark, dataDir).filter(lit(false))
           .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
-        .filter(pred)
+      else Store.readFiles(spark, files).filter(pred)
         .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
     if (!Store.hasData(statsDir))
       return (scanned(live.toSeq.sorted).localCheckpoint(true),
@@ -496,8 +495,7 @@ object ZoneMaps {
         Store.read(spark, dataDir).filter(lit(false))
           .agg(sum(col(targetCol)).as(sumName),
             count(col(targetCol)).as(cntName))
-      else spark.read.option("mergeSchema", "true").parquet(files: _*)
-        .filter(pred)
+      else Store.readFiles(spark, files).filter(pred)
         .agg(sum(col(targetCol)).as(sumName),
           count(col(targetCol)).as(cntName))
     if (!Store.hasData(statsDir))
@@ -600,24 +598,31 @@ object ZoneMaps {
   def maintainIndex(spark: SparkSession, dataDir: String, statsDir: String,
       cols: Seq[String]): Unit = {
     import spark.implicits._
-    val live = Store.read(spark, dataDir).inputFiles
-      .map(BloomIndex.canonPath).toSet
+    // driver-side listing (r13): Store.read(...).inputFiles paid a
+    // distributed footer-merge job just to learn the live file NAMES
+    val live = Store.liveFiles(dataDir).toSet
     val covered: Set[String] =
       if (Store.hasData(statsDir))
-        Store.read(spark, statsDir).select($"file").as[String].collect().toSet
+        Store.readFiles(spark, Store.liveFiles(statsDir))
+          .select($"file").as[String].collect().toSet
       else Set.empty
     val missing = (live -- covered).toSeq.sorted
     if (missing.nonEmpty)
       Store.append(
         statsFor(spark.read.parquet(missing: _*), cols).coalesce(1),
         statsDir)
-    if (Store.hasData(statsDir)) {
+    // rewrite only when there is something to clean (stale rows for dead
+    // files, or enough heal deltas accreted) — the BloomIndex.maintainIndex
+    // rationale; stale rows are dropped by the per-lookup live join either
+    // way, so a skipped hygiene pass is result-invisible
+    val dead = covered -- live
+    if (Store.hasData(statsDir) &&
+        (dead.nonEmpty || Store.deltaCount(statsDir) >= 8)) {
       // live listing recomputed INSIDE the rewrite, at image time — the
       // same no-lost-stats reasoning as BloomIndex.maintainIndex
       Store.compactToFileSize(spark, statsDir, targetBytes = 64L << 20,
         rewrite = { stats =>
-          val liveNow = Store.read(spark, dataDir)
-            .inputFiles.map(BloomIndex.canonPath).toSeq.toDF("file")
+          val liveNow = Store.liveFiles(dataDir).toDF("file")
           stats.join(broadcast(liveNow), Seq("file"), "left_semi")
         }): Unit
     }

@@ -27,4 +27,43 @@ object GraftBridge {
     * metrics land in the NEXT query's bucket. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Union schema of the given parquet files, merged DRIVER-side from
+    * their footers (row-group metadata skipped — this reads tails only).
+    * Same result as `spark.read.option("mergeSchema", "true")` over the
+    * same files, WITHOUT the distributed footer-merge job that option
+    * launches per DataFrame construction — a scheduler round trip that
+    * dominates bounded-candidate serve paths (point lookups read 1-3
+    * files; the job to merge their two footers costs more than the scan).
+    * Mirrors Spark's own merge rule: prefer the serialized Spark schema a
+    * Spark writer stamps into the footer (exact types), fall back to
+    * converting the parquet MessageType; `StructType.merge` is the same
+    * union Spark's distributed path reduces with. Callers bound `files`
+    * (serve candidates / stats stores), keeping driver work
+    * |candidates|-scale — the same discipline as the stats collect. */
+  def mergedParquetSchema(spark: SparkSession,
+      files: Seq[String]): types.StructType = {
+    require(files.nonEmpty, "no files to merge schemas of")
+    val conf = spark.sessionState.newHadoopConf()
+    val converter =
+      new execution.datasources.parquet.ParquetToSparkSchemaConverter(
+        spark.sessionState.conf)
+    files.map { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf, path)
+        .withMetadataFilter(
+          org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+        .build()
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in, opts)
+      try {
+        val meta = reader.getFooter.getFileMetaData
+        val serialized = meta.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata")
+        if (serialized != null)
+          types.DataType.fromJson(serialized).asInstanceOf[types.StructType]
+        else converter.convert(meta.getSchema)
+      } finally reader.close()
+    }.reduce((a, b) => a.merge(b))
+  }
 }
