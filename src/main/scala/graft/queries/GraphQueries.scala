@@ -46,8 +46,76 @@ object GraphQueries {
     * frame — the codebook-collect discipline: bounded by |nodes|’ scale,
     * not data scale; it sizes the teleport term, not any data structure).
     */
+  /** Edge-count bound under which the ITERATION runs on the driver (r13
+    * optimization): the loop is |nodes|+|edges|-scale by design — for the
+    * event-type graph that is ~25 edges, and the distributed loop paid
+    * ~10 Spark jobs (two per round: dangling broadcast + eager
+    * checkpoint) to move a few hundred doubles (measured 1.6-1.9 s of the
+    * serve phase). Under the bound the aggregated graph is collected
+    * (the IVF-codebook bounded-driver-object discipline: the COLLECT is
+    * |edges|-scale, never event-scale — edge extraction stays
+    * distributed) and the 5 rounds run in-process with the same
+    * teleport/dangling arithmetic, summed in sorted-key order; the
+    * cross-engine accumulation-order analysis in the header (≤|node|-term
+    * double sums, noise ~1e-15, final round(rank, 6) stable) covers the
+    * driver order exactly as it covers DuckDB's. Above the bound
+    * (millions-of-URLs graphs) the distributed loop below is unchanged.
+    * Mutable for the spec that pins driver/distributed equality. */
+  private[graft] var driverIterMaxEdges: Int = 4096
+
   private[graft] def pagerankOn(edges: DataFrame, iters: Int = Iters,
       damping: Double = Damping): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // driver path only for string-keyed graphs (both faces): the result's
+    // node column must keep the edge frame's exact type
+    val stringKeyed =
+      edges.schema("src").dataType == org.apache.spark.sql.types.StringType &&
+        edges.schema("dst").dataType == org.apache.spark.sql.types.StringType
+    val bounded: Option[Array[(String, String, Long)]] =
+      if (!stringKeyed) None
+      else {
+        val take = edges.select($"src", $"dst", $"w".cast("long"))
+          .limit(driverIterMaxEdges + 1)
+          .as[(String, String, Long)].collect()
+        if (take.length <= driverIterMaxEdges) Some(take) else None
+      }
+    bounded match {
+      case Some(e) =>
+        val nodes = (e.iterator.map(_._1) ++ e.iterator.map(_._2))
+          .toSeq.distinct.sorted
+        val n = nodes.size.toDouble
+        val outW: Map[String, Long] = e.groupBy(_._1).view
+          .mapValues(_.map(_._3).sum).toMap
+        // per-dst in-edges, sorted by src so the contribution sum order is
+        // deterministic (within the 1e-15 tolerance band either way)
+        val inEdges: Map[String, Seq[(String, Double)]] = e
+          .map { case (s, d, w) => (d, (s, w.toDouble / outW(s))) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+        var rank: Map[String, Double] = nodes.map(_ -> 1.0 / n).toMap
+        (1 to iters).foreach { _ =>
+          val dm = nodes.iterator
+            .filter(nd => !outW.contains(nd)).map(rank).sum
+          rank = nodes.map { nd =>
+            val m = inEdges.getOrElse(nd, Nil).iterator
+              .map { case (s, p) => rank(s) * p }.sum
+            nd -> ((1.0 - damping) / n + damping * (m + dm / n))
+          }.toMap
+        }
+        import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+        spark.createDataFrame(
+          java.util.Arrays.asList(nodes.map(nd =>
+            org.apache.spark.sql.Row(nd, rank(nd))): _*),
+          StructType(Seq(StructField("node", StringType),
+            StructField("rank", DoubleType))))
+      case None => pagerankDistributed(edges, iters, damping)
+    }
+  }
+
+  /** The distributed iteration — unchanged; every graph above
+    * [[driverIterMaxEdges]] runs here. */
+  private[graft] def pagerankDistributed(edges: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val nodes = edges.select($"src".as("node"))

@@ -85,4 +85,21 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(plan.contains("Window") && plan.contains("HashAggregate"),
       s"lag window + count aggregate expected:\n$plan")
   }
+
+  test("bounded-graph driver iteration equals the distributed loop exactly (r13)") {
+    // the event-type graph is under driverIterMaxEdges, so the default run
+    // takes the driver path; forcing the threshold to 0 runs the original
+    // distributed loop — both must land on the identical 1e-6 grid
+    val viaDriver = GraphQueries.eventsPagerank(spark, sf)
+      .as[(String, Double)].collect().toMap
+    val was = GraphQueries.driverIterMaxEdges
+    try {
+      GraphQueries.driverIterMaxEdges = 0
+      val viaDistributed = GraphQueries.eventsPagerank(spark, sf)
+        .as[(String, Double)].collect().toMap
+      assert(viaDriver == viaDistributed,
+        s"driver=$viaDriver distributed=$viaDistributed")
+      assert(viaDriver.nonEmpty)
+    } finally GraphQueries.driverIterMaxEdges = was
+  }
 }
