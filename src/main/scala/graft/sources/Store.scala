@@ -116,8 +116,11 @@ object Store {
   private[graft] def readFiles(spark: SparkSession, files: Seq[String],
       maxDriverFooters: Int = 256): DataFrame =
     if (files.nonEmpty && files.size <= maxDriverFooters)
-      spark.read.schema(org.apache.spark.sql.GraftBridge
-        .mergedParquetSchema(spark, files)).parquet(files: _*)
+      // driver-statted file index (r13): a plain spark.read.parquet(files)
+      // would RE-LIST every path it was just handed — a distributed job
+      // once the list passes the parallel-discovery threshold (32)
+      org.apache.spark.sql.GraftBridge.readParquetFiles(spark, files,
+        org.apache.spark.sql.GraftBridge.mergedParquetSchema(spark, files))
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
 
   /** The staging sibling: in-flight batch writes for `dir` live here, NOT
@@ -384,7 +387,15 @@ object Store {
       // swap are folded into this rewrite rather than re-salvaged
       recoverStale(dir)
       sweepStaleStaging(dir)
-      compactImage(spark, dir, read(spark, dir), numFiles, rewrite,
+      // bounded stores read through the driver-statted path (r13): same
+      // union schema, same file set as read(), minus the mergeSchema
+      // footer-merge job and the listing job a maintenance cycle paid per
+      // rewrite; huge stores keep the distributed listing/merge
+      val lf = liveFiles(dir)
+      val image =
+        if (lf.nonEmpty && lf.size <= 256) readFiles(spark, lf)
+        else read(spark, dir)
+      compactImage(spark, dir, image, numFiles, rewrite,
         clusterBy, zOrder)
     }
 
@@ -659,10 +670,22 @@ object Store {
       if (deltas.isEmpty && foldBase.isEmpty)
         SelectiveCompaction(0, 0, keep.length, 0L)
       else {
-        val image = spark.read
-          .option("recursiveFileLookup", "true")
-          .option("mergeSchema", "true")
-          .parquet((deltas ++ foldBase).map(_.getAbsolutePath).toSeq: _*)
+        // explicit fold-set file list (r13): the fold members are already
+        // known driver-side, so a bounded fold reads them through the
+        // driver-statted path — no listing job, no footer-merge job. The
+        // file set is identical to what the directory read would list
+        // (visible .parquet files; _SUCCESS/markers are hidden-prefixed).
+        val foldFiles: Seq[String] = (deltas.flatMap(d =>
+          Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
+            .filter(k => k.isFile && k.getName.endsWith(".parquet"))) ++
+          foldBase).map(f => new org.apache.hadoop.fs.Path(f.toURI).toString).toSeq
+        val image =
+          if (foldFiles.nonEmpty && foldFiles.size <= 256)
+            readFiles(spark, foldFiles)
+          else spark.read
+            .option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet((deltas ++ foldBase).map(_.getAbsolutePath).toSeq: _*)
         val tgt = if (targetBytes > 0) targetBytes else 2 * minFileBytes
         // capped at the folded INPUT file count: the fold only ever merges
         // (a byte-derived count above it would make the clustered path

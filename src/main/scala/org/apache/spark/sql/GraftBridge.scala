@@ -66,4 +66,58 @@ object GraftBridge {
       } finally reader.close()
     }.reduce((a, b) => a.merge(b))
   }
+
+  /** A [[execution.datasources.FileIndex]] over files the CALLER already
+    * statted driver-side — no directory listing ever runs (r13
+    * optimization, guide §2.4/§5): `spark.read.parquet(files: _*)` builds
+    * an InMemoryFileIndex that re-lists every path, and once the list
+    * reaches `spark.sql.sources.parallelPartitionDiscovery.threshold`
+    * (default 32) that listing is a DISTRIBUTED JOB — a scheduler round
+    * trip per DataFrame construction that dominated the store serve paths
+    * (a 64-file store paid a 64-task listing job per candidate read).
+    * Callers bound the file count (serve candidates, compaction images),
+    * the same discipline as [[mergedParquetSchema]]. */
+  private final class DriverStattedFileIndex(
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      extends execution.datasources.FileIndex {
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+      statuses.map(_.getPath)
+    override def listFiles(
+        partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
+        : Seq[execution.datasources.PartitionDirectory] =
+      Seq(execution.datasources.PartitionDirectory(
+        org.apache.spark.sql.catalyst.InternalRow.empty, statuses.toArray))
+    override def inputFiles: Array[String] =
+      statuses.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def partitionSchema: types.StructType = new types.StructType()
+  }
+
+  /** DataFrame over exactly `files` with the given schema, statting each
+    * file driver-side instead of running Spark's listing machinery (see
+    * [[DriverStattedFileIndex]]). Result-identical to
+    * `spark.read.schema(schema).parquet(files: _*)`: same files, same
+    * schema, same ParquetFileFormat scan with full predicate pushdown and
+    * column pruning — only the redundant listing (and its possible
+    * distributed job) is gone. */
+  def readParquetFiles(spark: SparkSession, files: Seq[String],
+      schema: types.StructType): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val statuses = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p)
+    }
+    val relation = execution.datasources.HadoopFsRelation(
+      new DriverStattedFileIndex(statuses),
+      partitionSchema = new types.StructType(),
+      // asNullable mirrors DataSource.resolveRelation's treatment of a
+      // user-specified schema: a file that lacks one of the union's
+      // columns must read it as NULL, not fail the non-null contract
+      dataSchema = schema.asNullable,
+      bucketSpec = None,
+      fileFormat = new execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark.asInstanceOf[classic.SparkSession])
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(relation)
+  }
 }
