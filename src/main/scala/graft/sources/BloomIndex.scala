@@ -652,7 +652,7 @@ object BloomIndex {
     if (missing.nonEmpty) {
       ensureKeyCols(statsDir, keyCols)
       Store.append(
-        statsFor(spark, spark.read.parquet(missing: _*), keyCols,
+        statsFor(spark, Store.readFiles(spark, missing), keyCols,
           expectedPerFile, fpp)
           .coalesce(statsNumFiles(missing.length, expectedPerFile, fpp)),
         statsDir)

@@ -89,9 +89,10 @@ object ZoneMaps {
         spark.read.parquet(dataPath).filter(lit(false))
       else
         // a file subset shares the directory's writer schema (zone-mapped
-        // layouts are single-writer by construction), so no schema pin is
-        // needed and the full directory is never listed
-        spark.read.parquet(files: _*).filter(pred)
+        // layouts are single-writer by construction); the driver-statted
+        // read (r13) also skips the re-listing of the candidate paths —
+        // a distributed job once the survivor list passes 32 files
+        Store.readFiles(spark, files).filter(pred)
     (df, (files.length, total))
   }
 
@@ -609,7 +610,7 @@ object ZoneMaps {
     val missing = (live -- covered).toSeq.sorted
     if (missing.nonEmpty)
       Store.append(
-        statsFor(spark.read.parquet(missing: _*), cols).coalesce(1),
+        statsFor(Store.readFiles(spark, missing), cols).coalesce(1),
         statsDir)
     // rewrite only when there is something to clean (stale rows for dead
     // files, or enough heal deltas accreted) — the BloomIndex.maintainIndex
