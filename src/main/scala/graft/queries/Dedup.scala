@@ -780,10 +780,84 @@ object Dedup {
     * on an adversarial chain graph instead of trusting the comment. */
   private[graft] val ccLastRounds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Vertex+edge-count bound under which the CC ITERATION runs on the
+    * driver (r13 optimization, the [[GraphQueries]] pagerank pattern): the
+    * loop's per-round cost at bench scale is Spark job overhead (eager
+    * checkpoint + observation per round, ~3 jobs x O(log diameter)
+    * rounds), not data — for a corpus whose (id, label) pairs fit in a
+    * bounded driver object, the SAME min-label + pointer-jumping fixpoint
+    * over Long ids runs in-process with identical integer arithmetic, so
+    * the result is equal row-for-row by construction (spec-pinned). The
+    * collect is |V|+|E|-scale under an explicit cap — the IVF-codebook
+    * bounded-driver-object discipline — and any input over the cap (or
+    * non-Long-keyed) takes the distributed loop below, unchanged.
+    * Mutable for the spec that pins driver/distributed equality. */
+  private[graft] var driverCcMaxRows: Int = 1 << 17
+
+  /** The driver-side CC fixpoint: None when over the bound or not
+    * Long-keyed (caller falls through to the distributed loop). Replicates
+    * the distributed semantics EXACTLY — neighbor-min via directed copies
+    * of each undirected pair, min-merge with current labels, then one
+    * pointer jump (dropping rows whose label is absent, as the inner
+    * self-join does), converging on the label-sum checksum. */
+  private def driverCc(vertices: DataFrame, pairs: DataFrame)
+      : Option[Array[(Long, Long)]] = {
+    val lt = org.apache.spark.sql.types.LongType
+    if (vertices.schema.fields.exists(_.dataType != lt) ||
+        pairs.schema.fields.exists(_.dataType != lt)) return None
+    import vertices.sparkSession.implicits._
+    val cap = driverCcMaxRows
+    val vs = vertices.limit(cap + 1).as[(Long, Long)].collect()
+    if (vs.length > cap) return None
+    val es = pairs.limit(cap + 1).as[(Long, Long)].collect()
+    if (es.length > cap) return None
+    // undirected: both directions, like the distributed edge union
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    var labels: Map[Long, Long] = vs.toMap
+    var checksum = vs.iterator.map(_._2).sum
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      // neighborMin: every (a -> b) edge whose a currently has a label
+      // emits (b, label(a)); merged with the current labels by min
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      labels.foreach { case (id, l) => next(id) = l }
+      labels.foreach { case (a, l) =>
+        adj.get(a).foreach(_.foreach { b =>
+          val cur = next.get(b)
+          if (cur.isEmpty || l < cur.get) next(b) = l
+        })
+      }
+      // pointer jump: label(x) <- label(label(x)); the distributed form is
+      // an inner join, so rows whose label has no row drop out
+      val jumped = next.iterator.flatMap { case (id, l) =>
+        next.get(l).map(j => (id, j))
+      }.toMap
+      val nextSum = jumped.valuesIterator.sum
+      converged = nextSum == checksum
+      checksum = nextSum
+      labels = jumped
+    }
+    ccLastRounds.set(round)
+    Some(labels.toArray.sortBy(_._1))
+  }
+
   private[graft] def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       cut: DataFrame => DataFrame): DataFrame = {
     import vertices.sparkSession.implicits._
     ccComputations.incrementAndGet()
+    driverCc(vertices, pairs) match {
+      case Some(done) =>
+        val spark = vertices.sparkSession
+        return spark.createDataFrame(done.toSeq).toDF("id", "label")
+      case None => ()
+    }
     // edges are static across rounds and always join on doc_a: materialize
     // them ALREADY HASH-PARTITIONED on doc_a (the lineage cut preserves
     // outputPartitioning through LogicalRDD), so each round's propagate join

@@ -74,6 +74,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rounds <= 10, s"pointer jumping should need ~log2($n)=7 rounds, took $rounds")
   }
 
+  test("bounded-input driver CC equals the distributed loop exactly (r13)") {
+    // the r13 driver-side fixpoint must be row-for-row identical to the
+    // distributed loop on the real corpus labels (same min-label +
+    // pointer-jump arithmetic over Long ids); forcing the bound to 0 runs
+    // the original distributed rounds
+    val viaDriver = Dedup.ccLabels(spark, sf, reliableCheckpoint = false)
+      .as[(Long, Long)].collect().sorted
+    val was = Dedup.driverCcMaxRows
+    try {
+      Dedup.driverCcMaxRows = 0
+      val viaDistributed = Dedup.ccLabels(spark, sf, reliableCheckpoint = false)
+        .as[(Long, Long)].collect().sorted
+      assert(viaDriver.sameElements(viaDistributed),
+        s"driver/distributed CC drift: ${viaDriver.take(5).toSeq} vs " +
+          s"${viaDistributed.take(5).toSeq}")
+    } finally Dedup.driverCcMaxRows = was
+    // and on a graph with edge endpoints ABSENT from the vertex frame the
+    // two paths must agree too (the distributed union admits such ids)
+    val verts = Seq((5L, 5L), (6L, 6L)).toDF("id", "label")
+    val pairs = Seq((5L, 9L)).toDF("doc_a", "doc_b")
+    val viaDriver2 = Dedup.connectedComponents(verts, pairs, _.localCheckpoint())
+      .as[(Long, Long)].collect().sorted
+    try {
+      Dedup.driverCcMaxRows = 0
+      val viaDistributed2 = Dedup.connectedComponents(verts, pairs, _.localCheckpoint())
+        .as[(Long, Long)].collect().sorted
+      assert(viaDriver2.sameElements(viaDistributed2),
+        s"${viaDriver2.toSeq} vs ${viaDistributed2.toSeq}")
+    } finally Dedup.driverCcMaxRows = was
+  }
+
   test("dedupClusters reliable-checkpoint mode returns identical clusters") {
     // the durability mode (reliable Dataset.checkpoint lineage cuts instead
     // of localCheckpoint) must be a pure execution-strategy toggle: byte-for-
