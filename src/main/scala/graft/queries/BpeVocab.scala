@@ -84,6 +84,103 @@ object BpeVocab {
         .otherwise(concat(acc.getField("out"), array(acc.getField("pending")))))
   }
 
+  /** Distinct-word bound under which the merge LOOP runs on the driver
+    * (r13 optimization, the bounded-driver-object pattern of
+    * [[GraphQueries]] pagerank and [[Dedup]] CC): each distributed round
+    * pays a full Spark job (pair-count aggregate + limit-1 collect) over
+    * the distinct-WORD table — which is vocabulary-scale, not
+    * corpus-scale, and bounded in practice (natural-language vocabularies
+    * plateau; the table the loop iterates is already the output of a
+    * corpus-wide aggregate). Under the cap the (w, syms, freq) rows are
+    * collected ONCE and the identical greedy algorithm (same pair
+    * weighting, same (count desc, l, r) tie-break in UTF-8 binary order,
+    * same left-to-right non-overlapping rewrite) runs in-process —
+    * nMerges scheduler round-trips become zero. Over the cap the
+    * distributed loop below is unchanged. Mutable for the equality spec. */
+  private[graft] var driverBpeMaxWords: Int = 1 << 17
+
+  /** Spark's string ordering is UTF8String binary order — unsigned
+    * byte-wise on the UTF-8 encoding — which differs from Java's
+    * UTF-16 `compareTo` for supplementary characters; the driver
+    * tie-break must match the distributed `orderBy` exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver twin of [[applyMergeTo]] — the same (out, pending) fold. */
+  private def applyMergeDriver(syms: Array[String], l: String, r: String,
+      merged: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pending: String = null
+    syms.foreach { x =>
+      if (pending == null) pending = x
+      else if (pending == l && x == r) { out += merged; pending = null }
+      else { out += pending; pending = x }
+    }
+    if (pending != null) out += pending
+    out.toArray
+  }
+
+  /** The in-process merge loop over a collected word table — pair counts,
+    * tie-break, and rewrite all identical to the distributed loop. */
+  private def trainDriver(spark: SparkSession,
+      ws: Array[(String, Seq[String], Long)], nMerges: Int)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var table: Array[(String, Array[String], Long)] =
+      ws.map(t => (t._1, t._2.toArray, t._3))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (_, syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null) best = e
+          else {
+            val c = java.lang.Long.compare(e._2, best._2)
+            if (c > 0 || (c == 0 && (utf8Lt(e._1._1, best._1._1) ||
+                (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+              best = e
+          }
+        }
+        val (l, r) = best._1
+        val merged = l + r
+        merges += ((round + 1, l, r, merged, best._2))
+        table = table.map { case (w, syms, freq) =>
+          (w, applyMergeDriver(syms, l, r, merged), freq)
+        }
+        round += 1
+      }
+    }
+    val mergeDf = merges.result()
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .repartition(1)
+      .orderBy($"rank")
+    val tableDf = spark.createDataFrame(
+      table.toSeq.map { case (w, syms, freq) => (w, syms.toSeq, freq) })
+      .toDF("w", "syms", "freq")
+    (mergeDf, tableDf)
+  }
+
   /** Runs the merge loop; returns (merge table, final word→symbols table).
     * The word table keeps the raw word `w` through every rewrite, so after
     * training it doubles as the encode dictionary (see `encodeOnDocs`). */
@@ -102,6 +199,20 @@ object BpeVocab {
           filter(split($"w", ""), s => length(s) > 0),
           array(lit("</w>"))).as("syms"),
         $"freq")
+
+    // bounded-vocabulary fast path: ONE job (the aggregate + collect the
+    // loop's first round would have paid anyway), then zero per-round jobs.
+    // The symbol arrays are collected as Spark computed them, so split
+    // semantics cannot drift between the two paths.
+    val bounded: Option[Array[(String, Seq[String], Long)]] = {
+      val take = words.limit(driverBpeMaxWords + 1)
+        .as[(String, Seq[String], Long)].collect()
+      if (take.length <= driverBpeMaxWords) Some(take) else None
+    }
+    bounded match {
+      case Some(ws) => return trainDriver(spark, ws, nMerges)
+      case None => ()
+    }
 
     var table = words.localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]

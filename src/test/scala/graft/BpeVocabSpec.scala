@@ -159,6 +159,37 @@ class BpeVocabSpec extends AnyFunSuite {
     }
   }
 
+  test("driver fast path and distributed loop produce identical train + encode output") {
+    // the r13 bounded-vocabulary fast path (BpeVocab.driverBpeMaxWords)
+    // must be invisible: force the distributed loop by zeroing the cap,
+    // then re-run under the default cap (driver path at this scale), and
+    // require byte-identical merge tables and encode outputs — including
+    // on a multibyte/tie-heavy corpus where an ordering mismatch between
+    // UTF8String binary order and Java compareTo would surface
+    val saved = BpeVocab.driverBpeMaxWords
+    def both[T](run: => T): (T, T) =
+      try {
+        BpeVocab.driverBpeMaxWords = 0
+        val dist = run
+        BpeVocab.driverBpeMaxWords = saved
+        val drv = run
+        (dist, drv)
+      } finally BpeVocab.driverBpeMaxWords = saved
+    val (vDist, vDrv) = both(
+      BpeVocab.train(spark, sf, 12).as[(Int, String, String, String, Long)].collect().toSeq)
+    assert(vDist == vDrv,
+      s"merge tables diverge: first-diff=${vDist.zip(vDrv).find { case (a, b) => a != b }}")
+    val (eDist, eDrv) = both(
+      BpeVocab.encode(spark, sf, 8).as[(Long, Long, Long)].collect().toSeq)
+    assert(eDist == eDrv,
+      s"encode diverges: first-diff=${eDist.zip(eDrv).find { case (a, b) => a != b }}")
+    val ties = Seq((1L, "ab ab ba ba aé éa 中ß ß中"), (2L, "ba ab éa aé ß中 中ß"))
+      .toDF("doc_id", "text")
+    val (tDist, tDrv) = both(
+      BpeVocab.trainOnDocs(ties, 6).as[(Int, String, String, String, Long)].collect().toSeq)
+    assert(tDist == tDrv, s"tie-heavy corpus diverges:\n dist=$tDist\n drv=$tDrv")
+  }
+
   test("training is deterministic across runs") {
     val a = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
     val b = BpeVocab.train(spark, sf, 5).collect().map(_.toString).toSeq
