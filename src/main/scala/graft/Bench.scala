@@ -126,6 +126,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // store/index footers must carry ORDERED timestamp stats for the
+      // footer-derived zone stats (ZoneMaps.statsForPaths); INT96 (the
+      // legacy default) has undefined stats ordering. Values identical:
+      // Spark timestamps are micros internally either way.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,8 @@ object Explain {
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP_MICROS: ordered footer stats for ZoneMaps.statsForPaths
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -51,6 +51,11 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions",
         scala.util.Try(cpus.toInt).getOrElse(32))
       .config("spark.sql.session.timeZone", "UTC")
+      // store/index footers must carry ORDERED timestamp stats for the
+      // footer-derived zone stats (ZoneMaps.statsForPaths); INT96 (the
+      // legacy default) has undefined stats ordering. Values identical:
+      // Spark timestamps are micros internally either way.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.streaming.checkpointLocation",
         Files.createTempDirectory("graft_sb_ckpt_").toString)
       .config("spark.ui.enabled", "false")

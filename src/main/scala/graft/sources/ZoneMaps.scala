@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,12 +39,12 @@ object ZoneMaps {
   def build(spark: SparkSession, dataPath: String, cols: Seq[String],
       statsDir: String): Unit = {
     require(cols.nonEmpty, "track at least one column")
-    val df = spark.read.parquet(dataPath)
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-      .groupBy(col("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    // footer-derived when exact (r13, guide §6) — the build pass otherwise
+    // re-reads every tracked column of the whole layout just to recompute
+    // numbers the writer left in the footers; scan fallback is unchanged.
+    // (The static face predates nnull_c — statsForPaths now records it,
+    // which only ADDS information consumers guard on.)
+    statsForPaths(spark, Store.liveFiles(dataPath), cols)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(statsDir)
   }
@@ -149,6 +151,163 @@ object ZoneMaps {
         (col("n_rows") +: cols.flatMap(perColNames)): _*)
   }
 
+  /** Spec-visible count of [[statsForPaths]] calls answered from footers. */
+  private[graft] val footerStatsServed =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Spark types whose parquet column statistics are EXACT and losslessly
+    * reconstructible driver-side. Deliberately excludes: every NumericType
+    * (the stats row must also carry `sum_c`, which footers cannot supply),
+    * strings/binary (parquet-mr may write TRUNCATED min/max for long
+    * values — conservative bounds fine for pruning but [[minMaxRangeIndexed]]
+    * SERVES these values as exact answers), and float/double (a footer
+    * cannot prove NaN-absence, and parquet drops stats around NaN). What
+    * remains — timestamp/timestamp_ntz (INT64 micros; INT96's stats
+    * ordering is undefined, which is why the session writers pin
+    * outputTimestampType=TIMESTAMP_MICROS) and date (INT32 days) — is
+    * exactly the time-clustered-store family. */
+  private def footerExact(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+
+  /** Per-file zone stats derived from parquet FOOTERS, driver-side — zero
+    * Spark jobs and zero data pages read (r13, guide §6): the scan-based
+    * [[statsFor]] re-reads the tracked column of every file it stats, plus
+    * one scheduler round trip, to compute numbers the writer already left
+    * in the footer (row counts, per-column min/max/null-count). Returns
+    * None — caller falls back to the scan — unless EVERY tracked column in
+    * EVERY file is footer-exact ([[footerExact]] types, matching physical
+    * annotation, complete statistics in every row group); the fallback is
+    * also the error path, so a racing compaction surfaces exactly as
+    * before. Rows match [[statsFor]]'s output exactly, including the
+    * skip-empty-file convention (a 0-row file produces no group there). */
+  private def footerStatsFor(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Option[DataFrame] = try {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    if (files.isEmpty) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Vector.newBuilder[org.apache.spark.sql.Row]
+    var sparkTypes: Map[String, DataType] = null
+    files.foreach { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, path).build())
+      try {
+        val meta = reader.getFooter.getFileMetaData
+        val serialized =
+          meta.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata")
+        if (serialized == null) return None // not Spark-written: no exact types
+        val sparkSchema = DataType.fromJson(serialized).asInstanceOf[StructType]
+        val types = cols.map { c =>
+          val field = sparkSchema.find(_.name == c).getOrElse(return None)
+          if (!footerExact(field.dataType)) return None
+          c -> field.dataType
+        }.toMap
+        if (sparkTypes == null) sparkTypes = types
+        else if (sparkTypes != types) return None // cross-file type drift
+        val blocks = reader.getFooter.getBlocks
+        val nRows = {
+          var n = 0L
+          blocks.forEach(b => n += b.getRowCount)
+          n
+        }
+        if (nRows > 0) {
+          // per tracked column: fold row-group stats; any incomplete chunk
+          // (missing stats, unset null count) disqualifies the whole call
+          val perCol: Seq[(Any, Any, Long)] = cols.map { c =>
+            val dt = types(c)
+            var nulls = 0L
+            var minV: java.lang.Long = null
+            var maxV: java.lang.Long = null
+            blocks.forEach { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c).getOrElse(return None)
+              val pt = cc.getPrimitiveType
+              val annotationOk = dt match {
+                case TimestampType | TimestampNTZType =>
+                  pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+                    (pt.getLogicalTypeAnnotation match {
+                      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                        t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+                          t.isAdjustedToUTC == (dt == TimestampType)
+                      case _ => false
+                    })
+                case DateType =>
+                  pt.getPrimitiveTypeName == PrimitiveTypeName.INT32 &&
+                    pt.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                case _ => false
+              }
+              if (!annotationOk) return None
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val (lo, hi) = dt match {
+                  case TimestampType | TimestampNTZType =>
+                    (st.genericGetMin.asInstanceOf[java.lang.Long],
+                      st.genericGetMax.asInstanceOf[java.lang.Long])
+                  case _ =>
+                    (java.lang.Long.valueOf(
+                       st.genericGetMin.asInstanceOf[java.lang.Integer].longValue),
+                      java.lang.Long.valueOf(
+                        st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                }
+                if (minV == null || lo < minV) minV = lo
+                if (maxV == null || hi > maxV) maxV = hi
+              }
+            }
+            // all-null must be PROVEN by the counts, never inferred from
+            // absent values (a chunk with values but no stats fell out above)
+            if (minV == null && nulls != nRows) return None
+            val toExternal: java.lang.Long => Any = types(c) match {
+              case TimestampType => micros =>
+                java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(micros.longValue, 1000000L),
+                  Math.floorMod(micros.longValue, 1000000L) * 1000L)
+              case TimestampNTZType => micros =>
+                java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(micros.longValue, 1000000L),
+                  (Math.floorMod(micros.longValue, 1000000L) * 1000L).toInt,
+                  java.time.ZoneOffset.UTC)
+              case _ => days => java.time.LocalDate.ofEpochDay(days.longValue)
+            }
+            (if (minV == null) null else toExternal(minV),
+              if (maxV == null) null else toExternal(maxV), nulls)
+          }
+          rows += org.apache.spark.sql.Row.fromSeq(
+            BloomIndex.canonPath(f) +: nRows +:
+              perCol.flatMap { case (lo, hi, nn) => Seq(lo, hi, nn) })
+        }
+      } finally reader.close()
+    }
+    if (sparkTypes == null) return None // every file empty: let the scan shape it
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        StructField("n_rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", sparkTypes(c)),
+          StructField(s"max_$c", sparkTypes(c)),
+          StructField(s"nnull_$c", LongType, nullable = false))))
+    footerStatsServed.incrementAndGet(): Unit
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(rows.result(): _*), schema))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Stats for an explicit file list: footer-derived when exact
+    * ([[footerStatsFor]]), else the one-pass scan aggregate. */
+  private[graft] def statsForPaths(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame =
+    footerStatsFor(spark, files, cols).getOrElse(
+      statsFor(Store.readFiles(spark, files), cols))
+
   // ── Serve cache: driver-resident zone stats ────────────────────────────
   //
   // The bloom serve cache's sibling, same protocol (content-version keyed,
@@ -226,9 +385,17 @@ object ZoneMaps {
     val delta = new java.io.File(dataDir, s"delta-$id")
     if (delta.exists()) {
       try {
-        val stats = statsFor(spark.read.parquet(delta.toString), cols)
-          .coalesce(1) // |delta files| short rows
-        Store.appendIdempotent(stats, statsDir, s"zm-$id"): Unit
+        // delta files listed driver-side; stats come from their footers
+        // when exact (statsForPaths), else one scan of the tracked columns
+        val deltaFiles = Store.liveFiles(delta.toString)
+        if (deltaFiles.isEmpty)
+          log.warn(s"zone stats for delta-$id skipped (delta compacted " +
+            "away mid-admission; maintainIndex heals)")
+        else {
+          val stats = statsForPaths(spark, deltaFiles, cols)
+            .coalesce(1) // |delta files| short rows
+          Store.appendIdempotent(stats, statsDir, s"zm-$id"): Unit
+        }
       } catch {
         // same tolerance contract as the bloom face: a path-shaped
         // failure is the delta-vs-compaction listing race (heal covers
@@ -610,7 +777,7 @@ object ZoneMaps {
     val missing = (live -- covered).toSeq.sorted
     if (missing.nonEmpty)
       Store.append(
-        statsFor(Store.readFiles(spark, missing), cols).coalesce(1),
+        statsForPaths(spark, missing, cols).coalesce(1),
         statsDir)
     // rewrite only when there is something to clean (stale rows for dead
     // files, or enough heal deltas accreted) — the BloomIndex.maintainIndex

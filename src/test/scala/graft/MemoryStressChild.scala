@@ -20,6 +20,8 @@ object MemoryStressChild {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP_MICROS: ordered footer stats for ZoneMaps.statsForPaths
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

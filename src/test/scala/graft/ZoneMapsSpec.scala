@@ -150,7 +150,7 @@ class ZoneMapsSpec extends AnyFunSuite {
     } finally { sweep(zBase); sweep(cBase) }
   }
 
-  test("stats build is one |files|-scale aggregate over one data scan") {
+  test("stats build is |files|-scale: footer-derived (zero data scans) or one aggregate pass") {
     val base = tmp()
     try {
       Layout.writeClustered(Tables.lineitem(spark, sf), s"$base/data",
@@ -158,8 +158,13 @@ class ZoneMapsSpec extends AnyFunSuite {
       ZoneMaps.build(spark, s"$base/data", Seq("l_shipdate"), s"$base/stats")
       val stats = spark.read.parquet(s"$base/stats")
       assert(stats.count() == 8)
+      // r13: build goes through statsForPaths, which also records the
+      // null counts the COUNT/MIN-MAX pushdown faces guard on (footer
+      // path and scan path emit the identical shape — ZoneFooterStatsSpec
+      // pins value equality between the two)
       assert(stats.columns.toSet ==
-        Set("file", "n_rows", "min_l_shipdate", "max_l_shipdate"))
+        Set("file", "n_rows", "min_l_shipdate", "max_l_shipdate",
+          "nnull_l_shipdate"))
       // per-file counts must reconcile with the table: stats lie → prune lies
       val nTotal = stats.agg(sum($"n_rows")).head().getLong(0)
       assert(nTotal == Tables.lineitem(spark, sf).count())
