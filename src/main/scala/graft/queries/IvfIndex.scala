@@ -69,14 +69,18 @@ object IvfIndex {
   /** Latest codebook: (version, centroids ordered by cell). The collect is
     * nCells × dim — the bounded codebook-collect discipline. */
   def readCodebook(spark: SparkSession, indexDir: String): (Int, Array[Array[Double]]) = {
-    import spark.implicits._
     require(Store.hasData(codebookDir(indexDir)),
       s"no codebook at $indexDir — writeIvfIndex first")
-    val cb = Store.read(spark, codebookDir(indexDir))
-    val version = cb.agg(max($"version")).head().getInt(0)
-    val cells = cb.filter($"version" === version).orderBy($"cell")
-      .select($"centroid").collect()
-      .map(_.getSeq[Double](0).toArray)
+    // ONE collect (r13): the store is nCells x versions rows — bounded by
+    // the same argument as the result — so the max-version aggregate job
+    // the old two-pass read paid per call (3 calls per served query:
+    // 2 admits + 1 serve) was pure scheduler overhead
+    val rows = Store.read(spark, codebookDir(indexDir))
+      .select(col("version"), col("cell"), col("centroid")).collect()
+    val version = rows.iterator.map(_.getInt(0)).max
+    val cells = rows.iterator.filter(_.getInt(0) == version)
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+      .toArray.sortBy(_._1).map(_._2)
     (version, cells)
   }
 
@@ -112,6 +116,12 @@ object IvfIndex {
     * the two stores' crash-safety semantics. `payload` selects what the
     * cells persist for each admitted vector (fp64 `v`, or int8 codes +
     * scale), evaluated over the assignment frame's `v` column. */
+  /** Files per admitted cells delta (see the coalesce note in
+    * [[admitCellsInto]]); env-tunable for deployments with larger
+    * micro-batches. */
+  private val DeltaFiles: Int =
+    sys.env.get("GRAFT_IVF_DELTA_FILES").map(_.toInt).getOrElse(4)
+
   private def admitCellsInto(batch: DataFrame, indexDir: String,
       cellsPath: String, payload: Seq[org.apache.spark.sql.Column],
       maintainEvery: Int, id: Option[String],
@@ -146,7 +156,20 @@ object IvfIndex {
           .as("cell"),
         $"vec_id") ++ payload: _*)
       .localCheckpoint()
-    if (Store.appendMaybeIdempotent(admitted, cellsPath, id))
+    // delta file sizing (r13, guide §6): the admitted frame inherits the
+    // membership shuffle's partitioning (AQE keeps ~|cores| slivers under
+    // parallelism-first), so each micro-batch wrote ~16 KB-scale files —
+    // and every serve/maintenance pass pays per-file listing+footer costs.
+    // coalesce AFTER the checkpoint is a zero-shuffle concat of the
+    // already-materialized partitions; micro-batches are bounded by the
+    // admission contract, so a small fixed file count is the right
+    // economics (a bulk load that wants more parallelism can pre-shape,
+    // exactly like the zone face's repartitionByRange discipline).
+    val toWrite =
+      if (admitted.rdd.getNumPartitions > DeltaFiles)
+        admitted.coalesce(DeltaFiles)
+      else admitted
+    if (Store.appendMaybeIdempotent(toWrite, cellsPath, id))
       Store.maintain(spark, cellsPath, every = maintainEvery)
     admitted.select($"vec_id", $"cell")
   }
