@@ -306,8 +306,8 @@ object DataPipeline {
     * and the resulting row-set drift. The driver-facing `prep_outliers`
     * entry stays on the exact form (hash-matched against DuckDB
     * quantile_cont). The cutoff is used AND emitted unrounded: the interpolation
-    * lo + frac·(hi−lo) is bitwise-identical across engines (pinned by the
-    * spec's independent recompute), while ROUNDING it is not — DuckDB's
+    * (hi−pos)·loVal + (pos−lo)·hiVal is bitwise-identical across engines
+    * (pinned by the spec's independent recompute), while ROUNDING it is not — DuckDB's
     * round(x, 4) does not return the nearest double of the 4-decimal value
     * the way Spark's BigDecimal HALF_UP does (observed 1-ulp divergence at
     * sf0.1), so a rounded cutoff column would hash-mismatch exactly when the
@@ -321,12 +321,14 @@ object DataPipeline {
     * group's full value multiset in the cutoff aggregate. */
   def outlierFilterTuned(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     import spark.implicits._
-    val pct =
-      if (approx) expr("approx_percentile(l_extendedprice, 0.99, 10000)")
-      else expr("percentile(l_extendedprice, 0.99)")
     val li = Tables.lineitem(spark, dir)
-    val cuts = li.groupBy($"l_returnflag")
-      .agg(pct.as("p99"))
+    val cuts =
+      if (approx)
+        li.groupBy($"l_returnflag")
+          .agg(expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      else
+        exactPercentileCutoffs(li, "l_returnflag", "l_extendedprice", 0.99)
+          .withColumnRenamed("pct", "p99")
     li.join(broadcast(cuts), "l_returnflag")
       .filter($"l_extendedprice" > $"p99")
       .select($"l_returnflag", $"l_orderkey",
@@ -347,6 +349,47 @@ object DataPipeline {
       |FROM lineitem l JOIN cuts c USING (l_returnflag)
       |WHERE l.l_extendedprice > c.p99
       |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_extendedprice""".stripMargin
+
+  /** Exact per-group percentile with bounded memory. Catalyst's
+    * `percentile()` buffers every distinct group value in its aggregation
+    * buffer (a boxed OpenHashMap that cannot spill) — measured OOM in a
+    * 1 GiB JVM at sf1 (MemoryStressSpec). Same number, different plan:
+    * rank the group with a window (UnsafeExternalSorter — spills to disk),
+    * keep only the one or two rows the interpolation needs, and fold them
+    * with the exact arithmetic of Catalyst's `Percentile.getPercentile` —
+    * pos = p·(n−1), result = (hi−pos)·loVal + (pos−lo)·hiVal, with the
+    * no-fraction and equal-key short-circuits — so the output is
+    * bitwise-identical to `percentile()` (pinned by PrepOpsSpec on the
+    * fixture decades and on synthetic tie/interpolation-heavy frames).
+    * Returns one row per group: (key, pct). Groups whose values are all
+    * NULL are absent (percentile() would return NULL; callers join the
+    * cutoffs back, where a NULL cutoff selects nothing either way). */
+  private[graft] def exactPercentileCutoffs(
+      df: DataFrame, keyCol: String, valCol: String, p: Double): DataFrame = {
+    val k = col(keyCol)
+    val v = col(valCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(k)
+      .agg(count(v).as("n"))
+      .withColumn("pos", lit(p) * (col("n") - 1).cast("double"))
+      .withColumn("lo_i", floor(col("pos")))
+      .withColumn("hi_i", ceil(col("pos")))
+    val w = Window.partitionBy(k).orderBy(v)
+    df.filter(v.isNotNull)
+      .select(k, v)
+      .join(broadcast(counts), Seq(keyCol))
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .filter(col("rk") === col("lo_i") || col("rk") === col("hi_i"))
+      .groupBy(k, col("pos"), col("lo_i"), col("hi_i"))
+      .agg(
+        min(when(col("rk") === col("lo_i"), v)).as("lov"),
+        min(when(col("rk") === col("hi_i"), v)).as("hiv"))
+      .select(k,
+        when(col("hi_i") === col("lo_i") || col("lov") === col("hiv"), col("lov"))
+          .otherwise((col("hi_i").cast("double") - col("pos")) * col("lov") +
+                     (col("pos") - col("lo_i").cast("double")) * col("hiv"))
+          .as("pct"))
+  }
 
   /** Quality screening: keep documents whose heuristic quality score clears
     * the threshold — the filter step between dedup and mixing in a training

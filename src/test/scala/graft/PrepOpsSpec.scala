@@ -56,6 +56,44 @@ class PrepOpsSpec extends AnyFunSuite {
       "threshold should be strictly inside the corpus quality range")
   }
 
+  test("exact outlier cutoffs are bitwise-identical to Catalyst percentile()") {
+    // the r14 window-rank formulation (bounded memory: sort spills, no
+    // per-group value multiset) must reproduce Percentile.getPercentile
+    // bit for bit — on the fixture decade AND on synthetic frames covering
+    // ties, fractional interpolation, single-row groups and nulls
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val li = Tables.lineitem(spark, sf)
+    val want = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.99)").as("pct"))
+      .as[(String, Double)].collect().toMap
+    val got = DataPipeline
+      .exactPercentileCutoffs(li, "l_returnflag", "l_extendedprice", 0.99)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, e) =>
+      assert(bits(got(k)) == bits(e), s"sf cutoff $k: ${got(k)} != $e") }
+
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${i % 7}"
+      val v: Option[Double] =
+        if (i % 97 == 0) None
+        else if (i % 3 == 0) Some((i % 13).toDouble) // heavy ties
+        else Some(rnd.nextDouble() * 1000.0)
+      (g, v)
+    } ++ Seq(("solo", Some(42.5)), ("allnull", Option.empty[Double]))
+    val df = rows.toDF("k", "v")
+    Seq(0.5, 0.99, 0.9137).foreach { p =>
+      val w = df.groupBy($"k").agg(expr(s"percentile(v, $p)").as("pct"))
+        .filter($"pct".isNotNull).as[(String, Double)].collect().toMap
+      val g = DataPipeline.exactPercentileCutoffs(df, "k", "v", p)
+        .as[(String, Double)].collect().toMap
+      assert(g.keySet == w.keySet, s"p=$p group set")
+      w.foreach { case (k, e) =>
+        assert(bits(g(k)) == bits(e), s"p=$p $k: ${g(k)} != $e") }
+    }
+  }
+
   test("approx outlier cutoffs stay within 2% of exact and drift few rows") {
     // the stated 100 TB swap (approx_percentile, accuracy 10000) must exist
     // in code AND be bounded: per-group cutoff within 2% relative of the
