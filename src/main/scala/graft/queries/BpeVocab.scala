@@ -96,8 +96,13 @@ object BpeVocab {
     * weighting, same (count desc, l, r) tie-break in UTF-8 binary order,
     * same left-to-right non-overlapping rewrite) runs in-process —
     * nMerges scheduler round-trips become zero. Over the cap the
-    * distributed loop below is unchanged. Mutable for the equality spec. */
-  private[graft] var driverBpeMaxWords: Int = 1 << 17
+    * distributed loop below is unchanged. Mutable for the equality spec;
+    * env-tunable (`GRAFT_DRIVER_BPE_MAX_WORDS`) so a deployment can size
+    * it to its driver — one knob style across the driver-loop caps (r14). */
+  private[graft] var driverBpeMaxWords: Int =
+    sys.env.get("GRAFT_DRIVER_BPE_MAX_WORDS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(1 << 17)
 
   /** Spark's string ordering is UTF8String binary order — unsigned
     * byte-wise on the UTF-8 encoding — which differs from Java's
@@ -200,21 +205,24 @@ object BpeVocab {
           array(lit("</w>"))).as("syms"),
         $"freq")
 
-    // bounded-vocabulary fast path: ONE job (the aggregate + collect the
-    // loop's first round would have paid anyway), then zero per-round jobs.
-    // The symbol arrays are collected as Spark computed them, so split
-    // semantics cannot drift between the two paths.
-    val bounded: Option[Array[(String, Seq[String], Long)]] = {
-      val take = words.limit(driverBpeMaxWords + 1)
-        .as[(String, Seq[String], Long)].collect()
-      if (take.length <= driverBpeMaxWords) Some(take) else None
+    // bounded-vocabulary fast path. The word table is checkpointed ONCE —
+    // the job the distributed loop's first round needs anyway — and the
+    // gate's row count rides it as an observed metric (r14: the old probe
+    // collected up to cap+1 FULL (w, syms, freq) rows even when the corpus
+    // was over the cap and the distributed loop then ran — a wasted wide
+    // driver transfer per invocation; now the over-cap path pays zero
+    // extra jobs and the under-cap collect reads the already-materialized
+    // blocks). The symbol arrays are collected as Spark computed them, so
+    // split semantics cannot drift between the two paths.
+    val obs = org.apache.spark.sql.Observation()
+    var table = words.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    val nWords = obs.get("n").asInstanceOf[Long]
+    if (nWords <= driverBpeMaxWords) {
+      val ws = table.as[(String, Seq[String], Long)].collect()
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(table)
+      return trainDriver(spark, ws, nMerges)
     }
-    bounded match {
-      case Some(ws) => return trainDriver(spark, ws, nMerges)
-      case None => ()
-    }
-
-    var table = words.localCheckpoint(true)
+    var lastCp = table
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
 
     var round = 0
@@ -255,7 +263,14 @@ object BpeVocab {
         table = table
           .select($"w", applyMergeTo($"syms", l, r, merged).as("syms"), $"freq")
         round += 1
-        if (round % CheckpointEvery == 0) table = table.localCheckpoint(true)
+        if (round % CheckpointEvery == 0) {
+          val cp = table.localCheckpoint(true)
+          // the superseded checkpoint window's blocks are dead once the
+          // new one materialized — release eagerly (r14 §5)
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(lastCp)
+          lastCp = cp
+          table = cp
+        }
       }
     }
 

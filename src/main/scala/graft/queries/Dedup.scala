@@ -791,26 +791,24 @@ object Dedup {
     * collect is |V|+|E|-scale under an explicit cap — the IVF-codebook
     * bounded-driver-object discipline — and any input over the cap (or
     * non-Long-keyed) takes the distributed loop below, unchanged.
-    * Mutable for the spec that pins driver/distributed equality. */
-  private[graft] var driverCcMaxRows: Int = 1 << 17
+    * Mutable for the spec that pins driver/distributed equality;
+    * env-tunable (`GRAFT_DRIVER_CC_MAX_ROWS`) so a deployment can size it
+    * to its driver — one knob style across the driver-loop caps (r14). */
+  private[graft] var driverCcMaxRows: Int =
+    sys.env.get("GRAFT_DRIVER_CC_MAX_ROWS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(1 << 17)
 
-  /** The driver-side CC fixpoint: None when over the bound or not
-    * Long-keyed (caller falls through to the distributed loop). Replicates
-    * the distributed semantics EXACTLY — neighbor-min via directed copies
-    * of each undirected pair, min-merge with current labels, then one
-    * pointer jump (dropping rows whose label is absent, as the inner
-    * self-join does), converging on the label-sum checksum. */
-  private def driverCc(vertices: DataFrame, pairs: DataFrame)
-      : Option[Array[(Long, Long)]] = {
-    val lt = org.apache.spark.sql.types.LongType
-    if (vertices.schema.fields.exists(_.dataType != lt) ||
-        pairs.schema.fields.exists(_.dataType != lt)) return None
-    import vertices.sparkSession.implicits._
-    val cap = driverCcMaxRows
-    val vs = vertices.limit(cap + 1).as[(Long, Long)].collect()
-    if (vs.length > cap) return None
-    val es = pairs.limit(cap + 1).as[(Long, Long)].collect()
-    if (es.length > cap) return None
+  /** The driver-side CC fixpoint over the collected bounded graph (the
+    * caller gates on size and key type). Replicates the distributed
+    * semantics EXACTLY — duplicate vertex ids min-merged (as the first
+    * groupBy(id).min(label) round does — ADVICE r13), a duplicate-
+    * INCLUSIVE initial checksum, neighbor-min via directed copies of each
+    * undirected pair, min-merge with current labels, then one pointer
+    * jump (dropping rows whose label is absent, as the inner self-join
+    * does), converging on the label-sum checksum. */
+  private def driverCc(vs: Array[(Long, Long)], es: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
     // undirected: both directions, like the distributed edge union
     val adj = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
@@ -818,7 +816,17 @@ object Dedup {
       adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
       adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
     }
-    var labels: Map[Long, Long] = vs.toMap
+    // duplicate vertex ids MIN-merge (the distributed loop's first
+    // groupBy(id).min(label) round does exactly this; a last-wins toMap
+    // could propagate the wrong duplicate's label in round 1 — ADVICE r13),
+    // while the convergence checksum stays duplicate-INCLUSIVE like the
+    // distributed init sum
+    val labels0 = scala.collection.mutable.HashMap.empty[Long, Long]
+    vs.foreach { case (id, l) =>
+      val cur = labels0.get(id)
+      if (cur.isEmpty || l < cur.get) labels0(id) = l
+    }
+    var labels: Map[Long, Long] = labels0.toMap
     var checksum = vs.iterator.map(_._2).sum
     var converged = false
     var round = 0
@@ -845,18 +853,41 @@ object Dedup {
       labels = jumped
     }
     ccLastRounds.set(round)
-    Some(labels.toArray.sortBy(_._1))
+    labels.toArray.sortBy(_._1)
   }
 
   private[graft] def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       cut: DataFrame => DataFrame): DataFrame = {
     import vertices.sparkSession.implicits._
+    val spark = vertices.sparkSession
     ccComputations.incrementAndGet()
-    driverCc(vertices, pairs) match {
-      case Some(done) =>
-        val spark = vertices.sparkSession
-        return spark.createDataFrame(done.toSeq).toDF("id", "label")
-      case None => ()
+    def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long, Long) = {
+      val obs = org.apache.spark.sql.Observation(tag)
+      val cp = cut(df.observe(obs,
+        sum($"label").as("s"), count(lit(1)).as("n")))
+      (cp, obs.get("s").asInstanceOf[Long], obs.get("n").asInstanceOf[Long])
+    }
+    // The bounded-graph gate rides the init checkpoint the distributed
+    // loop needs anyway (r14; the r13 probe paid up to two wasted
+    // limit-collect jobs on an over-cap input): the vertex count is an
+    // observed metric of cc_init, the edge probe is a single bounded
+    // CollectLimit (no exchange — PlanLintSpec runs over this), and the
+    // under-cap vertex collect reads the already-materialized checkpoint
+    // blocks. Over-cap inputs proceed to the distributed loop having paid
+    // nothing beyond the loop's own initialization.
+    val lt = org.apache.spark.sql.types.LongType
+    val longKeyed = vertices.schema.fields.forall(_.dataType == lt) &&
+      pairs.schema.fields.forall(_.dataType == lt)
+    val cap = driverCcMaxRows
+    var (labels, checksum, nV) = checkpointWithSum(vertices, "cc_init")
+    if (longKeyed && nV <= cap) {
+      val es = pairs.limit(cap + 1).as[(Long, Long)].collect()
+      if (es.length <= cap) {
+        val vs = labels.as[(Long, Long)].collect()
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+        return spark.createDataFrame(driverCc(vs, es).toSeq)
+          .toDF("id", "label")
+      }
     }
     // edges are static across rounds and always join on doc_a: materialize
     // them ALREADY HASH-PARTITIONED on doc_a (the lineage cut preserves
@@ -866,12 +897,6 @@ object Dedup {
     val edges = cut(pairs
       .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .repartition($"doc_a"))
-    def checkpointWithSum(df: DataFrame, tag: String): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation(tag)
-      val cp = cut(df.observe(obs, sum($"label").as("s")))
-      (cp, obs.get("s").asInstanceOf[Long])
-    }
-    var (labels, checksum) = checkpointWithSum(vertices, "cc_init")
     var converged = false
     var round = 0
     while (!converged) {
@@ -892,12 +917,17 @@ object Dedup {
         .join(propagated.select($"id".as("jid"), $"label".as("jlabel")),
           $"label" === $"jid")
         .select($"id", $"jlabel".as("label"))
-      val (next, nextSum) = checkpointWithSum(jumped, s"cc_round_$round")
+      val (next, nextSum, _) = checkpointWithSum(jumped, s"cc_round_$round")
       converged = nextSum == checksum
       checksum = nextSum
+      // the superseded round's checkpoint blocks are dead the moment the
+      // next round materialized — release them instead of waiting for GC
+      // (r14 §5: bounded storage footprint across the loop's lifetime)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
       labels = next
     }
     ccLastRounds.set(round)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(edges)
     labels
   }
 

@@ -60,8 +60,13 @@ object GraphQueries {
     * double sums, noise ~1e-15, final round(rank, 6) stable) covers the
     * driver order exactly as it covers DuckDB's. Above the bound
     * (millions-of-URLs graphs) the distributed loop below is unchanged.
-    * Mutable for the spec that pins driver/distributed equality. */
-  private[graft] var driverIterMaxEdges: Int = 4096
+    * Mutable for the spec that pins driver/distributed equality;
+    * env-tunable (`GRAFT_DRIVER_PR_MAX_EDGES`) so a deployment can size it
+    * to its driver — one knob style across the driver-loop caps (r14). */
+  private[graft] var driverIterMaxEdges: Int =
+    sys.env.get("GRAFT_DRIVER_PR_MAX_EDGES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(4096)
 
   private[graft] def pagerankOn(edges: DataFrame, iters: Int = Iters,
       damping: Double = Damping): DataFrame = {
@@ -72,15 +77,22 @@ object GraphQueries {
     val stringKeyed =
       edges.schema("src").dataType == org.apache.spark.sql.types.StringType &&
         edges.schema("dst").dataType == org.apache.spark.sql.types.StringType
+    if (!stringKeyed) return pagerankDistributed(edges, iters, damping)
+    // One eager checkpoint materializes the aggregated edge frame and the
+    // gate's row count rides it as an observed metric (r14: the over-cap
+    // probe previously paid a wasted |edges|-collect job; now the gate is
+    // free — the distributed loop consumes the SAME checkpoint, which also
+    // spares it the 2 extra full evaluations of the edge lineage its
+    // nodes/probs derivations used to pay).
+    val obs = org.apache.spark.sql.Observation()
+    val edgesCp = edges.observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val nEdges = obs.get("n").asInstanceOf[Long]
     val bounded: Option[Array[(String, String, Long)]] =
-      if (!stringKeyed) None
-      else {
-        val take = edges.select($"src", $"dst", $"w".cast("long"))
-          .limit(driverIterMaxEdges + 1)
-          .as[(String, String, Long)].collect()
-        if (take.length <= driverIterMaxEdges) Some(take) else None
-      }
-    bounded match {
+      if (nEdges > driverIterMaxEdges) None
+      else Some(edgesCp.select($"src", $"dst", $"w".cast("long"))
+        .as[(String, String, Long)].collect())
+    try bounded match {
       case Some(e) =>
         val nodes = (e.iterator.map(_._1) ++ e.iterator.map(_._2))
           .toSeq.distinct.sorted
@@ -108,8 +120,8 @@ object GraphQueries {
             org.apache.spark.sql.Row(nd, rank(nd))): _*),
           StructType(Seq(StructField("node", StringType),
             StructField("rank", DoubleType))))
-      case None => pagerankDistributed(edges, iters, damping)
-    }
+      case None => pagerankDistributed(edgesCp, iters, damping)
+    } finally org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(edgesCp)
   }
 
   /** The distributed iteration — unchanged; every graph above
@@ -136,14 +148,21 @@ object GraphQueries {
         .groupBy($"dst").agg(sum($"rank" * $"p").as("m"))
       val dangling = rank.join(sources, $"node" === $"src", "left_anti")
         .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
-      rank = nodes
+      val next = nodes
         .join(contrib, $"node" === $"dst", "left_outer")
         .crossJoin(broadcast(dangling))
         .select($"node",
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce($"m", lit(0.0)) + $"dm" / n)).as("rank"))
         .localCheckpoint(true)
+      // superseded iteration's checkpoint blocks released eagerly (r14 §5:
+      // the loop's storage footprint stays one rank frame, not `iters`)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rank)
+      rank = next
     }
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(probs)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(sources)
     rank
   }
 

@@ -20,7 +20,8 @@ import graft.sources.{Store, Tables}
   *    quantizer, VERSIONED: retraining appends a new version rather than
   *    rewriting history, so cells assigned under the old codebook remain
   *    self-describing during a migration. Bounded: nCells × dim rows per
-  *    version.
+  *    version, and compaction prunes versions older than the previous one
+  *    (the migration window), so lifetime retrains don't accrete.
   *  - `<indexDir>/cells`: (version, cell, vec_id, v) — the inverted file.
   *    The ONLY corpus-sized artifact; append-only, compaction-maintained
   *    ([[graft.sources.Store.maintain]] keeps file count bounded under
@@ -64,6 +65,28 @@ object IvfIndex {
       spark.createDataset(rows.toSeq)
         .toDF("version", "cell", "centroid"),
       codebookDir(indexDir))
+    // superseded versions are dead weight for readCodebook's one-collect
+    // read (their rows ride every collect but are filtered driver-side —
+    // ADVICE r13): compaction's fold keeps the latest version plus its
+    // predecessor (the migration window the header promises — cells
+    // admitted under the previous codebook stay self-describing while a
+    // retrain re-admits), so the store is bounded at nCells × (2 + retrains
+    // since last compaction ≤ 4) rows regardless of lifetime retrain count
+    Store.maintain(spark, codebookDir(indexDir), every = 4,
+      rewrite = migrationWindowOnly)
+  }
+
+  /** Compaction fold for the codebook store: drop versions older than the
+    * previous one. Bounded single-partition window — the store is
+    * nCells × versions. */
+  private def migrationWindowOnly(rows: DataFrame): DataFrame = {
+    rows
+      .withColumn("__mx",
+        max(col("version")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .filter(col("version") >= col("__mx") - 1)
+      .drop("__mx")
   }
 
   /** Latest codebook: (version, centroids ordered by cell). The collect is
@@ -71,11 +94,14 @@ object IvfIndex {
   def readCodebook(spark: SparkSession, indexDir: String): (Int, Array[Array[Double]]) = {
     require(Store.hasData(codebookDir(indexDir)),
       s"no codebook at $indexDir — writeIvfIndex first")
-    // ONE collect (r13): the store is nCells x versions rows — bounded by
-    // the same argument as the result — so the max-version aggregate job
-    // the old two-pass read paid per call (3 calls per served query:
-    // 2 admits + 1 serve) was pure scheduler overhead
-    val rows = Store.read(spark, codebookDir(indexDir))
+    // ONE collect (r13): the store is nCells x versions rows, and
+    // writeIvfIndex's maintenance fold drops versions older than the
+    // migration window, so the collect is bounded at nCells × (2 + retrains
+    // since last compaction ≤ 4) regardless of lifetime retrain count —
+    // the max-version aggregate job the old two-pass read paid per call
+    // (3 calls per served query: 2 admits + 1 serve) was pure scheduler
+    // overhead
+    val rows = Store.readBounded(spark, codebookDir(indexDir))
       .select(col("version"), col("cell"), col("centroid")).collect()
     val version = rows.iterator.map(_.getInt(0)).max
     val cells = rows.iterator.filter(_.getInt(0) == version)
@@ -120,7 +146,9 @@ object IvfIndex {
     * [[admitCellsInto]]); env-tunable for deployments with larger
     * micro-batches. */
   private val DeltaFiles: Int =
-    sys.env.get("GRAFT_IVF_DELTA_FILES").map(_.toInt).getOrElse(4)
+    sys.env.get("GRAFT_IVF_DELTA_FILES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(4)
 
   private def admitCellsInto(batch: DataFrame, indexDir: String,
       cellsPath: String, payload: Seq[org.apache.spark.sql.Column],
@@ -141,7 +169,7 @@ object IvfIndex {
         // re-admits every vector under the new quantizer, while replays
         // and overlapping drops within a version stay no-ops. The version
         // predicate prunes the cells scan before the probe.
-        val index = Store.read(spark, cellsPath)
+        val index = Store.readBounded(spark, cellsPath)
           .filter($"version" === version)
         val matched = index
           .join(broadcast(vecs.select($"vec_id")), "vec_id")
@@ -190,7 +218,7 @@ object IvfIndex {
     val (version, codebook) = readCodebook(spark, indexDir)
     val probes = queries.select($"query_id", $"q",
       explode(VectorFunctions.codebookTopCells($"q", codebook, nprobe)).as("cell"))
-    val candidates = Store.read(spark, cellsDir(indexDir))
+    val candidates = Store.readBounded(spark, cellsDir(indexDir))
       .filter($"version" === version)
       .join(broadcast(probes), "cell")
       .filter(if (excludeSelf) $"vec_id" =!= $"query_id" else lit(true))
@@ -240,7 +268,7 @@ object IvfIndex {
       VectorFunctions.quantizeInt8($"q").as("qq"),
       VectorFunctions.maxAbs($"q").as("mq"),
       explode(VectorFunctions.codebookTopCells($"q", codebook, nprobe)).as("cell"))
-    val candidates = Store.read(spark, cellsSq8Dir(indexDir))
+    val candidates = Store.readBounded(spark, cellsSq8Dir(indexDir))
       .filter($"version" === version)
       .join(broadcast(probes), "cell")
       .filter(if (excludeSelf) $"vec_id" =!= $"query_id" else lit(true))
@@ -278,7 +306,7 @@ object IvfIndex {
       maintainEvery: Int = 16): Int = {
     import spark.implicits._
     val (v, _) = readCodebook(spark, indexDir)
-    val stored = Store.read(spark, cellsDir(indexDir))
+    val stored = Store.readBounded(spark, cellsDir(indexDir))
       .filter($"version" === v)
       .select($"vec_id", $"v")
     val codebook = SimilaritySearch.trainIvfCodebookOn(
