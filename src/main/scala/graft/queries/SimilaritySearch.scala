@@ -633,10 +633,18 @@ object SimilaritySearch {
         .select(lit(method).as("method"), $"n_queries",
           $"mean_recall", $"min_recall")
     }
-    per("lsh", simLshTopkOnVecs(vecs, nProbe = LshNProbe))
+    // the report is 3 rows: checkpoint it and RELEASE the corpus-scale
+    // parse/bruteforce blocks deterministically (r14 §5) — lingering
+    // checkpoint storage measurably degraded unrelated later queries in a
+    // long-lived bench JVM
+    val report = per("lsh", simLshTopkOnVecs(vecs, nProbe = LshNProbe))
       .unionAll(per("ivf", simIvfTopkOnVecs(vecs)))
       .unionAll(per("ivfpq", simIvfPqTopkOnVecs(vecs)))
       .orderBy($"method")
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(vecs)
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(brute)
+    report
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

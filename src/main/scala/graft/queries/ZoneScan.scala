@@ -22,6 +22,39 @@ import graft.sources.{BloomIndex, Layout, Tables, ZoneMaps}
   */
 object ZoneScan {
 
+  /** Both admission halves shaped through ONE sampler pass and ONE range
+    * shuffle (r14, guide §2.4 "share one exchange"): the per-half
+    * `repartitionByRange` paid a sample job plus a full scan-and-shuffle
+    * EACH — 4 scans of the fact table for 2 admits. Range-partitioning on
+    * (half, key) instead produces the same per-half layout (each half's
+    * rows land in ~`partsPerHalf` contiguous key ranges, sorted within
+    * files; the half boundary adds at most one straddling partition), and
+    * the eager checkpoint lets both delta writes read the
+    * already-shuffled blocks — 2 scans total, one sampler. The half split
+    * is the same pmod(xxhash64(l_orderkey), 2) as before, so each delta
+    * carries exactly the rows it used to; file-boundary placement within
+    * a half may differ by the shared sampler, which the oracles are
+    * immune to by design (skipping is result-invisible; the pruning-ratio
+    * specs pin their own fixtures, not these queries' file counts).
+    *
+    * The third element RELEASES the checkpoint's block-manager storage —
+    * callers invoke it after the second admit, so a long-lived session
+    * (the bench JVM, a deployment) doesn't accrete a fact-table-sized
+    * checkpoint per query until GC gets around to it (measured: lingering
+    * blocks degraded UNRELATED later queries in the same bench JVM). */
+  private def shapedHalves(li: DataFrame, rangeCol: String,
+      partsPerHalf: Int): (DataFrame, DataFrame, () => Unit) = {
+    import li.sparkSession.implicits._
+    val all = li
+      .withColumn("__half", pmod(xxhash64($"l_orderkey"), lit(2)))
+      .repartitionByRange(2 * partsPerHalf, $"__half", col(rangeCol))
+      .sortWithinPartitions($"__half", col(rangeCol))
+      .localCheckpoint(true)
+    (all.filter($"__half" === 0).drop("__half"),
+      all.filter($"__half" === 1).drop("__half"),
+      () => org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(all))
+  }
+
   def q79ZonemapScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_zone_")
@@ -161,12 +194,11 @@ object ZoneScan {
     val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
     try {
       val li = Tables.lineitem(spark, dir)
-      def shaped(half: Int) = li
-        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
-        .repartitionByRange(8, $"l_shipdate")
-        .sortWithinPartitions($"l_shipdate")
+      val (shaped0, shaped1, release) = Phases.time("admit") {
+        shapedHalves(li, "l_shipdate", 8)
+      }
       Phases.time("admit") {
-        ZoneMaps.admitIndexed(shaped(0),
+        ZoneMaps.admitIndexed(shaped0,
           dataDir, statsDir, Seq("l_shipdate"), "h0"): Unit
       }
       Phases.time("build") { // maintenance: ORDER-PRESERVING rewrite
@@ -174,8 +206,9 @@ object ZoneScan {
           clusterBy = Seq("l_shipdate"))
       }
       Phases.time("admit") {
-        ZoneMaps.admitIndexed(shaped(1),
+        ZoneMaps.admitIndexed(shaped1,
           dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
+        release()
       }
       Phases.time("build") {
         // SELECTIVE clustered maintenance (round-12): only h1's delta is
@@ -219,13 +252,11 @@ object ZoneScan {
     val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
     try {
       val li = Tables.lineitem(spark, dir)
-      def shaped(half: Int) = li
-        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
-        .repartitionByRange(8, $"l_shipdate")
-        .sortWithinPartitions($"l_shipdate")
       Phases.time("admit") {
-        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, Seq("l_shipdate"), "h0"): Unit
-        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
+        val (shaped0, shaped1, release) = shapedHalves(li, "l_shipdate", 8)
+        ZoneMaps.admitIndexed(shaped0, dataDir, statsDir, Seq("l_shipdate"), "h0"): Unit
+        ZoneMaps.admitIndexed(shaped1, dataDir, statsDir, Seq("l_shipdate"), "h1"): Unit
+        release()
       }
       Phases.time("build") {
         // selective clustered fold (round-12): here every entry is a delta
@@ -276,15 +307,13 @@ object ZoneScan {
     val (dataDir, statsDir) = (s"$base/data", s"$base/stats")
     try {
       val li = Tables.lineitem(spark, dir)
-      def shaped(half: Int) = li
-        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
-        .repartitionByRange(32, $"l_orderkey")
-        .sortWithinPartitions($"l_orderkey")
       Phases.time("admit") {
-        BloomIndex.admitIndexed(shaped(0), dataDir, statsDir,
+        val (shaped0, shaped1, release) = shapedHalves(li, "l_orderkey", 32)
+        BloomIndex.admitIndexed(shaped0, dataDir, statsDir,
           "l_orderkey", "h0", expectedPerFile = 100000L): Unit
-        BloomIndex.admitIndexed(shaped(1), dataDir, statsDir,
+        BloomIndex.admitIndexed(shaped1, dataDir, statsDir,
           "l_orderkey", "h1", expectedPerFile = 100000L): Unit
+        release()
       }
       Phases.time("serve") {
         val dim = Tables.orders(spark, dir)
@@ -381,13 +410,11 @@ object ZoneScan {
     try {
       val li = Tables.lineitem(spark, dir)
       val cols = Seq("l_shipdate", "l_extendedprice")
-      def shaped(half: Int) = li
-        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
-        .repartitionByRange(8, $"l_shipdate")
-        .sortWithinPartitions($"l_shipdate")
       Phases.time("admit") {
-        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, cols, "h0"): Unit
-        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, cols, "h1"): Unit
+        val (shaped0, shaped1, release) = shapedHalves(li, "l_shipdate", 8)
+        ZoneMaps.admitIndexed(shaped0, dataDir, statsDir, cols, "h0"): Unit
+        ZoneMaps.admitIndexed(shaped1, dataDir, statsDir, cols, "h1"): Unit
+        release()
       }
       Phases.time("build") {
         graft.sources.Store.compactSelective(spark, dataDir,
@@ -555,13 +582,11 @@ object ZoneScan {
     try {
       val li = Tables.lineitem(spark, dir)
       val cols = Seq("l_shipdate", "l_quantity")
-      def shaped(half: Int) = li
-        .filter(pmod(xxhash64($"l_orderkey"), lit(2)) === half)
-        .repartitionByRange(8, $"l_shipdate")
-        .sortWithinPartitions($"l_shipdate")
       Phases.time("admit") {
-        ZoneMaps.admitIndexed(shaped(0), dataDir, statsDir, cols, "h0"): Unit
-        ZoneMaps.admitIndexed(shaped(1), dataDir, statsDir, cols, "h1"): Unit
+        val (shaped0, shaped1, release) = shapedHalves(li, "l_shipdate", 8)
+        ZoneMaps.admitIndexed(shaped0, dataDir, statsDir, cols, "h0"): Unit
+        ZoneMaps.admitIndexed(shaped1, dataDir, statsDir, cols, "h1"): Unit
+        release()
       }
       Phases.time("build") {
         graft.sources.Store.compactSelective(spark, dataDir,

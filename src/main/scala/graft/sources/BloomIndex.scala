@@ -425,7 +425,7 @@ object BloomIndex {
     // fallback schema frame is BY-NAME: only built (and only then paying
     // the schema-merge job) when the candidate set is empty
     val df = readCandidates(spark, files, pred,
-      fallbackSchemaFrom = Store.read(spark, dataDir))
+      fallbackSchemaFrom = Store.readBounded(spark, dataDir))
     (df, (files.length, live.size))
   }
 
@@ -499,7 +499,7 @@ object BloomIndex {
       survivors.collect { case (f, flags) if flags(i) => f })
     val pred = keys.map(key => col(keyCol) === key).reduce(_ || _)
     val df = readCandidates(spark, survivors.map(_._1), pred,
-      fallbackSchemaFrom = Store.read(spark, dataDir))
+      fallbackSchemaFrom = Store.readBounded(spark, dataDir))
     (df, perKey, (survivors.length, live.size))
   }
 

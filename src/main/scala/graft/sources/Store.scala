@@ -101,6 +101,22 @@ object Store {
       .option("mergeSchema", "true")
       .parquet(dir)
 
+  /** [[read]] for BOUNDED stores (r14): the live file set is listed
+    * driver-side and read through the driver-statted path — same union
+    * schema, same rows, minus the distributed listing job and the
+    * mergeSchema footer-merge job `read` pays per DataFrame construction.
+    * Every incremental operator's admit/serve read is per-micro-batch or
+    * per-query, so those two scheduler round-trips dominated bounded
+    * stores (the r13 finding for the index layers, extended here to the
+    * operator stores). Above 256 files — or for a store mid-bootstrap —
+    * the distributed listing/merge is kept: a 10^6-file store must not
+    * serialize its footer reads through the driver. */
+  def readBounded(spark: SparkSession, dir: String): DataFrame = {
+    val lf = liveFiles(dir)
+    if (lf.nonEmpty && lf.size <= 256) readFiles(spark, lf)
+    else read(spark, dir)
+  }
+
   /** Read exactly `files` presenting the union of THEIR schemas — the
     * bounded-candidate serve read (r13 optimization). Result-equivalent
     * to a `mergeSchema` read of the same list, but the union schema is
@@ -673,12 +689,15 @@ object Store {
         // explicit fold-set file list (r13): the fold members are already
         // known driver-side, so a bounded fold reads them through the
         // driver-statted path — no listing job, no footer-merge job. The
-        // file set is identical to what the directory read would list
-        // (visible .parquet files; _SUCCESS/markers are hidden-prefixed).
-        val foldFiles: Seq[String] = (deltas.flatMap(d =>
-          Option(d.listFiles()).getOrElse(Array.empty[File]).toSeq
-            .filter(k => k.isFile && k.getName.endsWith(".parquet"))) ++
-          foldBase).map(f => new org.apache.hadoop.fs.Path(f.toURI).toString).toSeq
+        // per-delta listing is [[liveFiles]] — RECURSIVE and hidden-aware,
+        // exactly the file set the >256-file recursiveFileLookup fallback
+        // (and Store.read) sees — so a nested directory or an oddly-named
+        // data file inside a delta can never be silently excluded from the
+        // rewrite image by the bounded path alone (ADVICE r13).
+        val foldFiles: Seq[String] = (deltas.toSeq.flatMap(d =>
+          liveFiles(d.getAbsolutePath)) ++
+          foldBase.toSeq.map(f =>
+            new org.apache.hadoop.fs.Path(f.toURI).toString))
         val image =
           if (foldFiles.nonEmpty && foldFiles.size <= 256)
             readFiles(spark, foldFiles)

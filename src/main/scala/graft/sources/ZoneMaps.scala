@@ -451,7 +451,7 @@ object ZoneMaps {
       .map { case (c, lo, hi) => col(c) >= lo && col(c) < hi }
       .reduce(_ && _)
     val df =
-      if (files.isEmpty) Store.read(spark, dataDir).filter(lit(false))
+      if (files.isEmpty) Store.readBounded(spark, dataDir).filter(lit(false))
       else Store.readFiles(spark, files).filter(pred)
     (df, (files.length, live.size))
   }
@@ -571,7 +571,7 @@ object ZoneMaps {
     val (minName, maxName) = (s"min_$targetCol", s"max_$targetCol")
     def scanned(files: Seq[String]): DataFrame =
       if (files.isEmpty)
-        Store.read(spark, dataDir).filter(lit(false))
+        Store.readBounded(spark, dataDir).filter(lit(false))
           .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
       else Store.readFiles(spark, files).filter(pred)
         .agg(min(col(targetCol)).as(minName), max(col(targetCol)).as(maxName))
@@ -660,7 +660,7 @@ object ZoneMaps {
     val (sumName, cntName) = (s"sum_$targetCol", s"cnt_$targetCol")
     def scanned(files: Seq[String]): DataFrame =
       if (files.isEmpty)
-        Store.read(spark, dataDir).filter(lit(false))
+        Store.readBounded(spark, dataDir).filter(lit(false))
           .agg(sum(col(targetCol)).as(sumName),
             count(col(targetCol)).as(cntName))
       else Store.readFiles(spark, files).filter(pred)

@@ -28,6 +28,20 @@ object GraftBridge {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Free the block-manager storage behind a `localCheckpoint(true)`'d
+    * frame as soon as its last consumer is done. Without this the
+    * checkpoint blocks (MEMORY_AND_DISK) linger until the RDD object is
+    * GC'd — in a long-lived session running many queries (the bench, a
+    * serving deployment) fact-table-sized checkpoints accumulate in
+    * storage memory and degrade unrelated later queries. No-op for frames
+    * that are not checkpointed (defensive: the analyzed plan is only a
+    * LogicalRDD after a checkpoint/RDD round-trip). */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   /** Union schema of the given parquet files, merged DRIVER-side from
     * their footers (row-group metadata skipped — this reads tails only).
     * Same result as `spark.read.option("mergeSchema", "true")` over the
