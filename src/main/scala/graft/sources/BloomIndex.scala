@@ -179,16 +179,25 @@ object BloomIndex {
     val parent = f.getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs(): Unit
     val want = keyCols.mkString(",")
-    try java.nio.file.Files.write(f.toPath,
-      want.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        require(got == want,
-          s"index at $statsDir is keyed by ($got), not ($want)")
+    // publish via write-temp-then-atomic-rename (r14): the old CREATE_NEW
+    // write created the sidecar BEFORE its bytes landed, so a concurrent
+    // admit (two writers are legal — the Store protocol is built for them)
+    // could read an empty key list and wrongly reject its own probe. A
+    // rename publishes fully-written bytes or nothing; the loser of the
+    // rename race falls through to the verification read.
+    if (!f.exists()) {
+      val tmp = new java.io.File(parent,
+        s".${f.getName}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        want.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      try java.nio.file.Files.move(tmp.toPath, f.toPath): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { tmp.delete(): Unit }
     }
+    val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(got == want,
+      s"index at $statsDir is keyed by ($got), not ($want)")
   }
 
   private def verifyKeyCols(statsDir: String, keyCols: Seq[String]): Unit = {

@@ -518,8 +518,9 @@ object Store {
     else None
   }
 
-  // The tombstone key column is recorded DURABLY in a sidecar (CREATE_NEW
-  // — exactly one creator wins), not inferred from whichever deltas are
+  // The tombstone key column is recorded DURABLY in a sidecar (published
+  // by atomic rename — exactly one creator wins and readers only ever see
+  // full bytes), not inferred from whichever deltas are
   // currently live: two concurrent FIRST deletes with different column
   // names would otherwise both pass the hasData() check and admit a
   // mixed-schema tombstone store, where antiTombstones' columns.head picks
@@ -531,16 +532,24 @@ object Store {
     val f = tombstoneKeyFile(tsd)
     val parent = f.getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs(): Unit
-    try java.nio.file.Files.write(f.toPath,
-      keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        require(got == keyCol,
-          s"store deletes are keyed by '$got'; got '$keyCol'")
+    // write-temp-then-atomic-rename (r14, same fix as BloomIndex
+    // .keycols): a bare CREATE_NEW write creates the sidecar before its
+    // bytes land, so a concurrent first delete could read an empty key
+    // name. The rename publishes fully-written bytes or nothing; the
+    // rename-race loser falls through to the verification read.
+    if (!f.exists()) {
+      val tmp = new File(parent,
+        s".${f.getName}.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp.toPath,
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      try java.nio.file.Files.move(tmp.toPath, f.toPath): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally { tmp.delete(): Unit }
     }
+    val got = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    require(got == keyCol,
+      s"store deletes are keyed by '$got'; got '$keyCol'")
   }
 
   /** Admit a delete: `keys` is a single-column frame named after the data

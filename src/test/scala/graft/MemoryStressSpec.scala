@@ -56,6 +56,21 @@ class MemoryStressSpec extends AnyFunSuite {
     val sf1 = "/root/repo/target/testdata/sf1"
     assume(new java.io.File(sf1, "lineitem.parquet").exists(),
       s"sf1 decade not generated (python3 tools/gen_sf1.py)")
-    runStress(sf1, heaviest)
+    // time-box (r14, VERDICT r13 item 1: the full suite must fit the
+    // driver's window — this leg is ~26 s/query): the default list keeps
+    // ONE query per bounded-state mechanism — exact-percentile outliers,
+    // shingle+verify joins, embedding-CC, BPE training+packing, the
+    // recursive CTE, graph-store admission, chunk-store admission, and
+    // the composed ANN report (which runs the ivf/ivfpq/lsh kernels) —
+    // dropping only same-mechanism twins (bpe_encode/vocab ⊂ bpe_budget,
+    // dedup_canonical ⊂ dedup_semantic's CC, sim_ivf_served's admission ⊂
+    // the incremental faces). GRAFT_STRESS_SF1_FULL=1 restores all 12.
+    val sf1Set =
+      if (sys.env.get("GRAFT_STRESS_SF1_FULL").contains("1")) heaviest
+      else Seq("prep_outliers", "dedup_ngram_jaccard", "dedup_semantic",
+        "prep_bpe_budget", "q50_recursive_bom",
+        "events_pagerank_incremental", "dedup_chunks_incremental",
+        "sim_recall_report")
+    runStress(sf1, sf1Set)
   }
 }

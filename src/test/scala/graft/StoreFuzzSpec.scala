@@ -288,7 +288,11 @@ class StoreFuzzSpec extends AnyFunSuite {
   }
 
   test("randomized interleavings: no loss, no double-count, no torn reads, replays no-op") {
-    val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(100)
+    // default trimmed 100 → 64 (r14): the full suite must fit the driver's
+    // wall-clock window (VERDICT r13 item 1); 64 parallel seeds keep the
+    // interleaving coverage that caught every historical protocol bug,
+    // and nightly/full runs restore depth via GRAFT_FUZZ_SEEDS
+    val nSeeds = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(64)
     val parallelism = 8
     val pool = Executors.newFixedThreadPool(parallelism)
     val failures = new ConcurrentLinkedQueue[(Long, Throwable)]()
